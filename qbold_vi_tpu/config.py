@@ -1,0 +1,325 @@
+"""Typed configuration for the qBOLD-VI TPU framework.
+
+Replaces the reference's three-tier INI + argparse + YAML config system
+(reference: config:1-61, utils.py:4-123, train.py:107-186) with frozen
+dataclasses that are hashable (usable as jit static arguments) and a YAML
+loader that preserves the reference's "YAML overrides defaults with type
+coercion" semantics (reference: utils.py:109-116, train.py:473-480).
+"""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+import numpy as np
+
+__all__ = [
+    "ScanParams",
+    "SynthParams",
+    "ModelConfig",
+    "TrainConfig",
+    "QBoldConfig",
+    "load_yaml_config",
+    "load_ini_scan_params",
+    "OPTIMAL",
+]
+
+
+@dataclass(frozen=True)
+class ScanParams:
+    """Scanner / physics constants (reference: config:1-61).
+
+    The tau grid is derived, not stored, so the dataclass stays hashable and
+    jit-static. ``taus()`` reproduces ``tf.range(tau_start, tau_end, tau_step)``
+    (reference: signals.py:34-35).
+    """
+
+    tr: float = 3.0            # ASE repetition time [s]
+    ti: float = 1.21           # ASE inversion time [s]
+    te: float = 0.074          # ASE echo time [s]
+    tau_start: float = -0.016  # spin-echo displacement grid start [s]
+    tau_end: float = 0.065     # grid end (exclusive) [s]
+    tau_step: float = 0.008    # grid step [s]
+    dchi: float = 2.64e-7      # susceptibility difference (deoxy vs oxy blood)
+    gamma: float = 2.67513e8   # proton gyromagnetic ratio [rad/s/T]
+    b0: float = 3.0            # field strength [T]
+    t1b: float = 1.58          # blood T1 [s]
+    r2t: float = 11.5          # tissue R2 [1/s]
+    hct: float = 0.34          # haematocrit fraction
+    nb: float = 0.775          # blood spin density (reference: signals.py:102)
+    simulate_noise: bool = True
+    snr: float = 10.0
+
+    def taus(self) -> np.ndarray:
+        """The tau grid as float32, matching tf.range semantics."""
+        t = np.arange(self.tau_start, self.tau_end, self.tau_step, dtype=np.float64)
+        return np.around(t, decimals=7).astype(np.float32)
+
+    @property
+    def n_taus(self) -> int:
+        return len(self.taus())
+
+    @property
+    def se_idx(self) -> int:
+        """Index of the spin-echo (tau==0) image (reference: model.py:95)."""
+        return int(abs(self.tau_start / self.tau_step))
+
+    @property
+    def dw_coeff(self) -> float:
+        """delta_omega = dw_coeff * hct * oef (reference: signals.py:142-144)."""
+        return (4.0 / 3.0) * math.pi * self.gamma * self.b0 * self.dchi
+
+
+@dataclass(frozen=True)
+class SynthParams:
+    """Synthetic population sampling ranges (reference: config:48-61)."""
+
+    oef_start: float = 0.05
+    oef_end: float = 0.8
+    oef_mean: float = 0.4
+    oef_std: float = 0.2
+    dbv_start: float = 0.003
+    dbv_end: float = 0.195
+    dbv_mean: float = 0.025
+    dbv_std: float = 0.02
+    sample_size: int = 2500
+    uniform_prop: float = 0.1   # mixing weight of the uniform component
+    misalign_prob: float = 0.0  # slice-misalignment augmentation probability
+    variable_hct: bool = False
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Encoder architecture hyperparameters (reference: model.py:54-95)."""
+
+    no_intermediate_layers: int = 1
+    no_units: int = 30
+    use_layer_norm: bool = False
+    dropout_rate: float = 0.0
+    activation: str = "relu"
+    student_t_df: float = 2.0
+    im_loss_sigma: float = 0.08      # initial heteroscedastic sigma
+    multi_image_normalisation: bool = True
+    channelwise_gating: bool = True
+    infer_inv_gamma: bool = False
+    use_mvg: bool = False
+    use_population_prior: bool = False
+    mog_components: int = 1
+    no_samples: int = 1
+    heteroscedastic_noise: bool = True
+    predict_log_data: bool = True
+    gate_offset: float = 0.0
+    resid_init_std: float = 0.1
+    # Parameter-space ranges for the logit transforms (reference: model.py:88-91)
+    oef_range: float = 0.8
+    min_oef: float = 0.04
+    dbv_range: float = 0.2
+    min_dbv: float = 0.001
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Two-phase training hyperparameters (reference: utils.py:47-83)."""
+
+    pt_lr: float = 5e-5
+    ft_lr: float = 5e-3
+    kl_weight: float = 1.0
+    smoothness_weight: float = 1.0
+    no_pt_epochs: int = 5
+    no_ft_epochs: int = 40
+    crop_size: int = 16
+    use_r2p_loss: bool = False
+    full_model: bool = True
+    use_blood: bool = True
+    use_swa: bool = True
+    adamw_decay: float = 2e-4
+    pt_adamw_decay: float = 2e-4
+    inv_gamma_alpha: float = 0.0
+    inv_gamma_beta: float = 0.0
+    ft_steps_per_epoch: int = 100     # reference: train.py:376
+    ft_batch_size: int = 38           # reference: train.py:68
+    eval_batch_size: int = 3          # reference: train.py:70
+    pt_batch_size: int = 512          # reference: train.py:103
+    swa_start: int = 880              # reference: train.py:385 (22*40)
+    swa_period: int = 22
+    seed: int = 1
+    save_directory: str = "optimal"
+    data_directory: str = "/home/data/qbold"
+    wandb_project: str = ""
+
+
+@dataclass(frozen=True)
+class QBoldConfig:
+    """Top-level bundle of all configuration groups."""
+
+    scan: ScanParams = field(default_factory=ScanParams)
+    synth: SynthParams = field(default_factory=SynthParams)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    name: str = "default"
+
+
+# Mapping from the reference's flat YAML/argparse keys (utils.py:8-41) to
+# (dataclass group, field name) in our typed config.
+_FLAT_KEY_MAP: dict[str, tuple[str, str]] = {
+    "no_units": ("model", "no_units"),
+    "no_intermediate_layers": ("model", "no_intermediate_layers"),
+    "student_t_df": ("model", "student_t_df"),
+    "pt_lr": ("train", "pt_lr"),
+    "ft_lr": ("train", "ft_lr"),
+    "kl_weight": ("train", "kl_weight"),
+    "smoothness_weight": ("train", "smoothness_weight"),
+    "dropout_rate": ("model", "dropout_rate"),
+    "no_pt_epochs": ("train", "no_pt_epochs"),
+    "no_ft_epochs": ("train", "no_ft_epochs"),
+    "im_loss_sigma": ("model", "im_loss_sigma"),
+    "crop_size": ("train", "crop_size"),
+    "use_layer_norm": ("model", "use_layer_norm"),
+    "activation": ("model", "activation"),
+    "use_r2p_loss": ("train", "use_r2p_loss"),
+    "multi_image_normalisation": ("model", "multi_image_normalisation"),
+    "full_model": ("train", "full_model"),
+    "use_blood": ("train", "use_blood"),
+    "misalign_prob": ("synth", "misalign_prob"),
+    "use_population_prior": ("model", "use_population_prior"),
+    "inv_gamma_alpha": ("train", "inv_gamma_alpha"),
+    "inv_gamma_beta": ("train", "inv_gamma_beta"),
+    "gate_offset": ("model", "gate_offset"),
+    "resid_init_std": ("model", "resid_init_std"),
+    "channelwise_gating": ("model", "channelwise_gating"),
+    "infer_inv_gamma": ("model", "infer_inv_gamma"),
+    "use_mvg": ("model", "use_mvg"),
+    "uniform_prop": ("synth", "uniform_prop"),
+    "use_swa": ("train", "use_swa"),
+    "adamw_decay": ("train", "adamw_decay"),
+    "pt_adamw_decay": ("train", "pt_adamw_decay"),
+    "predict_log_data": ("model", "predict_log_data"),
+    "save_directory": ("train", "save_directory"),
+    "wandb_project": ("train", "wandb_project"),
+    "d": ("train", "data_directory"),
+    "name": (None, "name"),
+}
+
+
+def _coerce(current: Any, new: Any) -> Any:
+    """Coerce an override to the type of the existing default.
+
+    Mirrors the reference's ``args[key] = type(args.get(key))(val)``
+    (utils.py:112-116), including its quirk that bools are parsed with
+    Python truthiness (bool("False") is True) -- here we instead parse
+    string booleans correctly, which is one of the documented deliberate
+    deviations (SURVEY.md "reference quirks").
+    """
+    if isinstance(current, bool):
+        if isinstance(new, str):
+            return new.strip().lower() in ("true", "1", "yes")
+        return bool(new)
+    if current is None:
+        return new
+    return type(current)(new)
+
+
+def apply_flat_overrides(cfg: QBoldConfig, overrides: Mapping[str, Any]) -> QBoldConfig:
+    """Apply a flat dict of reference-style keys onto a QBoldConfig."""
+    groups = {
+        "scan": dict(dataclasses.asdict(cfg.scan)),
+        "synth": dict(dataclasses.asdict(cfg.synth)),
+        "model": dict(dataclasses.asdict(cfg.model)),
+        "train": dict(dataclasses.asdict(cfg.train)),
+    }
+    name = cfg.name
+    for key, val in overrides.items():
+        if key in _FLAT_KEY_MAP:
+            group, fname = _FLAT_KEY_MAP[key]
+            if group is None:
+                name = str(val)
+            else:
+                groups[group][fname] = _coerce(groups[group].get(fname), val)
+        elif key in ("tau_start", "tau_end", "tau_step", "te", "tr", "ti",
+                     "hct", "b0", "gamma", "dchi", "r2t", "t1b", "snr"):
+            groups["scan"][key] = _coerce(groups["scan"].get(key), val)
+        # Unknown keys are ignored (reference stores them in args; we have
+        # no dynamic attribute bag on a frozen dataclass).
+    # Enforce the reference's floors (train.py:431-432).
+    groups["model"]["no_intermediate_layers"] = max(1, int(groups["model"]["no_intermediate_layers"]))
+    groups["model"]["no_units"] = max(1, int(groups["model"]["no_units"]))
+    return QBoldConfig(
+        scan=ScanParams(**groups["scan"]),
+        synth=SynthParams(**groups["synth"]),
+        model=ModelConfig(**groups["model"]),
+        train=TrainConfig(**groups["train"]),
+        name=name,
+    )
+
+
+def load_yaml_config(path: str, base: QBoldConfig | None = None) -> QBoldConfig:
+    """Load a reference-style flat YAML file over the defaults."""
+    import yaml
+
+    with open(path) as f:
+        overrides = yaml.safe_load(f) or {}
+    return apply_flat_overrides(base or QBoldConfig(), overrides)
+
+
+def load_ini_scan_params(path: str) -> ScanParams:
+    """Load scanner constants from a reference-style INI ``config`` file
+    (reference: signals.py:303-305, qbold_build_model.py:38-43)."""
+    cp = configparser.ConfigParser()
+    cp.read(path)
+    p = cp["DEFAULT"]
+    return ScanParams(
+        tr=float(p["tr"]), ti=float(p["ti"]), te=float(p["te"]),
+        tau_start=float(p["tau_start"]), tau_end=float(p["tau_end"]),
+        tau_step=float(p["tau_step"]), dchi=float(p["dchi"]),
+        gamma=float(p["gamma"]), b0=float(p["b0"]), t1b=float(p["t1b"]),
+        r2t=float(p["r2t"]), hct=float(p["hct"]),
+        nb=float(p.get("nb", "0.775")),
+        simulate_noise=p.get("simulate_noise", "True") == "True",
+        snr=float(p.get("snr", "10")),
+    )
+
+
+def _optimal() -> QBoldConfig:
+    """The published "optimal" run configuration
+    (reference: configurations/optimal.yaml:1-32)."""
+    return apply_flat_overrides(QBoldConfig(), dict(
+        no_units=60,
+        no_intermediate_layers=2,
+        student_t_df=200,
+        pt_lr=2e-3,
+        ft_lr=5e-3,
+        kl_weight=1.0,
+        smoothness_weight=5.0,
+        dropout_rate=0.0,
+        no_pt_epochs=60,
+        no_ft_epochs=40,
+        im_loss_sigma=0.05,
+        crop_size=25,
+        use_layer_norm=False,
+        activation="relu",
+        use_r2p_loss=False,
+        multi_image_normalisation=False,
+        full_model=True,
+        use_blood=True,
+        misalign_prob=0.0,
+        use_population_prior=False,
+        save_directory="optimal",
+        name="optimal",
+        inv_gamma_alpha=0.0,
+        inv_gamma_beta=0.0,
+        channelwise_gating=True,
+        gate_offset=-3.0,
+        resid_init_std=0.05,
+        use_mvg=True,
+        uniform_prop=0.0,
+        adamw_decay=2e-4,
+        pt_adamw_decay=2e-4,
+        predict_log_data=False,
+    ))
+
+
+OPTIMAL = _optimal()

@@ -1,0 +1,304 @@
+"""Logit-Normal / logit-MVN distribution toolkit.
+
+The single, properly decoupled home for the distribution math that the
+reference duplicates between ``logit_mvn.py`` and ``EncoderTrainer``
+(reference: logit_mvn.py:13-101, model.py:288-316/376-447; README.md:10
+notes the decoupling was "in progress" upstream -- it is complete here).
+
+Parameterisation convention (the encoder's raw head outputs):
+    diag (K=4): [oef_mu, oef_logstd_raw, dbv_mu, dbv_logstd_raw]
+    mvg  (K=5): [... , offdiag_raw]
+Raw log-stds are squashed with tanh*3-1 (logit_mvn.py:91-93); the raw
+Cholesky off-diagonal with tanh*e^-2 (logit_mvn.py:95-97). Distribution
+means live in logit space; ``forward_transform`` maps logit draws to
+physical OEF in [0.04, 0.84] and DBV in [0.001, 0.201]
+(logit_mvn.py:14-18, 72-89).
+
+Everything is shape-agnostic over leading axes and pure jnp, so it runs
+under jit/vmap/grad, inside shard_map, and inside Pallas kernels.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["LogitMVN", "logit"]
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def logit(x):
+    """Inverse sigmoid (reference: logit_mvn.py:9-11)."""
+    return jnp.log(x / (1.0 - x))
+
+
+def _clip_preserve_gradient(x, lo, hi):
+    """Value-clip with a straight-through gradient, mirroring
+    tfp.math.clip_by_value_preserve_gradient (reference: logit_mvn.py:65)."""
+    return x + jax.lax.stop_gradient(jnp.clip(x, lo, hi) - x)
+
+
+@dataclass(frozen=True)
+class LogitMVN:
+    """Bivariate (OEF, DBV) logit-Normal with optional full covariance."""
+
+    oef_range: float = 0.8
+    min_oef: float = 0.04
+    dbv_range: float = 0.2
+    min_dbv: float = 0.001
+
+    # ---- squashing transforms -------------------------------------------------
+
+    def transform_std(self, raw):
+        """Raw head output -> log-std in (-4, 2) (logit_mvn.py:91-93)."""
+        return jnp.tanh(raw) * 3.0 - 1.0
+
+    def inv_transform_std(self, log_std):
+        """Inverse of transform_std (logit_mvn.py:99-100)."""
+        return jnp.arctanh((log_std + 1.0) / 3.0)
+
+    def transform_offdiag(self, raw):
+        """Raw head output -> Cholesky off-diagonal in (-e^-2, e^-2)
+        (logit_mvn.py:95-97)."""
+        return jnp.tanh(raw) * math.exp(-2.0)
+
+    # ---- physical <-> logit space ---------------------------------------------
+
+    def forward_transform(self, logits):
+        """Logit-space draws -> physical (OEF, DBV) (logit_mvn.py:72-78).
+
+        logits: (..., 2). Returns (..., 2).
+        """
+        oef = jax.nn.sigmoid(logits[..., 0:1]) * self.oef_range + self.min_oef
+        dbv = jax.nn.sigmoid(logits[..., 1:2]) * self.dbv_range + self.min_dbv
+        return jnp.concatenate([oef, dbv], axis=-1)
+
+    def backwards_transform(self, signal, include_logit: bool):
+        """Physical (OEF, DBV) -> unit interval (and optionally logit)
+        (logit_mvn.py:80-89)."""
+        oef = (signal[..., 0:1] - self.min_oef) / self.oef_range
+        dbv = (signal[..., 1:2] - self.min_dbv) / self.dbv_range
+        out = jnp.concatenate([oef, dbv], axis=-1)
+        if include_logit:
+            out = logit(out)
+        return out
+
+    # ---- unpacking -------------------------------------------------------------
+
+    def unpack(self, params, mvg: bool):
+        """Split a (..., 4|5) head output into named, squashed pieces."""
+        oef_mu = params[..., 0]
+        oef_log_std = self.transform_std(params[..., 1])
+        dbv_mu = params[..., 2]
+        dbv_log_std = self.transform_std(params[..., 3])
+        offdiag = self.transform_offdiag(params[..., 4]) if mvg else jnp.zeros_like(oef_mu)
+        return oef_mu, oef_log_std, dbv_mu, dbv_log_std, offdiag
+
+    # ---- densities --------------------------------------------------------------
+
+    @staticmethod
+    def squared_whitened_residual(obs, mean, oef_log_std, dbv_log_std, offdiag):
+        """||L^{-1}(obs - mean)||^2 for the lower-triangular Cholesky
+        L = [[e^a, 0], [c, e^b]] (reference: logit_mvn.py:20-38).
+
+        obs, mean: (..., 2); the rest (...,). Returns (...,).
+        """
+        inv_tl = jnp.exp(-oef_log_std)
+        inv_br = jnp.exp(-dbv_log_std)
+        inv_bl = -jnp.exp(-oef_log_std - dbv_log_std) * offdiag
+        r0 = obs[..., 0] - mean[..., 0]
+        r1 = obs[..., 1] - mean[..., 1]
+        w0 = r0 * inv_tl
+        w1 = r1 * inv_br + r0 * inv_bl
+        return jnp.square(w0) + jnp.square(w1)
+
+    @staticmethod
+    def log_chol_det(oef_log_std, dbv_log_std):
+        """log|Sigma| = 2(log-diag sum) (reference: logit_mvn.py:40-44)."""
+        return 2.0 * (oef_log_std + dbv_log_std)
+
+    def logit_gaussian_mvg_log_prob(self, observations, params):
+        """Negative log-density of physical (OEF, DBV) observations under
+        the full-covariance logit-Normal (reference: logit_mvn.py:46-70).
+
+        NB: like the reference, this returns the NEGATIVE log prob (an NLL
+        despite the name); callers rely on that sign convention
+        (model.py:596-597 negates it again for the KL).
+
+        observations: (..., 2) physical space. params: (..., 5) raw head.
+        Returns (...,).
+        """
+        oef_mu, oef_ls, dbv_mu, dbv_ls, offd = self.unpack(params, mvg=True)
+        x = self.backwards_transform(observations[..., 0:2], include_logit=False)
+        eps = 1e-6
+        x = _clip_preserve_gradient(x, eps, 1.0 - eps)
+        mean = jnp.stack([oef_mu, dbv_mu], axis=-1)
+        swr = self.squared_whitened_residual(logit(x), mean, oef_ls, dbv_ls, offd)
+        log_det = self.log_chol_det(oef_ls, dbv_ls)
+        nll = _LOG_2PI + 0.5 * log_det + 0.5 * swr
+        # logit-Jacobian: + sum log x(1-x) (logit_mvn.py:68)
+        nll = nll + jnp.sum(jnp.log(x) + jnp.log(1.0 - x), axis=-1)
+        return nll
+
+    @staticmethod
+    def gaussian_nll(obs, mean, log_std):
+        """Unnormalised diagonal Gaussian NLL (reference: model.py:402-404,
+        which drops the log(2 pi)/2 constant; reproduced)."""
+        return log_std + 0.5 * jnp.square((obs - mean) / jnp.exp(log_std))
+
+    def logit_gaussian_log_prob(self, observations, params):
+        """Diagonal counterpart of logit_gaussian_mvg_log_prob
+        (reference: model.py:406-421; same negative-log-prob convention,
+        same dropped constant as gaussian_nll)."""
+        oef_mu, oef_ls, dbv_mu, dbv_ls, _ = self.unpack(params, mvg=False)
+        x = self.backwards_transform(observations[..., 0:2], include_logit=False)
+        lx = logit(x)
+        nll = self.gaussian_nll(lx[..., 0], oef_mu, oef_ls)
+        nll = nll + self.gaussian_nll(lx[..., 1], dbv_mu, dbv_ls)
+        return nll + jnp.sum(jnp.log(x * (1.0 - x)), axis=-1)
+
+    # ---- sampling ----------------------------------------------------------------
+
+    def sample(self, key, params, mvg: bool):
+        """Reparameterised draw -> physical (OEF, DBV), (..., 2)
+        (reference: model.py:15-50).
+
+        MVG path correlates the DBV draw with the OEF one through the
+        Cholesky off-diagonal (shared z0, model.py:24-31).
+        """
+        oef_mu, oef_ls, dbv_mu, dbv_ls, offd = self.unpack(params, mvg)
+        z = jax.random.normal(key, oef_mu.shape + (2,), dtype=params.dtype)
+        oef_sample = oef_mu + z[..., 0] * jnp.exp(oef_ls)
+        if mvg:
+            dbv_sample = dbv_mu + z[..., 0] * offd + z[..., 1] * jnp.exp(dbv_ls)
+        else:
+            dbv_sample = dbv_mu + z[..., 1] * jnp.exp(dbv_ls)
+        return self.forward_transform(jnp.stack([oef_sample, dbv_sample], axis=-1))
+
+    def sample_many(self, key, params, mvg: bool, no_samples: int):
+        """S independent draws, stacked on axis 0: (S, ..., 2)
+        (reference: model.py:318-324 create_samples, samples stacked last;
+        leading here for cheaper TPU layout)."""
+        keys = jax.random.split(key, no_samples)
+        return jax.vmap(lambda k: self.sample(k, params, mvg))(keys)
+
+    # ---- KL divergences ------------------------------------------------------------
+
+    @staticmethod
+    def normal_kl(q_mu, q_log_std, p_mu, p_log_std):
+        """KL(N_q || N_p), univariate. Also the exact KL between the
+        corresponding LogitNormals (KL is bijector-invariant), matching
+        tfp.LogitNormal.kl_divergence (reference: model.py:695-698)."""
+        var_ratio = jnp.exp(2.0 * (q_log_std - p_log_std))
+        t1 = jnp.square(q_mu - p_mu) * jnp.exp(-2.0 * p_log_std)
+        return 0.5 * (var_ratio + t1 - 1.0) + p_log_std - q_log_std
+
+    def diag_kl(self, q_params, p_params):
+        """Analytic KL for the diagonal posterior/prior pair, summed over
+        OEF and DBV (reference: model.py:692-710). (..., 4) inputs."""
+        q_oef_mu, q_oef_ls, q_dbv_mu, q_dbv_ls, _ = self.unpack(q_params, mvg=False)
+        p_oef_mu, p_oef_ls, p_dbv_mu, p_dbv_ls, _ = self.unpack(p_params, mvg=False)
+        return (self.normal_kl(q_oef_mu, q_oef_ls, p_oef_mu, p_oef_ls)
+                + self.normal_kl(q_dbv_mu, q_dbv_ls, p_dbv_mu, p_dbv_ls))
+
+    def mvg_kl_analytic_marginals(self, q_params, p_params):
+        """Marginal-matched analytic KL for the MVG parameterisation: each
+        marginal's std absorbs the Cholesky off-diagonal,
+        std_dbv = sqrt(e^{2b} + c^2) (reference: model.py:570-590)."""
+        q_oef_mu, q_oef_ls, q_dbv_mu, q_dbv_ls, q_od = self.unpack(q_params, mvg=True)
+        p_oef_mu, p_oef_ls, p_dbv_mu, p_dbv_ls, p_od = self.unpack(p_params, mvg=True)
+        q_dbv_std = jnp.sqrt(jnp.exp(q_dbv_ls) ** 2 + q_od**2)
+        p_dbv_std = jnp.sqrt(jnp.exp(p_dbv_ls) ** 2 + p_od**2)
+        return (self.normal_kl(q_oef_mu, q_oef_ls, p_oef_mu, p_oef_ls)
+                + self.normal_kl(q_dbv_mu, jnp.log(q_dbv_std),
+                                 p_dbv_mu, jnp.log(p_dbv_std)))
+
+    def mvg_kl_closed_form(self, q_params, p_params):
+        """Exact closed-form KL between two full-covariance 2x2 Gaussians
+        in Cholesky parameterisation (reference: model.py:612-652).
+
+        KL = 0.5 [ tr(P^-1 Q) + (mu_p-mu_q)^T P^-1 (mu_p-mu_q)
+                   + log|P| - log|Q| - 2 ]
+
+        Documented deviation: the reference's (train-path-unused) variant
+        assembles the trace term with L^-1 L^-T = (L^T L)^-1 instead of the
+        true precision P^-1 = L^-T L^-1 (model.py:637-648), which is wrong
+        whenever the prior has a nonzero off-diagonal. We compute
+        tr(P^-1 Q) = ||L_p^-1 L_q||_F^2 exactly; gated against a scipy
+        oracle in tests/test_dist.py.
+        """
+        q_oef_mu, q_oef_ls, q_dbv_mu, q_dbv_ls, q_od = self.unpack(q_params, mvg=True)
+        p_oef_mu, p_oef_ls, p_dbv_mu, p_dbv_ls, p_od = self.unpack(p_params, mvg=True)
+
+        det_term = self.log_chol_det(p_oef_ls, p_dbv_ls) - self.log_chol_det(q_oef_ls, q_dbv_ls)
+
+        p_mu = jnp.stack([p_oef_mu, p_dbv_mu], -1)
+        q_mu = jnp.stack([q_oef_mu, q_dbv_mu], -1)
+        swr = self.squared_whitened_residual(p_mu, q_mu, p_oef_ls, p_dbv_ls, p_od)
+
+        # tr(P^-1 Q) = ||L_p^-1 L_q||_F^2 with both factors lower-triangular:
+        # L_p^-1 = [[e^-a_p, 0], [-c_p e^{-a_p-b_p}, e^-b_p]]
+        it = jnp.exp(-p_oef_ls)
+        ir = jnp.exp(-p_dbv_ls)
+        ib = -p_od * jnp.exp(-p_oef_ls - p_dbv_ls)
+        la = jnp.exp(q_oef_ls)
+        lb = jnp.exp(q_dbv_ls)
+        m00 = it * la
+        m10 = ib * la + ir * q_od
+        m11 = ir * lb
+        trace = jnp.square(m00) + jnp.square(m10) + jnp.square(m11)
+
+        return 0.5 * (trace + swr + det_term - 2.0)
+
+    def mvg_kl_samples(self, key, q_params, p_params, no_samples: int = 50):
+        """Monte-Carlo KL(q || p) = E_q[log q - log p] for the full-cov
+        logit-Normal (reference: model.py:592-610).
+
+        Gradient semantics match the reference exactly: q's parameters are
+        stop-gradiented inside log q (model.py:596), so only the pathwise
+        derivative through the samples remains -- the score-function term
+        is deliberately excluded.
+
+        Returns (...,): mean KL over samples.
+        """
+        samples = self.sample_many(key, q_params, mvg=True, no_samples=no_samples)
+        q_sg = jax.lax.stop_gradient(q_params)
+
+        def one(s):
+            # logit_gaussian_mvg_log_prob returns a NEGATIVE log prob
+            log_q = -self.logit_gaussian_mvg_log_prob(s, q_sg)
+            log_p = -self.logit_gaussian_mvg_log_prob(s, p_params)
+            return log_q - log_p
+
+        kl = jax.vmap(one)(samples)          # (S, ...)
+        return jnp.mean(kl, axis=0)
+
+    # ---- summaries --------------------------------------------------------------
+
+    def posterior_means(self, key, params, mvg: bool, no_samples: int = 20,
+                        return_stds: bool = False, r2p_fn=None):
+        """MC posterior means (and biased variances, matching the
+        reference's 1/N convention) of physical OEF/DBV and optionally R2'
+        (reference: model.py:326-343 calculate_means).
+
+        r2p_fn: optional callable (oef, dbv) -> r2p appended as 3rd channel.
+        Returns (..., 2|3) means [, same-shape stds].
+        """
+        samples = self.sample_many(key, params, mvg, no_samples)  # (S, ..., 2)
+        means = jnp.mean(samples, axis=0)
+        outs = [means]
+        if return_stds:
+            stds = jnp.mean(jnp.square(samples - means[None]), axis=0)
+            outs.append(stds)
+        if r2p_fn is not None:
+            r2ps = r2p_fn(samples[..., 0], samples[..., 1])       # (S, ...)
+            r2p_mean = jnp.mean(r2ps, axis=0)[..., None]
+            outs[0] = jnp.concatenate([outs[0], r2p_mean], axis=-1)
+            if return_stds:
+                r2p_var = jnp.mean(jnp.square(r2ps - r2p_mean[None, ..., 0]), axis=0)
+                outs[1] = jnp.concatenate([outs[1], r2p_var[..., None]], axis=-1)
+        return tuple(outs) if return_stds else outs[0]

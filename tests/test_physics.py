@@ -1,0 +1,260 @@
+"""Golden-value tests of the ASE forward model vs independent float64
+numpy/scipy implementations of the reference equations.
+
+Independent oracle: the same physics (signals.py:100-247) recomputed here
+in float64 with scipy.special.j0 and a hand-rolled Simpson rule -- NOT via
+the framework's code paths -- so agreement validates both the math and the
+fp32 numerics (SURVEY.md SS4 test strategy, gate (1)).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.special as sps
+
+from qbold_vi_tpu.config import ScanParams
+from qbold_vi_tpu.ops import physics
+
+SCAN = ScanParams()
+
+
+def oracle_tissue_full(oef, dbv, scan: ScanParams):
+    """Reference signals.py:159-193 in float64."""
+    taus = scan.taus().astype(np.float64)
+    dw = (4.0 / 3.0) * math.pi * scan.gamma * scan.b0 * scan.dchi * scan.hct * oef
+    u = np.linspace(1e-5, 1.0, 129)
+    y = (
+        (2.0 + u)
+        * np.sqrt(1.0 - u)
+        * (1.0 - sps.j0(1.5 * (taus * dw)[:, None] * u[None, :]))
+        / (3.0 * u**2)
+    )
+    # Simpson exactly as the reference writes it (signals.py:174-185)
+    y_a = y[:, 0:-2:2]
+    y_b = y[:, 2::2]
+    y_m = y[:, 1:-1:2]
+    h = (u[2] - u[0]) / 2.0
+    integral = np.sum((y_a + y_b + 4.0 * y_m) * (h / 3.0), -1)
+    return np.exp(-dbv * integral) * np.exp(-scan.te * scan.r2t)
+
+
+def oracle_tissue_asymptotic(oef, dbv, scan: ScanParams):
+    """Reference signals.py:196-207 in float64."""
+    taus = scan.taus().astype(np.float64)
+    dw = (4.0 / 3.0) * math.pi * scan.gamma * scan.b0 * scan.dchi * scan.hct * oef
+    tc = 1.0 / dw
+    r2p = dw * dbv
+    s_short = np.exp(-scan.r2t * scan.te) * np.exp(-(0.3 * (r2p * taus) ** 2) / dbv)
+    s_long = np.exp(-scan.r2t * scan.te) * np.exp(dbv - (r2p * taus))
+    return np.where(np.abs(taus) < tc, s_short, s_long)
+
+
+def oracle_blood(oef, scan: ScanParams):
+    """Reference signals.py:233-247 in float64."""
+    taus = scan.taus().astype(np.float64)
+    hct = scan.hct
+    te = scan.te
+    r2b = 1.0 / 0.189
+    td = (2.6**2.0) / 2.0 * 1e-3
+    g0 = (4 / 45) * hct * (1 - hct) * (4.0 * math.pi * scan.b0 * scan.dchi * oef) ** 2
+    return np.exp(-r2b * te) * np.exp(
+        -(0.5 * scan.gamma**2)
+        * g0
+        * td**2
+        * (
+            (te / td)
+            + np.sqrt(0.25 + te / td)
+            + 1.5
+            - 2.0 * np.sqrt(0.25 + (te + taus) / td)
+            - 2.0 * np.sqrt(0.25 + (te - taus) / td)
+        )
+    )
+
+
+def oracle_ase(oef, dbv, scan: ScanParams, full_model=True, include_blood=True):
+    """Reference signals.py:98-114 compartment mixing in float64."""
+    tissue = (
+        oracle_tissue_full(oef, dbv, scan)
+        if full_model
+        else oracle_tissue_asymptotic(oef, dbv, scan)
+    )
+    if include_blood:
+        nb = 0.775
+        m_bld = 1 - (2 - math.exp(-(scan.tr - scan.ti) / scan.t1b)) * math.exp(
+            -scan.ti / scan.t1b
+        )
+        blood_weight = m_bld * nb * dbv
+        blood = oracle_blood(oef, scan)
+    else:
+        blood_weight = dbv
+        blood = 0.0
+    return (1 - blood_weight) * tissue + blood_weight * blood
+
+
+PARAM_GRID = [
+    (0.05, 0.003), (0.2, 0.025), (0.4, 0.03), (0.4, 0.12),
+    (0.6, 0.08), (0.8, 0.195), (0.84, 0.2), (0.1, 0.15),
+]
+
+
+def test_dw_and_r2p():
+    oef = jnp.asarray([0.2, 0.4, 0.8], jnp.float32)
+    dbv = jnp.asarray([0.01, 0.05, 0.1], jnp.float32)
+    dw = np.asarray(physics.delta_omega(oef, SCAN.hct, SCAN))
+    expect = (4 / 3) * math.pi * SCAN.gamma * SCAN.b0 * SCAN.dchi * SCAN.hct * np.array(
+        [0.2, 0.4, 0.8]
+    )
+    np.testing.assert_allclose(dw, expect, rtol=1e-6)
+    r2p = np.asarray(physics.r2_prime(oef, dbv, SCAN.hct, SCAN))
+    np.testing.assert_allclose(r2p, expect * np.array([0.01, 0.05, 0.1]), rtol=1e-6)
+
+
+def test_tau_grid_matches_reference_protocol():
+    taus = SCAN.taus()
+    assert len(taus) == 11
+    np.testing.assert_allclose(taus, np.arange(-0.016, 0.065, 0.008), atol=1e-7)
+    assert SCAN.se_idx == 2
+    assert abs(taus[SCAN.se_idx]) < 1e-9
+
+
+def test_tissue_full_vs_oracle():
+    for oef, dbv in PARAM_GRID:
+        dw = physics.delta_omega(jnp.float32(oef), SCAN.hct, SCAN)
+        ours = np.asarray(
+            physics.tissue_signal_full(dw, jnp.float32(dbv),
+                                       jnp.asarray(SCAN.taus()), SCAN.te, SCAN.r2t)
+        )
+        ref = oracle_tissue_full(oef, dbv, SCAN)
+        np.testing.assert_allclose(ours, ref, atol=2e-6, rtol=2e-5)
+
+
+def test_tissue_asymptotic_vs_oracle():
+    for oef, dbv in PARAM_GRID:
+        dw = physics.delta_omega(jnp.float32(oef), SCAN.hct, SCAN)
+        ours = np.asarray(
+            physics.tissue_signal_asymptotic(dw, jnp.float32(dbv),
+                                             jnp.asarray(SCAN.taus()), SCAN.te, SCAN.r2t)
+        )
+        ref = oracle_tissue_asymptotic(oef, dbv, SCAN)
+        np.testing.assert_allclose(ours, ref, atol=2e-6, rtol=2e-5)
+
+
+def test_full_and_asymptotic_agree_at_long_tau():
+    """For tau >> tc the full SDR integral approaches the linear-exponential
+    regime (SURVEY.md SS4 gate: they must agree for tau >> tc)."""
+    oef, dbv = 0.6, 0.05
+    dw = float(physics.delta_omega(jnp.float32(oef), SCAN.hct, SCAN))
+    tc = 1.0 / dw
+    long_taus = jnp.asarray(np.linspace(6 * tc, 12 * tc, 7, dtype=np.float32))
+    full = np.asarray(physics.tissue_signal_full(jnp.float32(dw), jnp.float32(dbv),
+                                                 long_taus, SCAN.te, SCAN.r2t))
+    asym = np.asarray(physics.tissue_signal_asymptotic(jnp.float32(dw), jnp.float32(dbv),
+                                                       long_taus, SCAN.te, SCAN.r2t))
+    np.testing.assert_allclose(full, asym, rtol=0.02)
+
+
+def test_blood_vs_oracle():
+    for oef, _ in PARAM_GRID:
+        ours = np.asarray(
+            physics.blood_signal(jnp.float32(oef), SCAN.hct,
+                                 jnp.asarray(SCAN.taus()), SCAN)
+        )
+        ref = oracle_blood(oef, SCAN)
+        np.testing.assert_allclose(ours, ref, atol=2e-6, rtol=2e-5)
+
+
+def test_ase_signal_vs_oracle_all_variants():
+    oefs = np.array([p[0] for p in PARAM_GRID], np.float32)
+    dbvs = np.array([p[1] for p in PARAM_GRID], np.float32)
+    for full_model in (True, False):
+        for include_blood in (True, False):
+            ours = np.asarray(
+                physics.ase_signal(oefs, dbvs, SCAN,
+                                   full_model=full_model,
+                                   include_blood=include_blood)
+            )
+            ref = np.stack([
+                oracle_ase(o, d, SCAN, full_model, include_blood)
+                for o, d in PARAM_GRID
+            ])
+            np.testing.assert_allclose(ours, ref, atol=3e-6, rtol=3e-5)
+
+
+def test_ase_signal_batch_shapes():
+    # arbitrary leading shape -> (..., n_taus) (signals.py:62-77,136-138)
+    oef = jnp.full((2, 3, 4), 0.4)
+    dbv = jnp.full((2, 3, 4), 0.05)
+    out = physics.ase_signal(oef, dbv, SCAN)
+    assert out.shape == (2, 3, 4, 11)
+
+
+def test_gradients_finite_and_descending():
+    # gradient flows through the full model (reference dead gradient-check
+    # block, signals.py:307-314, made into a real test)
+    def loss(p):
+        sig = physics.ase_signal(p[0], p[1], SCAN)
+        return jnp.sum(sig)
+
+    g = jax.grad(loss)(jnp.asarray([0.4, 0.12], jnp.float32))
+    assert np.all(np.isfinite(np.asarray(g)))
+    # increasing OEF increases dephasing -> decreases total signal
+    assert float(g[0]) < 0.0
+
+
+def test_analytic_dw_gradient_matches_autodiff():
+    taus = jnp.asarray(SCAN.taus())
+    dw0 = physics.delta_omega(jnp.float32(0.4), SCAN.hct, SCAN)
+
+    def f(dw):
+        return physics.tissue_signal_full(dw, jnp.float32(0.05), taus, SCAN.te, SCAN.r2t)
+
+    auto = np.asarray(jax.jacfwd(f)(dw0))
+    analytic = np.asarray(
+        physics.tissue_signal_full_grad_dw(dw0, jnp.float32(0.05), taus, SCAN.te, SCAN.r2t)
+    )
+    np.testing.assert_allclose(analytic, auto, atol=1e-5, rtol=1e-3)
+
+
+def test_misalignment_augmentation():
+    key = jax.random.PRNGKey(0)
+    n, n_taus = 512, 11
+    oef = jnp.full((n,), 0.4)
+    dbv = jnp.full((n,), 0.05)
+    oef2, dbv2 = physics.misalign_params(key, oef, dbv, n_taus, prob=0.5)
+    assert oef2.shape == (n, n_taus)
+    # first 5 images never misaligned (index drawn from [4, n_taus-1),
+    # mask requires image_idx > index, signals.py:84-88)
+    np.testing.assert_allclose(np.asarray(oef2[:, :5]), 0.4, atol=0)
+    # some later images perturbed, roughly at the requested rate
+    changed = np.any(np.abs(np.asarray(oef2) - 0.4) > 1e-9, axis=1)
+    assert 0.3 < changed.mean() < 0.7
+    # prob=0 is the identity
+    oef3, _ = physics.misalign_params(key, oef, dbv, n_taus, prob=0.0)
+    np.testing.assert_allclose(np.asarray(oef3), 0.4, atol=0)
+
+
+def test_acquisition_noise_statistics():
+    key = jax.random.PRNGKey(1)
+    n = 4096
+    sig = physics.ase_signal(jnp.full((n,), 0.4), jnp.full((n,), 0.05), SCAN)
+    noisy = physics.add_acquisition_noise(key, sig, SCAN.taus())
+    assert noisy.shape == sig.shape
+    resid = np.asarray(noisy - sig)
+    # mean SNR = 85 * profile; check empirical noise std within 20%
+    prof = physics.norm_snr_profile(SCAN.taus())
+    mean_sig = np.asarray(sig).mean(0)
+    expect_std = mean_sig / (85.0 * prof)
+    ratio = resid.std(0) / expect_std
+    assert np.all(ratio > 0.6) and np.all(ratio < 1.6)
+
+
+def test_per_tau_parameters_supported():
+    # after misalignment, oef/dbv are (N, n_taus); signal must still work
+    key = jax.random.PRNGKey(2)
+    oef, dbv = physics.misalign_params(key, jnp.full((16,), 0.4),
+                                       jnp.full((16,), 0.05), 11, prob=1.0)
+    out = physics.ase_signal(oef, dbv, SCAN)
+    assert out.shape == (16, 11)
+    assert np.all(np.isfinite(np.asarray(out)))
