@@ -1,0 +1,245 @@
+"""Command-line entry points: train / infer / baseline / synth / sweep.
+
+Replaces the reference's script soup (``python train.py cfg.yaml``,
+``python signals.py``, ``python loglinear.py``, ``python wandb_sweep.py``
+and the missing ``qbold_main.py`` named by its Dockerfile/instructions --
+reference: train.py:454-491, signals.py:302-332, loglinear.py:107-157,
+wandb_sweep.py:36-49, Dockerfile:7) with one ``python -m qbold_vi_tpu``
+multi-command CLI over the typed config system.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+from .config import OPTIMAL, QBoldConfig, apply_flat_overrides, load_yaml_config
+
+
+def _load_cfg(args) -> QBoldConfig:
+    base = OPTIMAL if args.preset == "optimal" else QBoldConfig()
+    cfg = load_yaml_config(args.config, base=base) if args.config else base
+    overrides = dict(kv.split("=", 1) for kv in (args.set or []))
+    if overrides:
+        cfg = apply_flat_overrides(cfg, overrides)
+    return cfg
+
+
+def _maybe_wandb(cfg: QBoldConfig):
+    """wandb is optional (reference: qbold_train_model.py:22-25)."""
+    if not cfg.train.wandb_project:
+        return None
+    try:
+        import wandb
+    except ImportError:
+        print("wandb not installed; logging to stdout only", file=sys.stderr)
+        return None
+    return wandb.init(project=cfg.train.wandb_project, config=cfg.__dict__)
+
+
+def cmd_train(args) -> int:
+    """Two-phase training (reference: train.py:188-282)."""
+    import dataclasses
+
+    from .parallel import make_mesh
+    from .train.trainer import Trainer
+
+    cfg = _load_cfg(args)
+    if getattr(args, "smoke", False):
+        # Tiny end-to-end run for verification: same code path, small
+        # shapes, synthetic phase only unless real data exists.
+        cfg = dataclasses.replace(
+            cfg,
+            synth=dataclasses.replace(cfg.synth, sample_size=64),
+            model=dataclasses.replace(cfg.model, no_units=8,
+                                      no_intermediate_layers=1),
+            train=dataclasses.replace(cfg.train, no_pt_epochs=1,
+                                      no_ft_epochs=1, ft_steps_per_epoch=2,
+                                      pt_batch_size=4),
+        )
+    import jax
+    mesh = make_mesh() if (args.mesh and jax.device_count() > 1) else None
+    trainer = Trainer(cfg, mesh=mesh, wandb_run=_maybe_wandb(cfg))
+    trainer.pretrain()
+
+    d = cfg.train.data_directory
+    if not os.path.exists(d):
+        print(f"real data directory {d} not found; pretraining only",
+              file=sys.stderr)
+        return 0
+
+    def load(name):
+        p = os.path.join(d, name)
+        return np.load(p) if os.path.isfile(p) else None
+
+    parts = [x for x in (load("ASE_scan.npy"), load("ASE_INF.npy"),
+                         load("ASE_SUP.npy")) if x is not None]
+    if not parts:
+        print("no ASE training volumes found; pretraining only",
+              file=sys.stderr)
+        return 0
+    train_data = np.concatenate(parts, axis=0)
+
+    hyperv = load("hyperv_ase.npy")
+    baseline = load("baseline_ase.npy")
+    study = None
+    if hyperv is not None and baseline is not None:
+        # GM-mask variants for validation (reference train.py:215-226)
+        study = np.concatenate([hyperv[..., :-1], baseline[..., :-1]], axis=0)
+
+    trainer.finetune(train_data, study_data=study)
+
+    # Posterior export for the study sets (reference train.py:241-279)
+    import jax
+    from . import infer
+    for name, arr in (("baseline", baseline), ("hyperv", hyperv)):
+        if arr is None:
+            continue
+        with_brain_mask = np.concatenate([arr[..., :-2], arr[..., -1:]], -1)
+        tdir = os.path.join(d, f"transforms_{name}")
+        infer.save_predictions(
+            trainer.tuner, cfg, trainer.state.params, with_brain_mask,
+            os.path.join(cfg.train.save_directory, name),
+            jax.random.PRNGKey(7),
+            transform_directory=tdir if os.path.isdir(tdir) else None,
+            use_first_op=False, fine_tuned=True)
+    return 0
+
+
+def cmd_synth(args) -> int:
+    """Generate a synthetic dataset .npz (reference: signals.py:302-332)."""
+    import jax
+
+    cfg = _load_cfg(args)
+    from .synth import create_synthetic_dataset
+
+    x, y = create_synthetic_dataset(
+        jax.random.PRNGKey(cfg.train.seed), cfg.scan, cfg.synth,
+        full_model=cfg.train.full_model, use_blood=cfg.train.use_blood)
+    np.savez(args.output, x=np.asarray(x), y=np.asarray(y))
+    print(f"wrote {args.output}: x{tuple(x.shape)} y{tuple(y.shape)}")
+    return 0
+
+
+def cmd_baseline(args) -> int:
+    """Log-linear WLS fit (reference: loglinear.py:107-157)."""
+    from .baseline import fit_wls
+    from .io import nifti
+    import jax.numpy as jnp
+
+    cfg = _load_cfg(args)
+    data = np.load(args.data)
+    if args.strip_channels:
+        data = data[..., :-args.strip_channels]
+    oef, dbv, r2p = fit_wls(jnp.asarray(data), cfg.scan)
+    base = args.output or os.path.splitext(args.data)[0]
+    for name, arr in (("oef", oef), ("dbv", dbv), ("r2p", r2p)):
+        nifti.save_im_data(np.asarray(arr), f"{base}_{name}")
+    print(f"wrote {base}_{{oef,dbv,r2p}}.nii.gz")
+    return 0
+
+
+def cmd_infer(args) -> int:
+    """Posterior map export from a checkpoint (reference: model.py:772-887)."""
+    import jax
+    from . import infer
+    from .train.trainer import Trainer, WeightStatus
+
+    cfg = _load_cfg(args)
+    trainer = Trainer(cfg)
+    if trainer.status is WeightStatus.NOT_TRAINED:
+        print("no checkpoint found in save_directory", file=sys.stderr)
+        return 1
+    data = np.load(args.data)
+    infer.save_predictions(
+        trainer.tuner, cfg, trainer.state.params, data, args.output,
+        jax.random.PRNGKey(7), transform_directory=args.transform_directory,
+        use_first_op=trainer.status is not WeightStatus.FULL_TRAINED,
+        fine_tuned=trainer.status is WeightStatus.FULL_TRAINED)
+    return 0
+
+
+def cmd_dryrun(args) -> int:
+    """Compile + run one sharded fine-tune step on an n-device mesh."""
+    import importlib.util
+    import os as _os
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
+                      "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(args.devices)
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    from .sweep import run_grid_sweep
+    cfg = _load_cfg(args)
+    run_grid_sweep(cfg, layers=args.layers, units=args.units,
+                   seeds=args.seeds)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--config", "-c", default=None, help="YAML config path")
+    common.add_argument("--preset", default="default",
+                        choices=["default", "optimal"])
+    common.add_argument("--set", action="append", metavar="KEY=VAL",
+                        help="flat config overrides (reference-style keys)")
+
+    p = argparse.ArgumentParser(prog="qbold_vi_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, **kw):
+        return sub.add_parser(name, parents=[common], **kw)
+
+    sp = add("train", help="two-phase training")
+    sp.add_argument("--mesh", action="store_true",
+                    help="data-parallel over all local devices")
+    sp.add_argument("--smoke", action="store_true",
+                    help="tiny end-to-end run (verification)")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = add("dryrun", help="multi-device sharding dry run")
+    sp.add_argument("--devices", type=int, default=8)
+    sp.set_defaults(fn=cmd_dryrun)
+
+    sp = add("synth", help="generate synthetic dataset")
+    sp.add_argument("--output", "-o", default="synthetic_data.npz")
+    sp.set_defaults(fn=cmd_synth)
+
+    sp = add("baseline", help="log-linear WLS fit")
+    sp.add_argument("data", help=".npy signal volumes")
+    sp.add_argument("--output", "-o", default=None)
+    sp.add_argument("--strip-channels", type=int, default=2,
+                    help="trailing mask channels to drop (reference uses 2)")
+    sp.set_defaults(fn=cmd_baseline)
+
+    sp = add("infer", help="posterior map export")
+    sp.add_argument("data", help=".npy volumes with trailing mask channel")
+    sp.add_argument("--output", "-o", required=True)
+    sp.add_argument("--transform-directory", default=None)
+    sp.set_defaults(fn=cmd_infer)
+
+    sp = add("sweep", help="grid sweep over layers x units")
+    sp.add_argument("--layers", type=int, nargs="+", default=[2, 4, 6, 8, 10])
+    sp.add_argument("--units", type=int, nargs="+", default=[2, 4, 6, 8, 10])
+    sp.add_argument("--seeds", type=int, default=3)
+    sp.set_defaults(fn=cmd_sweep)
+    return p
+
+
+def main(argv: Optional[list] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,3 @@
+from .logit_mvn import LogitMVN, logit
+
+__all__ = ["LogitMVN", "logit"]

@@ -279,6 +279,45 @@ class LogitMVN:
 
     # ---- summaries --------------------------------------------------------------
 
+    def posterior_means_streamed(self, key, params, mvg: bool,
+                                 no_samples: int = 200, r2p_fn=None):
+        """Streaming MC posterior means/variances: accumulates sum and
+        sum-of-squares over samples with ``lax.fori_loop`` so the (S, ...)
+        sample tensor is never materialised in HBM -- at S=200 over a
+        ~1M-voxel brain that saves ~1.6 GB of HBM traffic vs the vmapped
+        path. Matches ``posterior_means(return_stds=True)`` (the
+        reference's biased 1/N variance, model.py:326-343) to fp32
+        accumulation order.
+
+        Returns (means (..., 2|3), vars (..., 2|3)).
+        """
+        keys = jax.random.split(key, no_samples)
+        zeros2 = jnp.zeros(params.shape[:-1] + (2,), params.dtype)
+        zeros1 = jnp.zeros(params.shape[:-1], params.dtype)
+
+        def body(i, acc):
+            s1, s2, r1, r2 = acc
+            s = self.sample(keys[i], params, mvg)
+            s1 = s1 + s
+            s2 = s2 + jnp.square(s)
+            if r2p_fn is not None:
+                r = r2p_fn(s[..., 0], s[..., 1])
+                r1 = r1 + r
+                r2 = r2 + jnp.square(r)
+            return (s1, s2, r1, r2)
+
+        s1, s2, r1, r2 = jax.lax.fori_loop(
+            0, no_samples, body, (zeros2, zeros2, zeros1, zeros1))
+        n = float(no_samples)
+        mean = s1 / n
+        var = s2 / n - jnp.square(mean)
+        if r2p_fn is not None:
+            r_mean = r1 / n
+            r_var = r2 / n - jnp.square(r_mean)
+            mean = jnp.concatenate([mean, r_mean[..., None]], -1)
+            var = jnp.concatenate([var, r_var[..., None]], -1)
+        return mean, jnp.maximum(var, 0.0)
+
     def posterior_means(self, key, params, mvg: bool, no_samples: int = 20,
                         return_stds: bool = False, r2p_fn=None):
         """MC posterior means (and biased variances, matching the

@@ -1,0 +1,173 @@
+"""Full-brain amortized inference and prediction export.
+
+The reference's inference path (reference: model.py:772-887
+``save_predictions``) re-runs ``model.predict`` 100-200 times from
+Python. The TPU re-design jits ONE summarization program per volume
+chunk -- encoder pass + S-sample posterior summaries (+ likelihood / KL
+maps for fine-tuned models) all fused on device -- and streams subjects
+through it; with a data-parallel mesh the voxel batch shards over ICI.
+This is the path BASELINE.md's "<1 s / 1M-voxel" target maps onto.
+
+Artifact layout matches the reference exactly:
+``<name>_oef/_dbv/_r2p/_logstds[.nii.gz]`` + optional
+``_likelihood/_kl/_residual`` maps and FSL MNI-space exports.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ModelConfig, QBoldConfig, ScanParams
+from .models.vi import FineTuner
+from .train import losses
+
+__all__ = ["posterior_maps", "elbo_maps", "save_predictions"]
+
+
+@partial(jax.jit, static_argnames=("tuner", "no_samples", "use_first_op"))
+def _summarize(tuner: FineTuner, params, key, images,
+               no_samples: int = 200, use_first_op: bool = True):
+    """One fused device program: encode + MC posterior summaries
+    (reference: model.py:776-803)."""
+    cfg = tuner.cfg
+    q1, q2, _ = tuner.encode(params, images)
+    q = q1 if use_first_op else q2
+    if use_first_op and cfg.infer_inv_gamma:
+        q = q[..., :-4]
+
+    dist = tuner.dist
+    raw_log_stds = [dist.transform_std(q[..., 1:2]),
+                    dist.transform_std(q[..., 3:4])]
+    if cfg.use_mvg:
+        raw_log_stds.append(dist.transform_offdiag(q[..., 4:5]))
+    raw_log_stds = jnp.concatenate(raw_log_stds, -1)
+
+    dw_coeff = tuner.scan.dw_coeff * tuner.scan.hct
+    means, stds = dist.posterior_means_streamed(
+        key, q, cfg.use_mvg, no_samples=no_samples,
+        r2p_fn=lambda oef, dbv: dw_coeff * oef * dbv)
+    return {"means": means, "stds": stds, "raw_log_stds": raw_log_stds}
+
+
+def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
+                   no_samples: int = 200, use_first_op: bool = True,
+                   chunk: int = 2) -> dict:
+    """Posterior mean/std maps for (S, X, Y, Z, n_taus+1) masked volumes.
+
+    Returns numpy maps: oef, dbv, r2p (each (S,X,Y,Z,1)), stds
+    (S,X,Y,Z,3), raw_log_stds (S,X,Y,Z,2|3).
+    """
+    outs = []
+    for i in range(0, data.shape[0], chunk):
+        block = jnp.asarray(data[i:i + chunk])
+        masked = block[..., :-1] * block[..., -1:]
+        key, k = jax.random.split(key)
+        outs.append(jax.tree_util.tree_map(
+            np.asarray, _summarize(tuner, params, k, masked,
+                                   no_samples=no_samples,
+                                   use_first_op=use_first_op)))
+    cat = {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
+    means = cat["means"]
+    return {
+        "oef": means[..., 0:1], "dbv": means[..., 1:2], "r2p": means[..., 2:3],
+        "stds": cat["stds"], "raw_log_stds": cat["raw_log_stds"],
+    }
+
+
+@partial(jax.jit, static_argnames=("tuner", "cfg", "no_samples", "kl_samples"))
+def _elbo_maps_one(tuner: FineTuner, cfg: QBoldConfig, params, key,
+                   images, mask, priors, no_samples: int = 100,
+                   kl_samples: int = 100):
+    """Per-voxel likelihood / KL maps from the fine-tuned model
+    (reference: model.py:805-847), fused on device: S stochastic decoder
+    passes for the mean NLL map + the sampled/analytic KL map."""
+    k_dec, k_kl = jax.random.split(key)
+    out = tuner.apply(params, k_dec, images, no_samples=no_samples)
+    pred = out["predicted_images"]                      # (S, B, ..., taus)
+    sigma = jnp.broadcast_to(out["im_sigma"], pred.shape)
+    y_true = jnp.broadcast_to(images, pred.shape)
+    m = jnp.broadcast_to(mask, pred.shape[:-1] + (1,))
+    nll = losses.fine_tune_nll(cfg.model, tuner.scan.se_idx, y_true, pred,
+                               sigma, m, return_mean=False)   # (S,B,...,1)
+    nll_map = jnp.mean(nll, axis=0)
+
+    q = out["predictions"]
+    if cfg.model.use_population_prior:
+        priors = tuner.prior_params(params, q)
+    kl_map = losses.kl_loss(k_kl, tuner.dist, cfg.model, priors, q, mask,
+                            return_mean=False, no_samples=kl_samples)
+
+    # Mean-|residual| map on normalised signals (reference model.py:838-847)
+    eps = 1e-3
+    se = tuner.scan.se_idx
+    mean_pred = jnp.mean(pred, axis=0)
+    if cfg.model.multi_image_normalisation:
+        t_ref = jnp.mean(images[..., se - 1:se + 2], -1, keepdims=True)
+        p_ref = jnp.mean(mean_pred[..., se - 1:se + 2], -1, keepdims=True)
+    else:
+        t_ref = jnp.mean(images[..., se:se + 1], -1, keepdims=True)
+        p_ref = jnp.mean(mean_pred[..., se:se + 1], -1, keepdims=True)
+    residual = jnp.mean(jnp.abs(images / (t_ref + eps)
+                                - mean_pred / (p_ref + eps)), -1, keepdims=True)
+    return {"likelihood": nll_map, "kl": kl_map, "residual": residual}
+
+
+def elbo_maps(tuner: FineTuner, cfg: QBoldConfig, params, data: np.ndarray,
+              priors: Optional[np.ndarray], key, no_samples: int = 100,
+              chunk: int = 1) -> dict:
+    """Chunked likelihood/KL/residual maps over subjects."""
+    outs = []
+    for i in range(0, data.shape[0], chunk):
+        block = jnp.asarray(data[i:i + chunk])
+        mask = block[..., -1:]
+        images = block[..., :-1] * mask
+        p = jnp.asarray(priors[i:i + chunk]) if priors is not None else None
+        key, k = jax.random.split(key)
+        outs.append(jax.tree_util.tree_map(
+            np.asarray,
+            _elbo_maps_one(tuner, cfg, params, k, images, mask, p,
+                           no_samples=no_samples)))
+    return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
+
+
+def save_predictions(tuner: FineTuner, cfg: QBoldConfig, params,
+                     data: np.ndarray, filename: str, key,
+                     transform_directory: Optional[str] = None,
+                     use_first_op: bool = True,
+                     fine_tuned: bool = False,
+                     priors: Optional[np.ndarray] = None) -> dict:
+    """Posterior summary export (reference: model.py:772-887).
+
+    Writes ``<filename>_oef/_dbv/_r2p/_logstds.nii.gz``; with
+    ``fine_tuned`` also ``_likelihood/_kl/_residual``; with a transform
+    directory also the FSL MNI-space maps. Returns the map dict.
+    """
+    from .io import fsl, nifti
+
+    k1, k2 = jax.random.split(key)
+    maps = posterior_maps(tuner, params, data, k1, use_first_op=use_first_op)
+
+    if fine_tuned:
+        extra = elbo_maps(tuner, cfg, params, data, priors, k2)
+        maps.update(extra)
+        nifti.save_im_data(extra["likelihood"], filename + "_likelihood",
+                           transform_directory)
+        nifti.save_im_data(extra["kl"], filename + "_kl", transform_directory)
+        nifti.save_im_data(extra["residual"], filename + "_residual",
+                           transform_directory)
+
+    if transform_directory and fsl.have_fsl():
+        fsl.warp_maps_to_mni(maps["oef"], maps["dbv"], maps["r2p"],
+                             filename, transform_directory)
+
+    nifti.save_im_data(maps["oef"], filename + "_oef", transform_directory)
+    nifti.save_im_data(maps["dbv"], filename + "_dbv", transform_directory)
+    nifti.save_im_data(maps["r2p"], filename + "_r2p", transform_directory)
+    nifti.save_im_data(maps["raw_log_stds"], filename + "_logstds",
+                       transform_directory)
+    return maps

@@ -1,0 +1,179 @@
+"""Voxelwise two-stream 3-D CNN encoder, TPU-native (flax.linen).
+
+Re-design of the reference Keras encoder (reference: model.py:122-223).
+Architectural mapping, with the TPU rationale for each choice:
+
+* 1x1x1 Conv3D stacks (reference model.py:115-120) become ``nn.Dense`` on
+  the trailing channel axis -- identical math, and XLA lowers a trailing-
+  axis dense over a flattened voxel batch straight onto the MXU as one
+  large matmul instead of a degenerate convolution.
+* 3x3x1 Conv3D (in-plane context, reference model.py:152-157) becomes a
+  2-D 3x3 convolution with the z axis folded into the batch: the kernel
+  never mixes z, so [B,X,Y,Z,C] -> [B*Z,X,Y,C] is exact and gives XLA a
+  plain NHWC conv it tiles well.
+* The inner/outer model split for tau-protocol transfer (reference
+  model.py:183,216-223) is the ``from_features`` entry point: the same
+  bound module can be applied either to raw images or to post-first-conv
+  features.
+* tfp.layers.VariableLayer for the learned inverse-gamma hyperprior
+  (reference model.py:201-205) is a plain flax param leaf.
+
+Outputs match the reference outer model triple: (voxelwise distribution
+params, neighbourhood distribution params, heteroscedastic per-tau sigma)
+(reference model.py:222).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+
+__all__ = ["Encoder", "normalise_data"]
+
+
+def normalise_data(data: jax.Array, se_idx: int, multi_image: bool) -> jax.Array:
+    """In-model normalisation (reference: model.py:97-113): clip, divide
+    by the mean of the spin-echo(-adjacent) images, log."""
+    data = jnp.clip(data, 1e-2, 1e8)
+    if multi_image:
+        ref = jnp.mean(data[..., se_idx - 1:se_idx + 2], axis=-1, keepdims=True)
+    else:
+        ref = data[..., se_idx:se_idx + 1]
+    return jnp.log(data / ref)
+
+
+def _activation(name: str):
+    return getattr(nn, name) if name != "linear" else (lambda x: x)
+
+
+class ConvXY(nn.Module):
+    """3x3x1 'Conv3D' as a z-folded 2-D conv (see module docstring)."""
+
+    features: int
+    init_std: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, d, c = x.shape
+        x2 = jnp.moveaxis(x, 3, 1).reshape(b * d, h, w, c)
+        y = nn.Conv(
+            self.features, (3, 3), padding="SAME",
+            kernel_init=nn.initializers.normal(self.init_std),
+        )(x2)
+        return jnp.moveaxis(y.reshape(b, d, h, w, self.features), 1, 3)
+
+
+class GatedResBlock(nn.Module):
+    """One two-stream block (reference: model.py:142-174).
+
+    Stream 1: shared 1x1x1 conv (+activation). Stream 2: the same shared
+    conv as skip, vs. a residual path of two 3x3x1 convs, blended by a
+    learned sigmoid gate with offset (channelwise or scalar).
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, net1, net2, *, deterministic: bool = True):
+        cfg = self.cfg
+        act = _activation(cfg.activation)
+        # Shared 1x1x1 conv applied to both stream 1 and the skip path
+        # (reference model.py:144-148 reuses one conv_layer object).
+        shared = nn.Dense(cfg.no_units, kernel_init=nn.initializers.he_normal())
+        out1 = act(shared(net1))
+        skip = act(shared(net2))
+
+        def norm_drop(h):
+            if cfg.dropout_rate > 0.0:
+                h = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(h)
+            if cfg.use_layer_norm:
+                h = nn.GroupNorm(num_groups=1)(h)
+            return h
+
+        h = norm_drop(net2)
+        h = act(h)
+        h = ConvXY(cfg.no_units, cfg.resid_init_std)(h)
+        h = norm_drop(h)
+        h = act(h)
+        h = ConvXY(cfg.no_units, cfg.resid_init_std)(h)
+
+        gating_units = cfg.no_units if cfg.channelwise_gating else 1
+        gate_raw = nn.Dense(
+            gating_units, kernel_init=nn.initializers.normal(cfg.resid_init_std)
+        )(h)
+        gate = nn.sigmoid(gate_raw + cfg.gate_offset)
+        out2 = skip * (1.0 - gate) + h * gate
+        return out1, out2
+
+
+class Encoder(nn.Module):
+    """The full encoder; mirrors the reference outer/inner model pair.
+
+    ``__call__(images)``      == reference outer_model (model.py:222)
+    ``__call__(features=f)``  == reference inner_model + sigma head
+                                 (model.py:216-223), for transfer across
+                                 tau protocols.
+    Returns (dist_params, dist_params_neighbourhood, im_sigma).
+    dist_params has 4 (diag) or 5 (mvg) channels, +4 exp(hyperprior)
+    channels when ``infer_inv_gamma`` (reference model.py:201-205).
+    """
+
+    cfg: ModelConfig
+    n_taus: int
+    se_idx: int
+
+    def setup(self):
+        cfg = self.cfg
+        self.first_conv = nn.Dense(
+            cfg.no_units, kernel_init=nn.initializers.he_normal())
+        self.blocks = [
+            GatedResBlock(cfg, name=f"block_{i}")
+            for i in range(cfg.no_intermediate_layers)
+        ]
+        n_out = 5 if cfg.use_mvg else 4
+        self.final = nn.Dense(n_out, kernel_init=nn.initializers.he_normal())
+        self.sigma_head = nn.Dense(
+            self.n_taus,
+            kernel_init=nn.initializers.normal(cfg.resid_init_std),
+            bias_init=nn.initializers.constant(math.log(cfg.im_loss_sigma)),
+        )
+        if cfg.infer_inv_gamma:
+            self.inv_gamma_raw = self.param(
+                "inv_gamma_raw",
+                lambda key, shape: jnp.log(
+                    jnp.asarray([20.0, 2.5, 20.0, 2.5], jnp.float32)),
+                (4,),
+            )
+
+    def embed(self, images: jax.Array) -> jax.Array:
+        """Raw images -> post-first-conv features (the inner-model input,
+        reference model.py:178-183)."""
+        act = _activation(self.cfg.activation)
+        x = normalise_data(images, self.se_idx, self.cfg.multi_image_normalisation)
+        return act(self.first_conv(x))
+
+    def __call__(self, images: jax.Array | None = None, *,
+                 features: jax.Array | None = None,
+                 deterministic: bool = True):
+        if features is None:
+            if images is None:
+                raise ValueError("provide images or features")
+            features = self.embed(images)
+        net1 = net2 = features
+        for blk in self.blocks:
+            net1, net2 = blk(net1, net2, deterministic=deterministic)
+        out1 = self.final(net1)
+        out2 = self.final(net2)
+        sigma = jnp.exp(self.sigma_head(net2))
+        if self.cfg.infer_inv_gamma:
+            hyper = jnp.exp(self.inv_gamma_raw)
+            out1 = jnp.concatenate(
+                [out1, jnp.ones_like(out1[..., :4]) * hyper], axis=-1)
+        return out1, out2, sigma

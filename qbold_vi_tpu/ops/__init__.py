@@ -1,0 +1,3 @@
+from . import bessel, physics
+
+__all__ = ["bessel", "physics"]

@@ -1,0 +1,14 @@
+from . import mesh
+from .mesh import (DATA_AXIS, batch_sharding, initialize_distributed,
+                   make_mesh, replicate, replicated_sharding, shard_batch)
+
+__all__ = [
+    "mesh",
+    "DATA_AXIS",
+    "batch_sharding",
+    "initialize_distributed",
+    "make_mesh",
+    "replicate",
+    "replicated_sharding",
+    "shard_batch",
+]

@@ -1,0 +1,242 @@
+"""VI losses: synthetic pretraining NLL, fine-tune reconstruction NLL,
+KL dispatch, and TV smoothness -- all pure jnp.
+
+Re-design of the reference loss stack (reference: model.py:449-754) as
+stateless functions over (LogitMVN, ModelConfig) with explicit PRNG keys.
+Heavy TFP machinery is replaced by closed forms:
+
+* StudentT.log_prob (reference model.py:557-559)    -> explicit gammaln form
+* InverseGamma.log_prob (reference model.py:505-506)-> explicit closed form
+* LogitNormal.kl_divergence (reference model.py:695-698) -> Gaussian KL
+  (exact: KL is invariant under the shared sigmoid bijector)
+
+Shape convention: distribution maps are (..., K) with K in {4,5} (+prior
+/hyperprior channels as documented per function); masks are (..., 1).
+Every function reduces with masked means exactly as the reference does.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+from ..config import ModelConfig, ScanParams
+from ..dist.logit_mvn import LogitMVN
+
+__all__ = [
+    "student_t_nll",
+    "gaussian_nll_full",
+    "inv_gamma_log_prob",
+    "synthetic_data_loss",
+    "fine_tune_nll",
+    "kl_loss",
+    "smoothness_loss",
+]
+
+_HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
+
+
+def student_t_nll(residual, sigma, df: float):
+    """-log p of a Student-t(df, 0, sigma) (reference: model.py:557-559)."""
+    log_norm = (
+        gammaln((df + 1.0) / 2.0)
+        - gammaln(df / 2.0)
+        - 0.5 * math.log(df * math.pi)
+        - jnp.log(sigma)
+    )
+    quad = -((df + 1.0) / 2.0) * jnp.log1p(jnp.square(residual / sigma) / df)
+    return -(log_norm + quad)
+
+
+def gaussian_nll_full(residual, sigma):
+    """Normalised Gaussian NLL (reference: model.py:561)."""
+    return jnp.log(sigma) + _HALF_LOG_2PI + 0.5 * jnp.square(residual / sigma)
+
+
+def inv_gamma_log_prob(x, alpha, beta):
+    """InverseGamma(alpha, beta).log_prob(x), closed form
+    (replaces tfp.distributions.InverseGamma, reference model.py:495-506)."""
+    return (
+        alpha * jnp.log(beta)
+        - gammaln(alpha)
+        - (alpha + 1.0) * jnp.log(x)
+        - beta / x
+    )
+
+
+def synthetic_data_loss(key, dist: LogitMVN, cfg: ModelConfig, scan: ScanParams,
+                        y_true, y_pred, *, use_r2p_loss: bool,
+                        inv_gamma_alpha: float, inv_gamma_beta: float):
+    """Pretraining loss on synthetic voxels (reference: model.py:449-514).
+
+    y_true: (..., 3) physical [oef, dbv, r2p]; y_pred: (..., 4|5[+4]) raw
+    head outputs (+4 exp'd hyperprior channels when cfg.infer_inv_gamma).
+    Returns a scalar mean loss.
+    """
+    if cfg.infer_inv_gamma:
+        # The encoder appends 4 exp'd hyperprior channels (reference
+        # model.py:201-205; split at model.py:455).
+        y_pred, inv_gamma_params = y_pred[..., :-4], y_pred[..., -4:]
+
+    y_true = y_true.reshape((-1, 3))
+    k = 5 if cfg.use_mvg else 4
+    y_pred = y_pred.reshape((-1, k))
+
+    if cfg.use_mvg:
+        loss = dist.logit_gaussian_mvg_log_prob(y_true[:, :2], y_pred)
+    else:
+        loss = dist.logit_gaussian_log_prob(y_true[:, :2], y_pred)
+
+    if use_r2p_loss:
+        # Distribution over R2' from 10 posterior samples
+        # (reference model.py:475-490).
+        n_samples = 10
+        samples = dist.sample_many(key, y_pred, cfg.use_mvg, n_samples)  # (S,N,2)
+        dw_coeff = scan.dw_coeff * scan.hct
+        r2p = dw_coeff * samples[..., 0] * samples[..., 1]               # (S,N)
+        r2p_mean = jnp.mean(r2p, axis=0)
+        r2p_log_std = jnp.log(jnp.std(r2p, axis=0))
+        loss = loss + dist.gaussian_nll(y_true[:, 2], r2p_mean, r2p_log_std)
+
+    if (inv_gamma_alpha * inv_gamma_beta > 0.0) or cfg.infer_inv_gamma:
+        _, oef_ls, _, dbv_ls, offd = dist.unpack(y_pred, cfg.use_mvg)
+        if cfg.use_mvg:
+            oef_var = jnp.exp(oef_ls) ** 2
+            # NB reference uses the RAW (unsquashed) off-diagonal here
+            # (model.py:501 uses y_pred[:, 4], not transform_offdiag);
+            # reproduced faithfully.
+            dbv_var = jnp.exp(dbv_ls) ** 2 + jnp.square(y_pred[:, 4])
+        else:
+            oef_var = jnp.exp(2.0 * oef_ls)
+            dbv_var = jnp.exp(2.0 * dbv_ls)
+        if cfg.infer_inv_gamma:
+            ig = inv_gamma_params.reshape((-1, 4))[0]
+            prior_loss = inv_gamma_log_prob(oef_var, ig[0], ig[1])
+            prior_loss = prior_loss + inv_gamma_log_prob(dbv_var, ig[2], ig[3])
+        else:
+            prior_loss = inv_gamma_log_prob(oef_var, inv_gamma_alpha, inv_gamma_beta)
+            prior_loss = prior_loss + inv_gamma_log_prob(dbv_var, inv_gamma_alpha,
+                                                         inv_gamma_beta)
+        loss = loss - prior_loss
+
+    return jnp.mean(loss)
+
+
+def fine_tune_nll(cfg: ModelConfig, se_idx: int, y_true, y_pred, sigma,
+                  mask, *, return_mean: bool = True):
+    """Masked reconstruction NLL of real vs predicted tau-series
+    (reference: model.py:527-568).
+
+    y_true, y_pred: (..., n_taus) signals (y_true already replicated over
+    samples by the caller); sigma: (..., n_taus) heteroscedastic scales or
+    a scalar; mask: (..., 1).
+    """
+    eps = 1e-3
+    if cfg.multi_image_normalisation:
+        t_ref = jnp.mean(y_true[..., se_idx - 1:se_idx + 2], -1, keepdims=True)
+        p_ref = jnp.mean(y_pred[..., se_idx - 1:se_idx + 2], -1, keepdims=True)
+    else:
+        t_ref = y_true[..., se_idx:se_idx + 1]
+        p_ref = y_pred[..., se_idx:se_idx + 1]
+    y_true = y_true / (t_ref + eps)
+    y_pred = y_pred / (p_ref + eps)
+
+    if cfg.predict_log_data:
+        y_true = jnp.where(mask > 0, jnp.log(y_true), 0.0)
+        y_pred = jnp.where(mask > 0, jnp.log(y_pred), 0.0)
+
+    residual = y_true - y_pred
+    if cfg.student_t_df is not None and cfg.student_t_df < 50:
+        nll = student_t_nll(residual, sigma, cfg.student_t_df)
+    else:
+        nll = gaussian_nll_full(residual, sigma)
+    nll = jnp.sum(nll, -1, keepdims=True) * mask
+    if return_mean:
+        return jnp.sum(nll) / jnp.sum(mask)
+    return nll
+
+
+def kl_loss(key, dist: LogitMVN, cfg: ModelConfig, prior, pred, mask, *,
+            return_mean: bool = True, no_samples: int = 70):
+    """KL(q || p) dispatch (reference: model.py:654-724).
+
+    Three paths, selected exactly as the reference does:
+      * mvg            -> sampled KL, stop-gradient on q in log q
+                          (model.py:592-610,658-665)
+      * mog_components > 1 (with population prior)
+                       -> one-sample entropy + mixture NLL (model.py:666-684)
+      * diagonal       -> analytic logit-Normal KL; with a population prior
+                          an InverseGamma(1,2) hyperprior cost on the prior
+                          stds is added (model.py:685-716)
+
+    prior: (..., 5|4 [*mog]) raw prior params (per-voxel maps or a
+    broadcast population prior); pred: (..., 5|4) raw posterior params;
+    mask: (..., 1).
+    """
+    prior_cost = 0.0
+    if cfg.use_mvg:
+        kl_op = dist.mvg_kl_samples(key, pred, prior, no_samples=no_samples)
+        kl_op = kl_op[..., None]
+    elif cfg.use_population_prior and cfg.mog_components > 1:
+        m = cfg.mog_components
+        q = pred
+        entropy = dist.transform_std(q[..., 1]) + dist.transform_std(q[..., 3])
+        k1, k2 = jax.random.split(key)
+        oef_s = q[..., 0] + jax.random.normal(k1, q[..., 0].shape) * jnp.exp(
+            dist.transform_std(q[..., 1]))
+        dbv_s = q[..., 2] + jax.random.normal(k2, q[..., 0].shape) * jnp.exp(
+            dist.transform_std(q[..., 3]))
+
+        def comp_nll(sample, mean, raw_log_std):
+            ls = dist.transform_std(raw_log_std)
+            return ls + 0.5 * jnp.square((sample - mean) / jnp.exp(ls))
+
+        kl_op = -entropy
+        for i in range(m):
+            p = prior[..., 4 * i:4 * (i + 1)]
+            kl_op = kl_op + comp_nll(oef_s, p[..., 0], p[..., 1]) / m
+            kl_op = kl_op + comp_nll(dbv_s, p[..., 2], p[..., 3]) / m
+        kl_op = kl_op[..., None]
+    else:
+        kl_op = dist.diag_kl(pred, prior)[..., None]
+        if cfg.use_population_prior:
+            # Hyperprior on the (scalar, learned) population prior stds
+            # (reference model.py:712-716). Note the reference averages the
+            # squashed log-stds over the map before exponentiating.
+            _, p_oef_ls, _, p_dbv_ls, _ = dist.unpack(prior, mvg=False)
+            ig = lambda v: inv_gamma_log_prob(v, 1.0, 2.0)
+            prior_cost = -ig(jnp.exp(2.0 * jnp.mean(p_dbv_ls)))
+            prior_cost = prior_cost - ig(jnp.exp(2.0 * jnp.mean(p_oef_ls)))
+            prior_cost = prior_cost * pred.shape[0]
+
+    kl_op = jnp.where(mask > 0, kl_op, 0.0)
+    if return_mean:
+        return (jnp.sum(kl_op) + prior_cost) / jnp.sum(mask)
+    return kl_op
+
+
+def smoothness_loss(dist: LogitMVN, pred, mask):
+    """Masked anisotropic TV (L1) on forward-transformed posterior means,
+    in-plane x/y only (reference: model.py:726-754; z diffs are commented
+    out upstream and deliberately omitted here too).
+
+    pred: (B, X, Y, Z, 4|5) raw params; mask: (B, X, Y, Z, 1).
+    """
+    means = jnp.stack([pred[..., 0], pred[..., 2]], axis=-1)
+    phys = dist.forward_transform(means)
+    phys = phys / jnp.asarray([dist.oef_range, dist.dbv_range], phys.dtype)
+
+    dx = phys[:, :-1] - phys[:, 1:]
+    mx = jnp.logical_and(mask[:, :-1] > 0, mask[:, 1:] > 0)
+    dx = jnp.where(mx, dx, 0.0)
+
+    dy = phys[:, :, :-1] - phys[:, :, 1:]
+    my = jnp.logical_and(mask[:, :, :-1] > 0, mask[:, :, 1:] > 0)
+    dy = jnp.where(my, dy, 0.0)
+
+    total = jnp.sum(jnp.abs(dx)) + jnp.sum(jnp.abs(dy))
+    return total / jnp.sum(mask)

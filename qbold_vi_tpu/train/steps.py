@@ -1,0 +1,182 @@
+"""Jitted train/eval steps for both phases.
+
+The reference drives training through Keras ``model.fit`` with loss/metric
+closures (reference: train.py:370-423). Here each phase is one pure,
+donate-able jitted step over an explicit ``TrainState`` pytree; under a
+data-parallel mesh (parallel/mesh.py) XLA inserts the psum gradient
+reductions automatically.
+
+Loss wiring (reference: train.py:313-320):
+    total = fine_tune_nll + kl * kl_weight + smoothness * smoothness_weight
+Note the reference parses ``kl_weight`` but multiplies the KL by a fixed
+non-trainable 1.0 instead (train.py:118,313-320 -- documented quirk); we
+wire ``kl_weight`` for real, with default 1.0 preserving reference
+behaviour.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ModelConfig, QBoldConfig, ScanParams
+from ..models.vi import FineTuner
+from . import losses
+from .optim import SWAState, swa_update
+
+__all__ = ["TrainState", "make_pretrain_step", "make_finetune_step",
+           "make_pretrain_eval", "make_finetune_eval", "posterior_mse_metrics"]
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    swa: Optional[SWAState]
+    step: jax.Array
+
+
+def posterior_mse_metrics(key, tuner: FineTuner, q, y_true, no_samples: int = 20):
+    """OEF/DBV/R2' MSE of MC posterior means vs truth
+    (reference: model.py:326-374 calculate_means + oef_dbv_metrics)."""
+    dist = tuner.dist
+    samples = dist.sample_many(key, q, tuner.cfg.use_mvg, no_samples)  # (S,...,2)
+    means = jnp.mean(samples, axis=0).reshape((-1, 2))
+    dw_coeff = tuner.scan.dw_coeff * tuner.scan.hct
+    r2p = jnp.mean(dw_coeff * samples[..., 0] * samples[..., 1], axis=0).reshape((-1,))
+    y = y_true.reshape((-1, 3))
+    return {
+        "oef_mse": jnp.mean(jnp.square(means[:, 0] - y[:, 0])),
+        "dbv_mse": jnp.mean(jnp.square(means[:, 1] - y[:, 1])),
+        "r2p_mse": jnp.mean(jnp.square(r2p - y[:, 2])),
+    }
+
+
+def _pretrain_loss(params, key, batch, tuner: FineTuner, cfg: QBoldConfig):
+    x, y = batch["x"], batch["y"]
+    out1, _, _ = tuner.encoder.apply({"params": params["encoder"]}, x)
+    return losses.synthetic_data_loss(
+        key, tuner.dist, cfg.model, cfg.scan, y, out1,
+        use_r2p_loss=cfg.train.use_r2p_loss,
+        inv_gamma_alpha=cfg.train.inv_gamma_alpha,
+        inv_gamma_beta=cfg.train.inv_gamma_beta,
+    )
+
+
+def make_pretrain_step(tuner: FineTuner, cfg: QBoldConfig,
+                       optimizer: optax.GradientTransformation):
+    """Returns jitted (state, key, batch{x,y}) -> (state, metrics)."""
+
+    def step(state: TrainState, key, batch):
+        loss, grads = jax.value_and_grad(_pretrain_loss)(
+            state.params, key, batch, tuner, cfg)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        swa = state.swa
+        if swa is not None:
+            swa = swa_update(swa, params, cfg.train.swa_start, cfg.train.swa_period)
+        return (TrainState(params, opt_state, swa, state.step + 1),
+                {"loss": loss})
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_pretrain_eval(tuner: FineTuner, cfg: QBoldConfig):
+    """Validation loss + OEF/DBV/R2' MSE metrics on synthetic data."""
+
+    def evaluate(params, key, batch):
+        k1, k2 = jax.random.split(key)
+        loss = _pretrain_loss(params, k1, batch, tuner, cfg)
+        out1, _, _ = tuner.encoder.apply({"params": params["encoder"]}, batch["x"])
+        if cfg.model.infer_inv_gamma:
+            out1 = out1[..., : out1.shape[-1] // 2]
+        metrics = posterior_mse_metrics(k2, tuner, out1, batch["y"])
+        metrics["val_loss"] = loss
+        return metrics
+
+    return jax.jit(evaluate)
+
+
+def _finetune_terms(params, key, batch, tuner: FineTuner, cfg: QBoldConfig,
+                    no_samples: Optional[int] = None, kl_samples: int = 70):
+    """Shared forward + the three loss terms (nll, kl, smoothness)."""
+    images, mask = batch["images"], batch["mask"]
+    k_sample, k_kl = jax.random.split(key)
+    out = tuner.apply(params, k_sample, images, no_samples=no_samples)
+    q = out["predictions"]
+
+    if cfg.model.use_population_prior:
+        prior = tuner.prior_params(params, q)
+    else:
+        prior = batch["priors"]
+
+    # Reconstruction NLL over the leading samples axis; y_true broadcasts
+    # (equivalent to the reference's concat-to-batch replication,
+    # model.py:529,245-246).
+    pred = out["predicted_images"]
+    sigma = out["im_sigma"]
+    nll = losses.fine_tune_nll(cfg.model, tuner.scan.se_idx,
+                               jnp.broadcast_to(images, pred.shape), pred,
+                               jnp.broadcast_to(sigma, pred.shape),
+                               jnp.broadcast_to(mask, pred.shape[:-1] + (1,)))
+    kl = losses.kl_loss(k_kl, tuner.dist, cfg.model, prior, q, mask,
+                        no_samples=kl_samples)
+    smooth = losses.smoothness_loss(tuner.dist, q, mask)
+    aux = {"nll": nll, "kl": kl, "smoothness": smooth,
+           "sigma": jnp.mean(sigma)}
+    total = (nll + kl * cfg.train.kl_weight
+             + smooth * cfg.train.smoothness_weight)
+    return total, aux
+
+
+def make_finetune_step(tuner: FineTuner, cfg: QBoldConfig,
+                       optimizer: optax.GradientTransformation):
+    """Returns jitted (state, key, batch{images,mask[,priors]}) ->
+    (state, metrics)."""
+
+    def loss_fn(params, key, batch):
+        return _finetune_terms(params, key, batch, tuner, cfg)
+
+    def step(state: TrainState, key, batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, key, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        aux["loss"] = loss
+        return TrainState(params, opt_state, state.swa, state.step + 1), aux
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_finetune_eval(tuner: FineTuner, cfg: QBoldConfig,
+                       stochastic_passes: int = 10, kl_samples: int = 70):
+    """The ELBO validation pass (reference: train.py:325-359): NLL
+    averaged over ``stochastic_passes`` forward draws, plus KL and
+    smoothness, on a held-out batch."""
+
+    def evaluate(params, key, batch):
+        keys = jax.random.split(key, stochastic_passes)
+
+        def one(k):
+            total, aux = _finetune_terms(params, k, batch, tuner, cfg,
+                                         kl_samples=kl_samples)
+            return aux["nll"], aux["kl"], aux["smoothness"]
+
+        nlls, kls, smooths = jax.vmap(one)(keys)
+        nll = jnp.mean(nlls)
+        kl = kls[0]
+        smooth = smooths[0]
+        return {
+            "val_nll": nll,
+            "val_kl": kl,
+            "val_smoothness": smooth,
+            "val_smoothness_scaled": smooth * cfg.train.smoothness_weight,
+            "val_elbo": nll + kl,
+            "val_elbo_smooth": nll + kl * cfg.train.kl_weight
+                               + smooth * cfg.train.smoothness_weight,
+        }
+
+    return jax.jit(evaluate)

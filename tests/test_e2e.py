@@ -1,0 +1,96 @@
+"""End-to-end capability specs (the verify-skill drives, in test form).
+
+1. Forward-model inversion: (OEF, DBV) recoverable from a noise-free
+   signal by gradient descent through the physics -- the whole premise of
+   the decoder (reference signals.py as likelihood, model.py:239-286).
+2. Pretraining actually learns: after a short synthetic pretrain, the
+   encoder's posterior means must correlate with the true parameters.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from qbold_vi_tpu.config import (ModelConfig, QBoldConfig, ScanParams,
+                                 SynthParams, TrainConfig)
+from qbold_vi_tpu.dist.logit_mvn import LogitMVN
+from qbold_vi_tpu.models.vi import FineTuner
+from qbold_vi_tpu.ops import physics
+from qbold_vi_tpu.synth import create_synthetic_dataset
+from qbold_vi_tpu.train import data as data_pipe
+from qbold_vi_tpu.train import optim, steps
+
+SCAN = ScanParams(simulate_noise=False)
+DIST = LogitMVN()
+
+
+def test_forward_model_inversion():
+    """Noise-free signals invert to the generating (OEF, DBV) by Adam on
+    the squared residual in logit space (Adam, not plain GD -- the
+    OEF-DBV ridge is physically real)."""
+    true_oef = jnp.asarray([0.25, 0.45, 0.6], jnp.float32)
+    true_dbv = jnp.asarray([0.02, 0.05, 0.1], jnp.float32)
+    target = physics.ase_signal(true_oef, true_dbv, SCAN)
+
+    def loss_fn(logits):
+        phys = DIST.forward_transform(logits)
+        sig = physics.ase_signal(phys[..., 0], phys[..., 1], SCAN)
+        return jnp.sum(jnp.square(sig - target))
+
+    logits = jnp.zeros((3, 2))
+    opt = optax.adam(0.05)
+    opt_state = opt.init(logits)
+
+    @jax.jit
+    def step(logits, opt_state):
+        loss, g = jax.value_and_grad(loss_fn)(logits)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(logits, updates), opt_state, loss
+
+    for _ in range(3000):
+        logits, opt_state, loss = step(logits, opt_state)
+
+    phys = DIST.forward_transform(logits)
+    np.testing.assert_allclose(np.asarray(phys[:, 0]), np.asarray(true_oef),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(phys[:, 1]), np.asarray(true_dbv),
+                               atol=2e-3)
+    assert float(loss) < 1e-7
+
+
+def test_pretraining_learns_correlated_posteriors():
+    cfg = QBoldConfig(
+        scan=SCAN,
+        synth=SynthParams(sample_size=40, uniform_prop=1.0),
+        model=ModelConfig(no_units=16, no_intermediate_layers=1,
+                          use_mvg=True, predict_log_data=False),
+        train=TrainConfig(pt_lr=2e-3, use_swa=False),
+    )
+    tuner = FineTuner(cfg.model, cfg.scan)
+    key = jax.random.PRNGKey(0)
+    x, y = create_synthetic_dataset(key, cfg.scan, cfg.synth)
+    (tx, ty), (vx, vy) = data_pipe.split_synthetic(np.asarray(x), np.asarray(y))
+
+    opt = optim.make_pretrain_optimizer(cfg.train)
+    params = tuner.init(key, jnp.asarray(tx[:1]))
+    state = steps.TrainState(params, opt.init(params), None,
+                             jnp.zeros([], jnp.int32))
+    step = steps.make_pretrain_step(tuner, cfg, opt)
+    rng = np.random.default_rng(0)
+    for epoch in range(60):
+        for batch in data_pipe.synthetic_batches(rng, tx, ty, 2):
+            state, m = step(state, jax.random.PRNGKey(epoch), batch)
+    assert np.isfinite(float(m["loss"]))
+
+    out1, _, _ = tuner.encoder.apply({"params": state.params["encoder"]},
+                                     jnp.asarray(vx))
+    means = DIST.forward_transform(
+        jnp.stack([out1[..., 0], out1[..., 2]], -1))
+    oef_corr = np.corrcoef(np.asarray(means[..., 0]).ravel(),
+                           vy[..., 0].ravel())[0, 1]
+    dbv_corr = np.corrcoef(np.asarray(means[..., 1]).ravel(),
+                           vy[..., 1].ravel())[0, 1]
+    assert oef_corr > 0.5, f"OEF correlation too low: {oef_corr}"
+    assert dbv_corr > 0.5, f"DBV correlation too low: {dbv_corr}"

@@ -1,0 +1,106 @@
+"""Tests for posterior-map inference, NIfTI export, and preprocessing
+numerics."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qbold_vi_tpu.config import ModelConfig, QBoldConfig, ScanParams
+from qbold_vi_tpu.infer import elbo_maps, posterior_maps, save_predictions
+from qbold_vi_tpu.models.vi import FineTuner
+from qbold_vi_tpu.preprocess import average_slices, estimate_norm_snr
+
+SCAN = ScanParams(simulate_noise=False)
+CFG = QBoldConfig(scan=SCAN,
+                  model=ModelConfig(no_units=4, no_intermediate_layers=1,
+                                    use_mvg=True, student_t_df=200.0,
+                                    predict_log_data=False))
+
+
+def _setup(rng, s=2, x=6, y=6, z=2):
+    tuner = FineTuner(CFG.model, SCAN)
+    key = jax.random.PRNGKey(0)
+    data = np.abs(rng.normal(size=(s, x, y, z, SCAN.n_taus + 1))
+                  ).astype(np.float32) * 50 + 100
+    data[..., -1] = 1.0
+    params = tuner.init(key, jnp.asarray(data[:1, ..., :-1]))
+    return tuner, params, data, key
+
+
+class TestPosteriorMaps:
+    def test_shapes_and_ranges(self, rng):
+        tuner, params, data, key = _setup(rng)
+        maps = posterior_maps(tuner, params, data, key, no_samples=32)
+        s, x, y, z = data.shape[:4]
+        assert maps["oef"].shape == (s, x, y, z, 1)
+        assert maps["stds"].shape == (s, x, y, z, 3)
+        assert maps["raw_log_stds"].shape == (s, x, y, z, 3)  # mvg
+        assert np.all(maps["oef"] >= CFG.model.min_oef)
+        assert np.all(maps["oef"] <= CFG.model.min_oef + CFG.model.oef_range)
+        assert np.all(maps["dbv"] >= CFG.model.min_dbv)
+        # r2p consistency: mean r2p ~ dw*oef*dbv of the means (rough MC)
+        dwc = SCAN.dw_coeff * SCAN.hct
+        approx = dwc * maps["oef"] * maps["dbv"]
+        np.testing.assert_allclose(maps["r2p"], approx, rtol=0.35)
+
+    def test_elbo_maps(self, rng):
+        tuner, params, data, key = _setup(rng)
+        priors = rng.normal(size=data.shape[:-1] + (5,)).astype(np.float32) * 0.3
+        maps = elbo_maps(tuner, CFG, params, data, priors, key, no_samples=4)
+        assert set(maps) == {"likelihood", "kl", "residual"}
+        for v in maps.values():
+            assert v.shape == data.shape[:-1] + (1,)
+            assert np.all(np.isfinite(v))
+
+
+class TestSavePredictions:
+    def test_artifact_layout(self, rng, tmp_path):
+        pytest.importorskip("nibabel")
+        tuner, params, data, key = _setup(rng)
+        base = str(tmp_path / "pt_baseline")
+        maps = save_predictions(tuner, CFG, params, data, base, key)
+        for suffix in ("_oef", "_dbv", "_r2p", "_logstds"):
+            assert os.path.isfile(base + suffix + ".nii.gz"), suffix
+        import nibabel as nib
+        oef = nib.load(base + "_oef.nii.gz").get_fdata()
+        # subjects folded into last axis (reference model.py:792-794)
+        assert oef.shape == data.shape[1:4] + (data.shape[0],)
+
+    def test_fine_tuned_artifacts(self, rng, tmp_path):
+        pytest.importorskip("nibabel")
+        tuner, params, data, key = _setup(rng, s=1)
+        priors = rng.normal(size=data.shape[:-1] + (5,)).astype(np.float32) * 0.3
+        base = str(tmp_path / "baseline")
+        save_predictions(tuner, CFG, params, data, base, key,
+                         fine_tuned=True, priors=priors)
+        for suffix in ("_likelihood", "_kl", "_residual", "_oef"):
+            assert os.path.isfile(base + suffix + ".nii.gz"), suffix
+
+
+class TestPreprocessNumerics:
+    def test_estimate_norm_snr(self, rng):
+        x, y, z, t = 32, 32, 4, 11
+        signal = np.zeros((x, y, z, t), np.float32)
+        mask = np.zeros((x, y, z), np.float32)
+        mask[12:20, 12:20, :] = 1.0
+        profile = np.linspace(1.2, 0.8, t).astype(np.float32)
+        signal[12:20, 12:20, :] = 100.0 * profile
+        noise = rng.normal(size=signal.shape).astype(np.float32) * 2.0
+        snr = estimate_norm_snr(signal + noise, mask, se_idx=3)
+        assert snr.shape == (t,)
+        np.testing.assert_allclose(snr[3], 1.0)
+        np.testing.assert_allclose(snr, profile / profile[3], rtol=0.25)
+
+    def test_average_slices(self):
+        data = np.zeros((4, 4, 4, 13), np.float32)
+        data[..., :11] = np.arange(4).reshape(1, 1, 4, 1)
+        data[..., 11] = 0.6  # gm mask -> binarised to 1
+        data[..., 12] = 0.4  # brain mask -> binarised to 0
+        out = average_slices(data, 2)
+        assert out.shape == (4, 4, 2, 13)
+        np.testing.assert_allclose(out[0, 0, :, 0], [0.5, 2.5])
+        assert np.all(out[..., 11] == 1.0)
+        assert np.all(out[..., 12] == 0.0)

@@ -1,0 +1,135 @@
+"""Tests for the encoder and the VI fine-tuner forward pass."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qbold_vi_tpu.config import ModelConfig, ScanParams
+from qbold_vi_tpu.models.encoder import Encoder, normalise_data
+from qbold_vi_tpu.models.vi import FineTuner
+
+SCAN = ScanParams(simulate_noise=False)
+CFG = ModelConfig(no_units=8, no_intermediate_layers=2, use_mvg=True,
+                  channelwise_gating=True, gate_offset=-3.0)
+
+
+def _images(key, b=2, x=6, y=5, z=2):
+    return jax.random.uniform(key, (b, x, y, z, SCAN.n_taus),
+                              minval=0.5, maxval=2.0)
+
+
+class TestNormalise:
+    def test_matches_reference_semantics(self):
+        data = np.abs(np.random.default_rng(0).normal(
+            size=(3, 4, 2, 11)).astype(np.float32)) + 0.5
+        out = np.asarray(normalise_data(jnp.asarray(data), se_idx=2,
+                                        multi_image=True))
+        ref = np.log(np.clip(data, 1e-2, 1e8)
+                     / np.mean(data[..., 1:4], -1, keepdims=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-3, atol=2e-4)
+
+    def test_single_image_norm(self):
+        data = jnp.ones((2, 3, 1, 11)) * 4.0
+        out = normalise_data(data, se_idx=2, multi_image=False)
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+class TestEncoder:
+    def test_output_shapes(self):
+        enc = Encoder(CFG, n_taus=SCAN.n_taus, se_idx=SCAN.se_idx)
+        key = jax.random.PRNGKey(0)
+        img = _images(key)
+        params = enc.init(key, img)
+        out1, out2, sigma = enc.apply(params, img)
+        assert out1.shape == img.shape[:-1] + (5,)
+        assert out2.shape == img.shape[:-1] + (5,)
+        assert sigma.shape == img.shape[:-1] + (SCAN.n_taus,)
+        assert np.all(np.asarray(sigma) > 0)
+
+    def test_diag_head_is_4(self):
+        cfg = ModelConfig(no_units=4, use_mvg=False)
+        enc = Encoder(cfg, n_taus=SCAN.n_taus, se_idx=SCAN.se_idx)
+        key = jax.random.PRNGKey(0)
+        img = _images(key)
+        out1, _, _ = enc.apply(enc.init(key, img), img)
+        assert out1.shape[-1] == 4
+
+    def test_inner_outer_split(self):
+        """features path == images path (tau-protocol transfer entry)."""
+        enc = Encoder(CFG, n_taus=SCAN.n_taus, se_idx=SCAN.se_idx)
+        key = jax.random.PRNGKey(1)
+        img = _images(key)
+        params = enc.init(key, img)
+        feats = enc.apply(params, img, method=Encoder.embed)
+        direct = enc.apply(params, img)
+        via_features = enc.apply(params, features=feats)
+        for a, b in zip(direct, via_features):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+
+    def test_infer_inv_gamma_channels(self):
+        cfg = ModelConfig(no_units=4, use_mvg=False, infer_inv_gamma=True)
+        enc = Encoder(cfg, n_taus=SCAN.n_taus, se_idx=SCAN.se_idx)
+        key = jax.random.PRNGKey(2)
+        img = _images(key)
+        out1, out2, _ = enc.apply(enc.init(key, img), img)
+        assert out1.shape[-1] == 8  # 4 params + 4 hyperprior
+        assert out2.shape[-1] == 4
+        # hyperprior init: exp(log([20, 2.5, 20, 2.5]))
+        np.testing.assert_allclose(np.asarray(out1[0, 0, 0, 0, 4:]),
+                                   [20.0, 2.5, 20.0, 2.5], rtol=1e-4)
+
+    def test_voxelwise_stream_is_spatially_local(self):
+        """Stream-1 output at a voxel must not depend on neighbours
+        (pure 1x1x1 path, reference model.py:198-199)."""
+        enc = Encoder(CFG, n_taus=SCAN.n_taus, se_idx=SCAN.se_idx)
+        key = jax.random.PRNGKey(3)
+        img = np.asarray(_images(key))
+        params = enc.init(key, jnp.asarray(img))
+        out_a, _, _ = enc.apply(params, jnp.asarray(img))
+        img2 = img.copy()
+        img2[:, 3:, :, :, :] *= 1.7  # perturb a different spatial region
+        out_b, _, _ = enc.apply(params, jnp.asarray(img2))
+        np.testing.assert_allclose(np.asarray(out_a[:, :3]),
+                                   np.asarray(out_b[:, :3]), rtol=1e-5)
+
+
+class TestFineTuner:
+    def test_apply_shapes_and_finiteness(self):
+        tuner = FineTuner(CFG, SCAN)
+        key = jax.random.PRNGKey(0)
+        img = _images(key) * 100.0
+        params = tuner.init(key, img)
+        out = tuner.apply(params, key, img, no_samples=3)
+        assert out["samples"].shape == (3,) + img.shape[:-1] + (2,)
+        assert out["predicted_images"].shape == (3,) + img.shape
+        assert out["im_sigma"].shape == img.shape
+        for v in out.values():
+            assert np.all(np.isfinite(np.asarray(v)))
+        # physical samples inside the transform ranges
+        s = np.asarray(out["samples"])
+        assert s[..., 0].min() >= CFG.min_oef and s[..., 0].max() <= CFG.min_oef + CFG.oef_range
+        assert s[..., 1].min() >= CFG.min_dbv and s[..., 1].max() <= CFG.min_dbv + CFG.dbv_range
+
+    def test_population_prior_params(self):
+        cfg = ModelConfig(no_units=4, use_mvg=True, use_population_prior=True)
+        tuner = FineTuner(cfg, SCAN)
+        key = jax.random.PRNGKey(1)
+        img = _images(key)
+        params = tuner.init(key, img)
+        np.testing.assert_allclose(np.asarray(params["pop_prior"]),
+                                   [-0.97, 0.4, -1.14, 0.6, 0.0])
+        _, q, _ = tuner.encode(params, img)
+        prior = tuner.prior_params(params, q)
+        assert prior.shape == q.shape
+
+    def test_homoscedastic_sigma(self):
+        cfg = ModelConfig(no_units=4, use_mvg=False, heteroscedastic_noise=False,
+                          im_loss_sigma=0.07)
+        tuner = FineTuner(cfg, SCAN)
+        key = jax.random.PRNGKey(2)
+        img = _images(key)
+        params = tuner.init(key, img)
+        out = tuner.apply(params, key, img, no_samples=1)
+        np.testing.assert_allclose(np.asarray(out["im_sigma"]), 0.07, rtol=1e-5)
