@@ -58,28 +58,73 @@ def main() -> None:
 
     images = jax.device_put(jnp.asarray(data))
 
-    def run():
-        out = _summarize(tuner, params, key, images, no_samples=200)
-        jax.block_until_ready(out)
-        return out
+    # NB: jax.block_until_ready does not reliably synchronise through the
+    # axon TPU tunnel; the only trustworthy sync is a device->host fetch
+    # of a data-dependent value. Each rep is chained on the previous
+    # output so the loop cannot dead-code or overlap-collapse, and one
+    # tiny fetch at the end bounds the timed region.
+    def timed(fn, chain, reps):
+        # warmup/compile (2 chained calls so the chain op is compiled too)
+        x = chain(fn(images), images)
+        x = chain(fn(x), images)
+        jax.device_get(x[0, 0, 0, 0, :1])
+        t0 = time.perf_counter()
+        x = images
+        for _ in range(reps):
+            x = chain(fn(x), x)
+        jax.device_get(x[0, 0, 0, 0, :1])
+        return (time.perf_counter() - t0) / reps
 
-    run()  # compile
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        run()
-    dt = (time.perf_counter() - t0) / reps
+    @jax.jit
+    def chain_summ(out, imgs):
+        return images + out["means"][..., :1] * 1e-9
+
+    dt = timed(lambda x: _summarize(tuner, params, key, x, no_samples=200),
+               chain_summ, reps=5)
     vps = n_voxels / dt
 
     # Informational: jitted WLS throughput (same volumes).
-    wls = jax.jit(lambda x: fit_wls(x, scan))
-    jax.block_until_ready(wls(images))
+    @jax.jit
+    def chain_wls(out, imgs):
+        return images + out[0] * 1e-9
+
+    wls_dt = timed(lambda x: fit_wls(x, scan), chain_wls, reps=5)
+
+    # Informational: fine-tune training-step throughput at the published
+    # workload (batch 38 crops of 25x25x8, reference train.py:68,376).
+    from qbold_vi_tpu.train import optim as qoptim
+    from qbold_vi_tpu.train import steps as qsteps
+
+    ft_rng = np.random.default_rng(1)
+    b, cx, cy, cz = cfg.train.ft_batch_size, 25, 25, 8
+    mask = (ft_rng.uniform(size=(b, cx, cy, cz, 1)) > 0.2).astype(np.float32)
+    batch = {
+        "images": jnp.asarray(np.abs(ft_rng.normal(
+            size=(b, cx, cy, cz, scan.n_taus))).astype(np.float32) * 50 + 100),
+        "mask": jnp.asarray(mask),
+        "priors": jnp.asarray(ft_rng.normal(
+            size=(b, cx, cy, cz, 5)).astype(np.float32) * 0.3),
+    }
+    optimizer = qoptim.make_finetune_optimizer(cfg.train)
+    ft_params = tuner.init(jax.random.PRNGKey(2), batch["images"][:1])
+    state = qsteps.TrainState(ft_params, optimizer.init(ft_params), None,
+                              jnp.zeros([], jnp.int32))
+    step_fn = qsteps.make_finetune_step(tuner, cfg, optimizer)
+    state, _ = step_fn(state, key, batch)     # compile
+    state, _ = step_fn(state, key, batch)
+    jax.device_get(jax.tree_util.tree_leaves(state.params)[0])[:1]
     t0 = time.perf_counter()
-    jax.block_until_ready(wls(images))
-    wls_dt = time.perf_counter() - t0
+    reps = 10
+    for _ in range(reps):
+        state, _ = step_fn(state, key, batch)
+    jax.device_get(jax.tree_util.tree_leaves(state.params)[0])[:1]
+    ft_dt = (time.perf_counter() - t0) / reps
+    ft_vox = int(np.prod(batch["images"].shape[:-1]))
     print(f"[bench] infer: {n_voxels} voxels in {dt * 1e3:.1f} ms "
           f"({vps / 1e6:.2f} M voxels/s); wls: {n_voxels / wls_dt / 1e6:.2f} "
-          f"M voxels/s; device={jax.devices()[0].platform}", file=sys.stderr)
+          f"M voxels/s; ft step: {ft_dt * 1e3:.1f} ms "
+          f"({ft_vox / ft_dt / 1e6:.2f} M voxels/s); "
+          f"device={jax.devices()[0].platform}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "full_brain_infer_voxels_per_sec",

@@ -165,9 +165,19 @@ def cmd_infer(args) -> int:
 
 
 def cmd_dryrun(args) -> int:
-    """Compile + run one sharded fine-tune step on an n-device mesh."""
+    """Compile + run one sharded fine-tune step on an n-device mesh.
+
+    Forces an n-device virtual CPU mesh: multi-chip hardware is usually
+    absent, and remote single-chip backends (or env sitecustomize hooks
+    that force them) cannot host a mesh. Must run before any JAX backend
+    initialisation in this process.
+    """
     import importlib.util
     import os as _os
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", int(args.devices))
     spec = importlib.util.spec_from_file_location(
         "__graft_entry__",
         _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),

@@ -66,6 +66,19 @@ class LogitMVN:
         (logit_mvn.py:95-97)."""
         return jnp.tanh(raw) * math.exp(-2.0)
 
+    def scale_uncertainty(self, q_params, factor, mvg: bool):
+        """Scale a raw parameter map's posterior spread by ``factor``
+        (reference: model.py:225-237, used to avoid taking massive
+        samples): log-std channels get +log(factor) pre-squash offset and
+        the MVG off-diagonal channel is multiplied by ``factor``."""
+        lf = jnp.log(factor)
+        if mvg:
+            offset = jnp.asarray([0.0, lf, 0.0, lf, 0.0], q_params.dtype)
+            scale = jnp.asarray([1.0, 1.0, 1.0, 1.0, factor], q_params.dtype)
+            return (q_params + offset) * scale
+        offset = jnp.asarray([0.0, lf, 0.0, lf], q_params.dtype)
+        return q_params + offset
+
     # ---- physical <-> logit space ---------------------------------------------
 
     def forward_transform(self, logits):
@@ -254,17 +267,13 @@ class LogitMVN:
 
         return 0.5 * (trace + swr + det_term - 2.0)
 
-    def mvg_kl_samples(self, key, q_params, p_params, no_samples: int = 50):
-        """Monte-Carlo KL(q || p) = E_q[log q - log p] for the full-cov
-        logit-Normal (reference: model.py:592-610).
-
-        Gradient semantics match the reference exactly: q's parameters are
-        stop-gradiented inside log q (model.py:596), so only the pathwise
-        derivative through the samples remains -- the score-function term
-        is deliberately excluded.
-
-        Returns (...,): mean KL over samples.
-        """
+    def mvg_kl_samples_reference(self, key, q_params, p_params,
+                                 no_samples: int = 50):
+        """Direct transcription of the reference Monte-Carlo KL
+        (reference: model.py:592-610): physical-space samples, two full
+        logit-Normal log-prob evaluations per sample, stop-gradient on q's
+        parameters inside log q. Kept as the oracle for
+        ``mvg_kl_samples`` (tests/test_dist.py)."""
         samples = self.sample_many(key, q_params, mvg=True, no_samples=no_samples)
         q_sg = jax.lax.stop_gradient(q_params)
 
@@ -276,6 +285,61 @@ class LogitMVN:
 
         kl = jax.vmap(one)(samples)          # (S, ...)
         return jnp.mean(kl, axis=0)
+
+    def mvg_kl_samples(self, key, q_params, p_params, no_samples: int = 50):
+        """Monte-Carlo KL(q || p) = E_q[log q - log p] for the full-cov
+        logit-Normal -- algebraically reduced form of the reference
+        computation (model.py:592-610), exact in value AND gradient:
+
+        Both log-probs are evaluated at the SAME sample, so the logit-
+        Jacobian terms sum log u(1-u) and the log(2 pi) normalisers cancel
+        identically (including their derivatives w.r.t. the sample), and
+        the physical-space round-trip logit(clip(sigmoid(l))) collapses to
+        a straight-through clamp of the logit draw. What remains per
+        sample is two squared whitened residuals:
+
+            kl_s = 0.5 (swr_p(l_s) - swr_q(l_s))
+                   + 0.5 (logdet_p - sg(logdet_q))
+
+        Gradient semantics match the reference exactly: q's parameters
+        are stop-gradiented inside the q terms (model.py:596), so only
+        the pathwise derivative through l_s remains. ~3x fewer
+        transcendentals per sample than the direct form; gated against
+        ``mvg_kl_samples_reference`` in tests.
+
+        Returns (...,): mean KL over samples.
+        """
+        q_mu0, q_ls0, q_mu1, q_ls1, q_od = self.unpack(q_params, mvg=True)
+        # Same key-split + draw order as sample_many -> sample, so the
+        # sample stream (and hence the MC estimate) matches the reference
+        # path bit-for-bit.
+        keys = jax.random.split(key, no_samples)
+        z = jax.vmap(lambda k: jax.random.normal(
+            k, q_mu0.shape + (2,), q_params.dtype))(keys)
+        l0 = q_mu0 + z[..., 0] * jnp.exp(q_ls0)
+        l1 = q_mu1 + z[..., 0] * q_od + z[..., 1] * jnp.exp(q_ls1)
+
+        # The reference clips u = sigmoid(l) to [eps, 1-eps] with a
+        # straight-through gradient (model.py:394-395); in logit space
+        # that is a straight-through clamp at logit(eps).
+        eps = 1e-6
+        bound = math.log((1.0 - eps) / eps)
+        l0 = _clip_preserve_gradient(l0, -bound, bound)
+        l1 = _clip_preserve_gradient(l1, -bound, bound)
+        l = jnp.stack([l0, l1], axis=-1)
+
+        sg = jax.lax.stop_gradient
+        q_mean = sg(jnp.stack([q_mu0, q_mu1], -1))
+        swr_q = self.squared_whitened_residual(
+            l, q_mean, sg(q_ls0), sg(q_ls1), sg(q_od))
+
+        p_mu0, p_ls0, p_mu1, p_ls1, p_od = self.unpack(p_params, mvg=True)
+        p_mean = jnp.stack([p_mu0, p_mu1], -1)
+        swr_p = self.squared_whitened_residual(l, p_mean, p_ls0, p_ls1, p_od)
+
+        det_term = (self.log_chol_det(p_ls0, p_ls1)
+                    - sg(self.log_chol_det(q_ls0, q_ls1)))
+        return jnp.mean(0.5 * (swr_p - swr_q), axis=0) + 0.5 * det_term
 
     # ---- summaries --------------------------------------------------------------
 

@@ -7,15 +7,18 @@ passes, model.py:790). The jnp fallback streams this with lax.fori_loop
 (dist/logit_mvn.py posterior_means_streamed); this kernel goes further:
 
 * the whole S-sample loop runs with ALL state in VMEM/registers -- HBM
-  traffic is exactly one read of the (5, N) posterior params and one
-  write of the (3, N) means + (3, N) variances;
+  traffic is exactly one read of the posterior params and one write of
+  the means + variances;
 * normals are generated on-chip with the TPU PRNG (pltpu.prng_random_bits
   + Box-Muller), no HBM-resident random tensors;
-* layout is transposed to (params, N) so the voxel axis rides the 128
-  lanes.
+* the voxel axis is laid out as native (8 sublanes x 128 lanes) VPU
+  tiles: host packs params as (5, 8, N/8) so every per-param row the
+  kernel touches is a full-rank-2 tile (also required by the TPU PRNG,
+  which only emits rank>=2 shapes).
 
-Gated against the jnp path in tests/test_pallas.py: deterministic parts
-must agree exactly; MC summaries must agree within Monte-Carlo error.
+Gated against the jnp path in tests/test_pallas.py (TPU-only: the Mosaic
+interpreter is impractically slow on CPU hosts): deterministic parts must
+agree exactly; MC summaries within Monte-Carlo error.
 """
 
 from __future__ import annotations
@@ -31,13 +34,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["mc_posterior_summaries"]
 
-_BLK = 1024          # voxels per grid step (8 sublanes x 128 lanes)
+_SUB = 8             # sublanes
+_LANES = 512         # lanes per grid step -> 8*512 = 4096 voxels/block
 _TWO_PI = 2.0 * math.pi
 
 
 def _box_muller(shape):
-    """Two independent standard-normal draws of ``shape`` from the
-    on-chip PRNG (must be seeded first)."""
+    """Two independent standard-normal draws of ``shape`` (rank >= 2)
+    from the on-chip PRNG (must be seeded first)."""
     b1 = pltpu.prng_random_bits(shape)
     b2 = pltpu.prng_random_bits(shape)
     # 24-bit mantissa uniforms in (0, 1]; avoids log(0).
@@ -54,16 +58,16 @@ def _summarize_kernel(seed_ref, params_ref, mean_ref, var_ref, *,
     pid = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + pid * jnp.int32(7919))
 
-    mu0 = params_ref[0, :]
-    ls0 = jnp.tanh(params_ref[1, :]) * 3.0 - 1.0      # transform_std
-    mu1 = params_ref[2, :]
-    ls1 = jnp.tanh(params_ref[3, :]) * 3.0 - 1.0
+    mu0 = params_ref[0]                               # (8, L)
+    ls0 = jnp.tanh(params_ref[1]) * 3.0 - 1.0         # transform_std
+    mu1 = params_ref[2]
+    ls1 = jnp.tanh(params_ref[3]) * 3.0 - 1.0
     std0 = jnp.exp(ls0)
     std1 = jnp.exp(ls1)
-    offd = jnp.tanh(params_ref[4, :]) * math.exp(-2.0) if mvg else 0.0
+    offd = jnp.tanh(params_ref[4]) * math.exp(-2.0) if mvg else 0.0
 
     zero = jnp.zeros_like(mu0)
-    acc = (zero, zero, zero, zero, zero, zero)  # s_oef, s2_oef, s_dbv, s2_dbv, s_r2p, s2_r2p
+    acc = (zero, zero, zero, zero, zero, zero)
 
     def body(_, acc):
         s_o, s2_o, s_d, s2_d, s_r, s2_r = acc
@@ -85,23 +89,23 @@ def _summarize_kernel(seed_ref, params_ref, mean_ref, var_ref, *,
 
     inv_n = 1.0 / float(no_samples)
     m_o, m_d, m_r = s_o * inv_n, s_d * inv_n, s_r * inv_n
-    mean_ref[0, :] = m_o
-    mean_ref[1, :] = m_d
-    mean_ref[2, :] = m_r
-    var_ref[0, :] = jnp.maximum(s2_o * inv_n - m_o * m_o, 0.0)
-    var_ref[1, :] = jnp.maximum(s2_d * inv_n - m_d * m_d, 0.0)
-    var_ref[2, :] = jnp.maximum(s2_r * inv_n - m_r * m_r, 0.0)
+    mean_ref[0] = m_o
+    mean_ref[1] = m_d
+    mean_ref[2] = m_r
+    var_ref[0] = jnp.maximum(s2_o * inv_n - m_o * m_o, 0.0)
+    var_ref[1] = jnp.maximum(s2_d * inv_n - m_d * m_d, 0.0)
+    var_ref[2] = jnp.maximum(s2_r * inv_n - m_r * m_r, 0.0)
 
 
 @partial(jax.jit, static_argnames=("no_samples", "mvg", "oef_range",
                                    "min_oef", "dbv_range", "min_dbv",
-                                   "dw_coeff", "interpret"))
+                                   "dw_coeff", "interpret", "lanes"))
 def mc_posterior_summaries(params: jax.Array, seed: jax.Array, *,
                            no_samples: int = 200, mvg: bool = True,
                            oef_range: float = 0.8, min_oef: float = 0.04,
                            dbv_range: float = 0.2, min_dbv: float = 0.001,
                            dw_coeff: float = 1.0,
-                           interpret: bool = False):
+                           interpret: bool = False, lanes: int = _LANES):
     """MC means/variances of (OEF, DBV, R2') per voxel.
 
     params: (N, 4|5) raw posterior head outputs (any leading shape is
@@ -110,31 +114,39 @@ def mc_posterior_summaries(params: jax.Array, seed: jax.Array, *,
     """
     n = params.shape[0]
     k = params.shape[-1]
-    n_pad = ((n + _BLK - 1) // _BLK) * _BLK
+    blk = _SUB * lanes
+    n_pad = ((n + blk - 1) // blk) * blk
     pt = jnp.zeros((5, n_pad), params.dtype)
     pt = pt.at[:k, :n].set(params.T)
+    pt = pt.reshape(5, _SUB, n_pad // _SUB)
 
-    grid = n_pad // _BLK
+    grid = (n_pad // _SUB) // lanes
+    kernel = partial(_summarize_kernel, no_samples=no_samples, mvg=mvg,
+                     oef_range=oef_range, min_oef=min_oef,
+                     dbv_range=dbv_range, min_dbv=min_dbv, dw_coeff=dw_coeff)
     mean_t, var_t = pl.pallas_call(
-        partial(_summarize_kernel, no_samples=no_samples, mvg=mvg,
-                oef_range=oef_range, min_oef=min_oef, dbv_range=dbv_range,
-                min_dbv=min_dbv, dw_coeff=dw_coeff),
+        kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((5, _BLK), lambda i: (0, i),
+            pl.BlockSpec((5, _SUB, lanes), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((3, _BLK), lambda i: (0, i),
+            pl.BlockSpec((3, _SUB, lanes), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, _BLK), lambda i: (0, i),
+            pl.BlockSpec((3, _SUB, lanes), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((3, n_pad), params.dtype),
-            jax.ShapeDtypeStruct((3, n_pad), params.dtype),
+            jax.ShapeDtypeStruct((3, _SUB, n_pad // _SUB), params.dtype),
+            jax.ShapeDtypeStruct((3, _SUB, n_pad // _SUB), params.dtype),
         ],
-        interpret=interpret,
+        # bool interpret would use the generic HLO interpreter, which has
+        # no rule for the TPU PRNG primitives; the Mosaic TPU interpreter
+        # runs them on CPU (slowly -- test use only).
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(jnp.asarray([seed], jnp.int32), pt)
-    return mean_t[:, :n].T, var_t[:, :n].T
+    mean = mean_t.reshape(3, n_pad)[:, :n].T
+    var = var_t.reshape(3, n_pad)[:, :n].T
+    return mean, var

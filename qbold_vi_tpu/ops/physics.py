@@ -81,11 +81,14 @@ def quadrature_lattice(n_points: int = N_QUAD) -> tuple[np.ndarray, np.ndarray, 
     return u, gw, float(np.sum(gw))
 
 
-# Module-level constants (small; baked into the compiled program).
+# Module-level constants (small; baked into the compiled program as
+# literals at trace time). Kept as NUMPY arrays deliberately: eager
+# jnp.asarray at import would initialise a JAX backend as a side effect
+# of `import qbold_vi_tpu`, before callers can configure platforms.
 _U64, _GW64, _G_CONST64 = quadrature_lattice()
-_U = jnp.asarray(_U64, dtype=jnp.float32)
-_GW = jnp.asarray(_GW64, dtype=jnp.float32)
-_G_CONST = jnp.float32(_G_CONST64)
+_U = _U64.astype(np.float32)
+_GW = _GW64.astype(np.float32)
+_G_CONST = np.float32(_G_CONST64)
 
 
 

@@ -1,18 +1,22 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
-Tests run on CPU with 8 virtual devices so sharding paths (SURVEY.md SS2.3)
-are exercised without TPU hardware; benchmarks (bench.py) run on the real
-chip. Must set env vars before jax is imported anywhere.
+Tests run on CPU with 8 virtual devices so sharding paths (SURVEY.md
+SS2.3) are exercised without TPU hardware; benchmarks (bench.py) and the
+TPU-only Pallas tests run on the real chip.
+
+NB: this environment injects a sitecustomize that registers the remote
+'axon' TPU backend and forcibly sets jax_platforms='axon,cpu' in every
+interpreter -- env vars (JAX_PLATFORMS / XLA_FLAGS) are overridden before
+any user code runs. The only effective override is jax.config.update
+AFTER importing jax, BEFORE first backend use.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,111 @@
+"""Tests for the typed config system and its reference-compat loaders."""
+
+import dataclasses
+import math
+
+import numpy as np
+import pytest
+
+from qbold_vi_tpu.config import (OPTIMAL, QBoldConfig, ScanParams,
+                                 apply_flat_overrides, load_ini_scan_params,
+                                 load_yaml_config)
+
+
+class TestScanParams:
+    def test_default_tau_grid_matches_reference(self):
+        """11-tau clinical protocol (reference: config:12-14)."""
+        s = ScanParams()
+        taus = s.taus()
+        assert s.n_taus == 11
+        np.testing.assert_allclose(taus[0], -0.016, atol=1e-7)
+        np.testing.assert_allclose(taus[-1], 0.064, atol=1e-7)
+        np.testing.assert_allclose(np.diff(taus), 0.008, atol=1e-6)
+        assert s.se_idx == 2
+        assert abs(taus[s.se_idx]) < 1e-7
+
+    def test_streamlined_24_tau_protocol(self):
+        """24-tau streamlined protocol (reference: loglinear.py:149-152)."""
+        s = ScanParams(tau_start=-0.028, tau_step=0.004)
+        assert s.n_taus == 24
+        assert s.se_idx == 7
+
+    def test_dw_coeff(self):
+        s = ScanParams()
+        expect = (4.0 / 3.0) * math.pi * s.gamma * s.b0 * s.dchi
+        np.testing.assert_allclose(s.dw_coeff, expect)
+
+    def test_hashable_for_jit_static(self):
+        assert hash(ScanParams()) == hash(ScanParams())
+        assert ScanParams() != ScanParams(b0=7.0)
+
+
+class TestOverrides:
+    def test_flat_key_routing(self):
+        cfg = apply_flat_overrides(QBoldConfig(), {
+            "no_units": 42, "pt_lr": 1e-4, "use_mvg": True,
+            "uniform_prop": 0.3, "tau_step": 0.004,
+        })
+        assert cfg.model.no_units == 42
+        assert cfg.train.pt_lr == pytest.approx(1e-4)
+        assert cfg.model.use_mvg is True
+        assert cfg.synth.uniform_prop == pytest.approx(0.3)
+        assert cfg.scan.tau_step == pytest.approx(0.004)
+
+    def test_string_coercion(self):
+        """YAML/CLI strings coerce to the default's type; string booleans
+        parse correctly (documented deviation from the reference's
+        bool('False') is True quirk, utils.py:112-116)."""
+        cfg = apply_flat_overrides(QBoldConfig(), {
+            "no_units": "17", "pt_lr": "0.01", "use_mvg": "False",
+            "channelwise_gating": "true",
+        })
+        assert cfg.model.no_units == 17
+        assert cfg.train.pt_lr == pytest.approx(0.01)
+        assert cfg.model.use_mvg is False
+        assert cfg.model.channelwise_gating is True
+
+    def test_floors_enforced(self):
+        """no_units/no_intermediate_layers >= 1 (reference: train.py:431-432)."""
+        cfg = apply_flat_overrides(QBoldConfig(), {
+            "no_units": 0, "no_intermediate_layers": -3})
+        assert cfg.model.no_units == 1
+        assert cfg.model.no_intermediate_layers == 1
+
+    def test_unknown_keys_ignored(self):
+        cfg = apply_flat_overrides(QBoldConfig(), {"bogus_key": 7})
+        assert cfg == QBoldConfig()
+
+
+class TestLoaders:
+    def test_yaml_matches_builtin_optimal(self):
+        cfg = load_yaml_config("configurations/optimal.yaml")
+        assert cfg.model.no_units == OPTIMAL.model.no_units
+        assert cfg.model.gate_offset == OPTIMAL.model.gate_offset
+        assert cfg.train.smoothness_weight == OPTIMAL.train.smoothness_weight
+        assert cfg.model.use_mvg == OPTIMAL.model.use_mvg
+        assert cfg.train.no_pt_epochs == OPTIMAL.train.no_pt_epochs
+
+    def test_ini_loader(self, tmp_path):
+        p = tmp_path / "config"
+        p.write_text(
+            "[DEFAULT]\ntr = 3.0\nti = 1.21\nte = 0.074\n"
+            "tau_start = -0.016\ntau_end = 0.065\ntau_step = 0.008\n"
+            "dchi = 2.64e-7\ngamma = 2.67513e8\nb0 = 3.0\nt1b = 1.58\n"
+            "r2t = 11.5\nhct = 0.34\nsimulate_noise = False\nsnr = 100\n")
+        s = load_ini_scan_params(str(p))
+        assert s.n_taus == 11
+        assert s.simulate_noise is False
+        assert s.snr == pytest.approx(100.0)
+
+    def test_optimal_preset_values(self):
+        """Spot-check the published optimal hyperparameters
+        (reference: configurations/optimal.yaml:1-32)."""
+        m, t = OPTIMAL.model, OPTIMAL.train
+        assert (m.no_units, m.no_intermediate_layers) == (60, 2)
+        assert m.student_t_df == 200
+        assert m.gate_offset == pytest.approx(-3.0)
+        assert m.use_mvg and m.channelwise_gating
+        assert not m.use_population_prior
+        assert t.pt_lr == pytest.approx(2e-3)
+        assert t.smoothness_weight == pytest.approx(5.0)
+        assert t.crop_size == 25

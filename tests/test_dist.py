@@ -123,6 +123,27 @@ def test_sampled_kl_matches_closed_form(rng):
     np.testing.assert_allclose(kl_mc, kl_cf, rtol=0.15, atol=0.08)
 
 
+def test_fast_sampled_kl_equals_reference_form(rng):
+    """The algebraically-reduced sampled KL (Jacobian/normaliser terms
+    cancelled, logit-space clamp) must equal the direct two-log-prob
+    reference transcription in value AND gradient for the same key."""
+    q = make_params(rng, (12,)) * 0.5
+    p = make_params(rng, (12,)) * 0.5
+    key = jax.random.PRNGKey(5)
+    fast = D.mvg_kl_samples(key, q, p, no_samples=32)
+    ref = D.mvg_kl_samples_reference(key, q, p, no_samples=32)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    g_fast = jax.grad(lambda a, b: jnp.sum(D.mvg_kl_samples(
+        key, a, b, no_samples=32)), argnums=(0, 1))(q, p)
+    g_ref = jax.grad(lambda a, b: jnp.sum(D.mvg_kl_samples_reference(
+        key, a, b, no_samples=32)), argnums=(0, 1))(q, p)
+    for a, b in zip(g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
+
+
 def test_closed_form_kl_vs_scipy(rng):
     q = make_params(rng, (10,))
     p = make_params(rng, (10,))
@@ -191,6 +212,31 @@ def test_kl_stop_gradient_semantics():
 
     g2 = jax.grad(manual)(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g2), rtol=1e-5, atol=1e-6)
+
+
+def test_scale_uncertainty(rng):
+    """Scaling the spread by f multiplies sample std by ~f without moving
+    the mean (reference: model.py:225-237)."""
+    q = jnp.asarray([[0.1, -0.3, -0.6, -0.2, 0.4]], jnp.float32)
+    f = 0.25
+    scaled = D.scale_uncertainty(q, f, mvg=True)
+    # means untouched
+    np.testing.assert_allclose(np.asarray(scaled[0, [0, 2]]),
+                               np.asarray(q[0, [0, 2]]))
+    key = jax.random.PRNGKey(0)
+    s_orig = np.asarray(D.sample_many(key, q, True, 2000))[:, 0, :]
+    s_scal = np.asarray(D.sample_many(key, scaled, True, 2000))[:, 0, :]
+    # compare in logit space (sigmoid is monotone; use moderate stds)
+    lo = lambda s, i, r, m: np.log(((s[:, i] - m) / r) / (1 - (s[:, i] - m) / r))
+    for i, r, m in ((0, D.oef_range, D.min_oef), (1, D.dbv_range, D.min_dbv)):
+        ratio = lo(s_scal, i, r, m).std() / lo(s_orig, i, r, m).std()
+        # the tanh squash makes the scaling approximate away from the
+        # linear region; it must still shrink markedly toward f
+        assert ratio < 0.55, (i, ratio)
+
+    q4 = q[:, :4]
+    scaled4 = D.scale_uncertainty(q4, f, mvg=False)
+    assert scaled4.shape == q4.shape
 
 
 def test_posterior_means_and_r2p(rng):

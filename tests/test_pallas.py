@@ -1,8 +1,11 @@
 """Gate the Pallas MC summarization kernel against the jnp path.
 
-Runs in interpreter mode on CPU (the real kernel compiles on TPU only);
-the RNG streams differ (TPU PRNG vs threefry) so MC outputs are compared
-within Monte-Carlo tolerance, per SURVEY.md's RNG-parity note.
+TPU-only: the Mosaic interpreter takes minutes per tiny call on this
+class of CPU host, so these tests run only when a real TPU backend is
+present (`python -m pytest tests/test_pallas.py` on a TPU VM; the CPU
+suite skips them). The RNG streams differ (TPU PRNG vs threefry), so MC
+outputs are compared within Monte-Carlo tolerance, per SURVEY.md's
+RNG-parity note.
 """
 
 import jax
@@ -12,7 +15,11 @@ import pytest
 
 from qbold_vi_tpu.config import ScanParams
 from qbold_vi_tpu.dist.logit_mvn import LogitMVN
-from qbold_vi_tpu.ops.pallas_summarize import mc_posterior_summaries
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="Pallas TPU kernel; Mosaic interpreter is impractically slow on CPU",
+)
 
 SCAN = ScanParams(simulate_noise=False)
 DIST = LogitMVN()
@@ -21,37 +28,38 @@ DWC = SCAN.dw_coeff * SCAN.hct
 
 @pytest.mark.parametrize("mvg", [True, False])
 def test_kernel_matches_streamed_jnp_within_mc_error(rng, mvg):
-    n = 64
+    from qbold_vi_tpu.ops.pallas_summarize import mc_posterior_summaries
+
+    n = 2048
     k = 5 if mvg else 4
     params = jnp.asarray(rng.normal(size=(n, k)).astype(np.float32) * 0.3)
     s = 512
     means_k, vars_k = mc_posterior_summaries(
-        params, jnp.int32(0), no_samples=s, mvg=mvg, dw_coeff=DWC,
-        interpret=True)
+        params, jnp.int32(0), no_samples=s, mvg=mvg, dw_coeff=DWC)
     means_j, vars_j = DIST.posterior_means_streamed(
         jax.random.PRNGKey(0), params, mvg, no_samples=s,
         r2p_fn=lambda o, d: DWC * o * d)
 
-    # MC standard error of the mean ~ std/sqrt(S); allow 5 sigma.
+    # MC standard error of the mean ~ std/sqrt(S); allow 6 sigma.
     std = np.sqrt(np.asarray(vars_j))
-    tol = 5.0 * std / np.sqrt(s) + 1e-4
+    tol = 6.0 * std / np.sqrt(s) + 1e-4
     np.testing.assert_array_less(
         np.abs(np.asarray(means_k) - np.asarray(means_j)), tol)
-    # Variances: relative MC tolerance.
     np.testing.assert_allclose(np.asarray(vars_k), np.asarray(vars_j),
-                               rtol=0.6, atol=1e-5)
+                               rtol=0.5, atol=1e-5)
 
 
 def test_kernel_zero_variance_case():
     """With log-std squashed to its floor the sample spread collapses and
     the mean must equal the deterministic forward transform."""
-    n = 8
+    from qbold_vi_tpu.ops.pallas_summarize import mc_posterior_summaries
+
+    n = 128
     big_neg = -10.0  # tanh(-10)*3-1 ~ -4 -> std ~ e^-4
     params = jnp.asarray(
         np.tile([[0.2, big_neg, -1.0, big_neg, 0.0]], (n, 1)), jnp.float32)
     means, vars_ = mc_posterior_summaries(
-        params, jnp.int32(3), no_samples=64, mvg=True, dw_coeff=DWC,
-        interpret=True)
+        params, jnp.int32(3), no_samples=64, mvg=True, dw_coeff=DWC)
     expect = DIST.forward_transform(jnp.asarray([[0.2, -1.0]]))
     np.testing.assert_allclose(np.asarray(means[:, 0]),
                                float(expect[0, 0]), rtol=5e-2)
@@ -61,10 +69,11 @@ def test_kernel_zero_variance_case():
 
 
 def test_padding_handles_non_block_sizes(rng):
-    params = jnp.asarray(rng.normal(size=(37, 5)).astype(np.float32) * 0.3)
+    from qbold_vi_tpu.ops.pallas_summarize import mc_posterior_summaries
+
+    params = jnp.asarray(rng.normal(size=(1111, 5)).astype(np.float32) * 0.3)
     means, vars_ = mc_posterior_summaries(
-        params, jnp.int32(1), no_samples=16, mvg=True, dw_coeff=DWC,
-        interpret=True)
-    assert means.shape == (37, 3)
-    assert vars_.shape == (37, 3)
+        params, jnp.int32(1), no_samples=16, mvg=True, dw_coeff=DWC)
+    assert means.shape == (1111, 3)
+    assert vars_.shape == (1111, 3)
     assert np.all(np.isfinite(np.asarray(means)))

@@ -20,7 +20,7 @@ SCAN = ScanParams(simulate_noise=False)
 def tiny_cfg(tmpdir, **model_kw):
     return QBoldConfig(
         scan=SCAN,
-        synth=SynthParams(sample_size=10),
+        synth=SynthParams(sample_size=40),
         model=ModelConfig(no_units=4, no_intermediate_layers=1,
                           student_t_df=200.0, use_mvg=True,
                           predict_log_data=False, **model_kw),
