@@ -37,7 +37,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from qbold_vi_tpu.config import OPTIMAL
-    from qbold_vi_tpu.infer import _summarize
+    from qbold_vi_tpu.infer import _encode_q, _summarize
     from qbold_vi_tpu.models.vi import FineTuner
     from qbold_vi_tpu.baseline import fit_wls
 
@@ -75,12 +75,27 @@ def main() -> None:
         jax.device_get(x[0, 0, 0, 0, :1])
         return (time.perf_counter() - t0) / reps
 
+    use_pallas = jax.default_backend() in ("tpu", "axon")
+    if use_pallas:
+        from qbold_vi_tpu.ops.pallas_summarize import mc_posterior_summaries
+
+        dwc = float(scan.dw_coeff * scan.hct)
+
+        def infer_fn(x):
+            q, _ = _encode_q(tuner, params, x)
+            means, _ = mc_posterior_summaries(
+                q.reshape(-1, q.shape[-1]), jnp.int32(7), no_samples=200,
+                mvg=cfg.model.use_mvg, dw_coeff=dwc)
+            return {"means": means.reshape(x.shape[:-1] + (3,))}
+    else:
+        def infer_fn(x):
+            return _summarize(tuner, params, key, x, no_samples=200)
+
     @jax.jit
     def chain_summ(out, imgs):
         return images + out["means"][..., :1] * 1e-9
 
-    dt = timed(lambda x: _summarize(tuner, params, key, x, no_samples=200),
-               chain_summ, reps=5)
+    dt = timed(infer_fn, chain_summ, reps=5)
     vps = n_voxels / dt
 
     # Informational: jitted WLS throughput (same volumes).

@@ -54,23 +54,67 @@ def _summarize(tuner: FineTuner, params, key, images,
     return {"means": means, "stds": stds, "raw_log_stds": raw_log_stds}
 
 
+@partial(jax.jit, static_argnames=("tuner", "use_first_op"))
+def _encode_q(tuner: FineTuner, params, images, use_first_op: bool = True):
+    """Encoder pass + raw-log-std maps (the deterministic half of
+    _summarize), for use with the Pallas summarization kernel."""
+    cfg = tuner.cfg
+    q1, q2, _ = tuner.encode(params, images)
+    q = q1 if use_first_op else q2
+    if use_first_op and cfg.infer_inv_gamma:
+        q = q[..., :-4]
+    dist = tuner.dist
+    raw_log_stds = [dist.transform_std(q[..., 1:2]),
+                    dist.transform_std(q[..., 3:4])]
+    if cfg.use_mvg:
+        raw_log_stds.append(dist.transform_offdiag(q[..., 4:5]))
+    return q, jnp.concatenate(raw_log_stds, -1)
+
+
 def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
                    no_samples: int = 200, use_first_op: bool = True,
-                   chunk: int = 2) -> dict:
+                   chunk: int = 2, use_pallas: bool | None = None) -> dict:
     """Posterior mean/std maps for (S, X, Y, Z, n_taus+1) masked volumes.
+
+    On TPU backends the MC summarization runs in the fused Pallas kernel
+    (ops/pallas_summarize.py) by default -- on-chip PRNG, one HBM pass;
+    elsewhere the lax.fori_loop jnp path is used. Both are gated against
+    each other in tests/test_pallas.py.
 
     Returns numpy maps: oef, dbv, r2p (each (S,X,Y,Z,1)), stds
     (S,X,Y,Z,3), raw_log_stds (S,X,Y,Z,2|3).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+
     outs = []
     for i in range(0, data.shape[0], chunk):
         block = jnp.asarray(data[i:i + chunk])
         masked = block[..., :-1] * block[..., -1:]
         key, k = jax.random.split(key)
-        outs.append(jax.tree_util.tree_map(
-            np.asarray, _summarize(tuner, params, k, masked,
-                                   no_samples=no_samples,
-                                   use_first_op=use_first_op)))
+        if use_pallas:
+            from .ops.pallas_summarize import mc_posterior_summaries
+
+            q, raw_log_stds = _encode_q(tuner, params, masked,
+                                        use_first_op=use_first_op)
+            seed = jax.random.randint(k, (), 0, np.int32(2**31 - 1))
+            cfg = tuner.cfg
+            means, variances = mc_posterior_summaries(
+                q.reshape(-1, q.shape[-1]), seed,
+                no_samples=no_samples, mvg=cfg.use_mvg,
+                oef_range=cfg.oef_range, min_oef=cfg.min_oef,
+                dbv_range=cfg.dbv_range, min_dbv=cfg.min_dbv,
+                dw_coeff=float(tuner.scan.dw_coeff * tuner.scan.hct))
+            out = {
+                "means": means.reshape(q.shape[:-1] + (3,)),
+                "stds": variances.reshape(q.shape[:-1] + (3,)),
+                "raw_log_stds": raw_log_stds,
+            }
+        else:
+            out = _summarize(tuner, params, k, masked,
+                             no_samples=no_samples,
+                             use_first_op=use_first_op)
+        outs.append(jax.tree_util.tree_map(np.asarray, out))
     cat = {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
     means = cat["means"]
     return {

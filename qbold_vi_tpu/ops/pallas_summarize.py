@@ -42,11 +42,19 @@ _TWO_PI = 2.0 * math.pi
 def _box_muller(shape):
     """Two independent standard-normal draws of ``shape`` (rank >= 2)
     from the on-chip PRNG (must be seeded first)."""
-    b1 = pltpu.prng_random_bits(shape)
-    b2 = pltpu.prng_random_bits(shape)
-    # 24-bit mantissa uniforms in (0, 1]; avoids log(0).
-    u1 = (b1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
-    u2 = (b2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    # bitcast to uint32 BEFORE shifting: the raw bits arrive as int32 and
+    # an arithmetic >> of negative values sign-extends, producing
+    # negative "uniforms" (and NaNs through log). Mosaic cannot cast
+    # uint32 -> float32, so bitcast the (now < 2^24, hence non-negative)
+    # shifted value back to int32 first.
+    def bits_to_unit(raw):
+        b = pltpu.bitcast(raw, jnp.uint32) >> 8
+        return pltpu.bitcast(b, jnp.int32).astype(jnp.float32) * (
+            1.0 / (1 << 24))
+
+    # 24-bit mantissa uniforms in (0, 1]; +1e-12 avoids log(0).
+    u1 = bits_to_unit(pltpu.prng_random_bits(shape)) + 1e-12
+    u2 = bits_to_unit(pltpu.prng_random_bits(shape))
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(_TWO_PI * u2), r * jnp.sin(_TWO_PI * u2)
 

@@ -112,19 +112,32 @@ def r2_prime(oef, dbv, hct, scan: ScanParams):
     return delta_omega(oef, hct, scan) * dbv
 
 
-def tissue_signal_full(dw, dbv, taus, te: float, r2t: float):
+def tissue_signal_full(dw, dbv, taus, te: float, r2t: float,
+                       reference_fp32_compat: bool = False):
     """Full static-dephasing-regime tissue signal (signals.py:159-193).
 
     dw, dbv: broadcastable to (..., n_taus) or (...,) scalars per voxel.
     taus:    (n_taus,) float32.
     Returns (..., n_taus).
+
+    ``reference_fp32_compat``: the reference evaluates ``1 - J0(x)`` by
+    direct fp32 subtraction (signals.py:170); near the u->0 quadrature
+    nodes 1-J0 ~ x^2/4 is below fp32 epsilon and truncates to ZERO, while
+    the integrand g(u)*(1-J0) there has the finite limit (1.5 tau dw)^2/6
+    -- so the reference systematically underestimates the integral by up
+    to ~1.5% at high tau*dw (up to ~5% relative in the decayed signal).
+    The default uses a cancellation-free series for 1-J0 (bessel.py),
+    which tests gate as strictly more accurate against a float64 oracle;
+    compat mode reproduces the reference's truncation for bit-level
+    parity runs (tests/test_parity_reference.py).
     """
     c = taus * _align_tau(dw, taus.shape[0])   # (..., n_taus)
     # (..., n_taus, P) lattice; XLA keeps this inside one fusion.
     x = 1.5 * c[..., None] * _U
     # gw ~ 1/u^2 at the lower limit is cancelled by (1-J0) ~ x^2/4; computing
     # the product per-node (with a cancellation-free 1-J0) keeps fp32 accuracy.
-    integral = jnp.sum(_GW * one_minus_j0(x), axis=-1)   # (..., n_taus)
+    omj = (1.0 - bessel_j0(x)) if reference_fp32_compat else one_minus_j0(x)
+    integral = jnp.sum(_GW * omj, axis=-1)   # (..., n_taus)
     dbv_b = _align_tau(dbv, taus.shape[0])
     return jnp.exp(-dbv_b * integral) * math.exp(-te * r2t)
 
@@ -195,15 +208,18 @@ def blood_signal(oef, hct, taus, scan: ScanParams):
     )
 
 
-@partial(jax.jit, static_argnames=("scan", "full_model", "include_blood"))
+@partial(jax.jit, static_argnames=("scan", "full_model", "include_blood",
+                                   "reference_fp32_compat"))
 def ase_signal(oef, dbv, scan: ScanParams, hct=None, *,
-               full_model: bool = True, include_blood: bool = True):
+               full_model: bool = True, include_blood: bool = True,
+               reference_fp32_compat: bool = False):
     """Noise-free ASE signal for (OEF, DBV[, hct]) voxels
     (reference: signals.py:55-140 minus the noise/misalignment stages,
     which are separate pure functions here).
 
     oef, dbv: (...,) or (..., n_taus) after misalignment augmentation.
-    Returns (..., n_taus) float32.
+    Returns (..., n_taus) float32. ``reference_fp32_compat``: see
+    tissue_signal_full.
     """
     taus = jnp.asarray(scan.taus())
     if hct is None:
@@ -213,7 +229,8 @@ def ase_signal(oef, dbv, scan: ScanParams, hct=None, *,
     dw = delta_omega(oef, hct, scan)
 
     if full_model:
-        tissue = tissue_signal_full(dw, dbv, taus, scan.te, scan.r2t)
+        tissue = tissue_signal_full(dw, dbv, taus, scan.te, scan.r2t,
+                                    reference_fp32_compat=reference_fp32_compat)
     else:
         tissue = tissue_signal_asymptotic(dw, dbv, taus, scan.te, scan.r2t)
 

@@ -15,8 +15,11 @@ import os
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if not os.environ.get("QBOLD_TEST_TPU"):
+    # Default: virtual 8-device CPU mesh. Set QBOLD_TEST_TPU=1 to keep
+    # the real TPU backend (runs the Pallas kernel tests, skips none).
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import numpy as np  # noqa: E402
