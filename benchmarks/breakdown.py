@@ -129,9 +129,11 @@ def main():
             rng.uniform(1, 10, size=(cfg.train.pt_batch_size, 10, 10, 5, 1)),
         ], -1).astype(np.float32)),
     }
+    # fresh params: the fine-tune step above donated its state buffers
+    params2 = tuner.init(jax.random.PRNGKey(3), data[:1, :8, :8, :1])
     popt = qoptim.make_pretrain_optimizer(cfg.train)
-    pst = qsteps.TrainState(params, popt.init(params),
-                            qoptim.swa_init(params), jnp.zeros([], jnp.int32))
+    pst = qsteps.TrainState(params2, popt.init(params2),
+                            qoptim.swa_init(params2), jnp.zeros([], jnp.int32))
     pstep = qsteps.make_pretrain_step(tuner, cfg, popt)
     pholder = {"st": pst}
 

@@ -146,6 +146,10 @@ class TrainConfig:
     pt_batch_size: int = 512          # reference: train.py:103
     swa_start: int = 880              # reference: train.py:385 (22*40)
     swa_period: int = 22
+    # TPU-native extension: draw synthetic pretraining batches on device
+    # inside the jitted step (fresh iid population samples, zero host
+    # transfer) instead of a fixed host-generated dataset.
+    pt_on_device_synth: bool = False
     seed: int = 1
     save_directory: str = "optimal"
     data_directory: str = "/home/data/qbold"

@@ -87,11 +87,32 @@ def _poly(coeffs, t):
     return acc
 
 
+def bessel_j1(x: jax.Array) -> jax.Array:
+    """Bessel function of the first kind, order 1 (odd: J1(-x) = -J1(x)).
+
+    Also the analytic derivative kernel for J0: d/dx J0(x) = -J1(x),
+    d/dx [1 - J0(x)] = J1(x).
+    """
+    ax = jnp.abs(x)
+    t_small = jnp.square(jnp.minimum(ax, 3.0) / 3.0)
+    small = _poly(_J1_SMALL, t_small) * ax
+    z = 3.0 / jnp.maximum(ax, 3.0)
+    f = _poly(_J1_F, z)
+    theta = ax + _poly(_J1_THETA, z)
+    large = f * jnp.cos(theta) * jax.lax.rsqrt(jnp.maximum(ax, 3.0))
+    mag = jnp.where(ax <= 3.0, small, large)
+    return jnp.sign(x) * mag
+
+
+@jax.custom_jvp
 def bessel_j0(x: jax.Array) -> jax.Array:
     """Bessel function of the first kind, order 0.
 
     Valid to ~1e-7 absolute error for |x| in [0, ~60]; intended argument
     range here is [0, ~40] (signals.py:170 evaluates J0(1.5*tau*dw*u)).
+    Differentiation uses the analytic identity J0' = -J1 (custom_jvp)
+    instead of AD through the piecewise polynomials -- cheaper on the
+    backward pass of the quadrature and exact at the branch seam.
     """
     ax = jnp.abs(x)
     # Small branch: polynomial in (x/3)^2. Clamp so the unused lane is finite.
@@ -105,6 +126,13 @@ def bessel_j0(x: jax.Array) -> jax.Array:
     return jnp.where(ax <= 3.0, small, large)
 
 
+@bessel_j0.defjvp
+def _bessel_j0_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    return bessel_j0(x), -bessel_j1(x) * t
+
+
+@jax.custom_jvp
 def one_minus_j0(x: jax.Array) -> jax.Array:
     """1 - J0(x), computed without cancellation for small |x|.
 
@@ -115,6 +143,7 @@ def one_minus_j0(x: jax.Array) -> jax.Array:
     reference silently truncates to zero). For |x| <= 1 we use the exact
     power series 1-J0(x) = sum_{k>=1} (-1)^{k+1} (x^2/4)^k / (k!)^2,
     which keeps full relative accuracy; elsewhere the subtraction is safe.
+    Derivative via the identity (1-J0)' = J1 (custom_jvp).
     """
     ax = jnp.abs(x)
     q = jnp.square(jnp.minimum(ax, 1.0)) * 0.25
@@ -123,18 +152,7 @@ def one_minus_j0(x: jax.Array) -> jax.Array:
     return jnp.where(ax <= 1.0, series, 1.0 - bessel_j0(x))
 
 
-def bessel_j1(x: jax.Array) -> jax.Array:
-    """Bessel function of the first kind, order 1 (odd: J1(-x) = -J1(x)).
-
-    Needed for the analytic gradient of the quadrature in the forward
-    model: d/dz [1 - J0(z)] = J1(z).
-    """
-    ax = jnp.abs(x)
-    t_small = jnp.square(jnp.minimum(ax, 3.0) / 3.0)
-    small = _poly(_J1_SMALL, t_small) * ax
-    z = 3.0 / jnp.maximum(ax, 3.0)
-    f = _poly(_J1_F, z)
-    theta = ax + _poly(_J1_THETA, z)
-    large = f * jnp.cos(theta) * jax.lax.rsqrt(jnp.maximum(ax, 3.0))
-    mag = jnp.where(ax <= 3.0, small, large)
-    return jnp.sign(x) * mag
+@one_minus_j0.defjvp
+def _one_minus_j0_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    return one_minus_j0(x), bessel_j1(x) * t

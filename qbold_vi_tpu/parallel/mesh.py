@@ -64,13 +64,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: Any, axis_name: str = DATA_AXIS) -> Any:
-    """Device-put a pytree of host arrays, sharded on the leading axis.
+def shard_batch(mesh: Mesh, batch: Any, axis_name: str = DATA_AXIS,
+                time_axis: bool = False) -> Any:
+    """Device-put a pytree of host arrays, sharded on the leading axis
+    (or on axis 1 when ``time_axis`` -- for (T, B, ...) epoch stacks fed
+    to scan-based whole-epoch steps).
 
-    Leading dims must be divisible by the mesh size (callers pad or pick
-    batch sizes accordingly; static shapes keep XLA happy)."""
+    The sharded dim must be divisible by the mesh size (callers pad or
+    pick batch sizes accordingly; static shapes keep XLA happy)."""
     def put(x):
         x = np.asarray(x)
+        if time_axis:
+            spec = P(None, axis_name, *([None] * (x.ndim - 2)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
         return jax.device_put(x, batch_sharding(mesh, x.ndim, axis_name))
     return jax.tree_util.tree_map(put, batch)
 

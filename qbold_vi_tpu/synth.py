@@ -65,6 +65,33 @@ def sample_population_params(key: jax.Array, synth: SynthParams):
     return oefs, dbvs
 
 
+def sample_batch_params(key: jax.Array, synth: SynthParams, n: int):
+    """IID draw of n (OEF, DBV) pairs from the population mixture.
+
+    Used by the on-device streaming pretraining path: instead of a fixed
+    meshgrid cross-product dataset (signals.py:270-271) regenerated on
+    host and shipped over PCIe/DCN every epoch, each train step draws a
+    fresh iid batch directly on device. Marginals match the reference's;
+    the cross-product's pairing structure (every OEF with every DBV) is
+    a superset of iid pairing and carries no extra information for a
+    voxelwise regressor.
+    """
+    k_sel_o, k_sel_d, k_ou, k_on, k_du, k_dn = jax.random.split(key, 6)
+    oef_u = jax.random.uniform(k_ou, (n,), minval=synth.oef_start,
+                               maxval=synth.oef_end)
+    oef_n = jnp.clip(jax.random.normal(k_on, (n,)) * synth.oef_std
+                     + synth.oef_mean, synth.oef_start, synth.oef_end)
+    oef = jnp.where(jax.random.uniform(k_sel_o, (n,)) < synth.uniform_prop,
+                    oef_u, oef_n)
+    dbv_u = jax.random.uniform(k_du, (n,), minval=synth.dbv_start,
+                               maxval=synth.dbv_end)
+    dbv_n = truncated_normal(k_dn, (n,), synth.dbv_mean, synth.dbv_std,
+                             synth.dbv_start, synth.dbv_end)
+    dbv = jnp.where(jax.random.uniform(k_sel_d, (n,)) < synth.uniform_prop,
+                    dbv_u, dbv_n)
+    return oef, dbv
+
+
 @partial(jax.jit, static_argnames=("scan", "synth", "full_model", "use_blood"))
 def create_synthetic_dataset(key: jax.Array, scan: ScanParams, synth: SynthParams,
                              *, full_model: bool = True, use_blood: bool = True):

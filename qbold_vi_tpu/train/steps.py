@@ -84,6 +84,63 @@ def make_pretrain_step(tuner: FineTuner, cfg: QBoldConfig,
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_pretrain_stream_step(tuner: FineTuner, cfg: QBoldConfig,
+                              optimizer: optax.GradientTransformation,
+                              vol_shape=(10, 10, 5)):
+    """On-device streaming pretraining step: the synthetic batch is drawn
+    and decoded through the physics forward model INSIDE the jitted step
+    -- zero host->device data movement (the reference ships a ~1 GB
+    host-generated batch per step at the published sizes,
+    train.py:103,419-421).
+
+    Each step sees a fresh iid population draw (synth.sample_batch_params)
+    pushed through the same augmentation/noise pipeline as
+    create_synthetic_dataset. Returns jitted (state, key) ->
+    (state, metrics).
+    """
+    from ..ops import physics
+    from ..synth import sample_batch_params
+
+    scan, synth = cfg.scan, cfg.synth
+    vol = vol_shape[0] * vol_shape[1] * vol_shape[2]
+    n_vox = cfg.train.pt_batch_size * vol
+
+    def step(state: TrainState, key):
+        k_par, k_mis, k_noise, k_loss = jax.random.split(key, 4)
+        oef, dbv = sample_batch_params(k_par, synth, n_vox)
+        r2p = physics.r2_prime(oef, dbv, scan.hct, scan)
+        y = jnp.stack([oef, dbv, r2p], -1)
+
+        sig_oef, sig_dbv = oef, dbv
+        if synth.misalign_prob > 0.0:
+            sig_oef, sig_dbv = physics.misalign_params(
+                k_mis, oef, dbv, scan.n_taus, synth.misalign_prob)
+        x = physics.ase_signal(sig_oef, sig_dbv, scan,
+                               full_model=cfg.train.full_model,
+                               include_blood=cfg.train.use_blood)
+        if scan.simulate_noise:
+            x = physics.add_acquisition_noise(k_noise, x, scan.taus())
+
+        batch = {
+            "x": x.reshape((cfg.train.pt_batch_size,) + vol_shape
+                           + (scan.n_taus,)),
+            "y": y.reshape((cfg.train.pt_batch_size,) + vol_shape + (3,)),
+        }
+        loss, grads = jax.value_and_grad(_pretrain_loss)(
+            state.params, k_loss, batch, tuner, cfg)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        swa = state.swa
+        if swa is not None:
+            swa = swa_update(swa, params, cfg.train.swa_start,
+                             cfg.train.swa_period)
+        return (TrainState(params, opt_state, swa, state.step + 1),
+                {"loss": loss})
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def make_pretrain_eval(tuner: FineTuner, cfg: QBoldConfig):
     """Validation loss + OEF/DBV/R2' MSE metrics on synthetic data."""
 
@@ -149,6 +206,43 @@ def make_finetune_step(tuner: FineTuner, cfg: QBoldConfig,
         return TrainState(params, opt_state, state.swa, state.step + 1), aux
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_finetune_epoch(tuner: FineTuner, cfg: QBoldConfig,
+                        optimizer: optax.GradientTransformation):
+    """Whole-epoch fine-tune dispatch: ``lax.scan`` over T pre-stacked
+    batches, ONE host->device round trip per epoch.
+
+    Per-step dispatch latency through a remote TPU link is ~10 ms -- at
+    the published 100 steps/epoch (reference train.py:376) that is ~1 s
+    of pure overhead per epoch, removed here. Semantics are identical to
+    100 calls of make_finetune_step.
+
+    Returns jitted (state, key, batches{(T,B,...)}) -> (state, metrics)
+    with each metric of shape (T,).
+    """
+
+    def loss_fn(params, key, batch):
+        return _finetune_terms(params, key, batch, tuner, cfg)
+
+    def epoch(state: TrainState, key, batches):
+        n_steps = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        keys = jax.random.split(key, n_steps)
+
+        def body(state, xs):
+            k, batch = xs
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, k, batch)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
+            aux["loss"] = loss
+            return (TrainState(params, opt_state, state.swa, state.step + 1),
+                    aux)
+
+        return jax.lax.scan(body, state, (keys, batches))
+
+    return jax.jit(epoch, donate_argnums=(0,))
 
 
 def make_finetune_eval(tuner: FineTuner, cfg: QBoldConfig,

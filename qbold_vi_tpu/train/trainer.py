@@ -37,8 +37,9 @@ from ..parallel import mesh as pmesh
 from ..synth import create_synthetic_dataset
 from . import data as data_pipe
 from .optim import make_finetune_optimizer, make_pretrain_optimizer, swa_init
-from .steps import (TrainState, make_finetune_eval, make_finetune_step,
-                    make_pretrain_eval, make_pretrain_step)
+from .steps import (TrainState, make_finetune_epoch, make_finetune_eval,
+                    make_pretrain_eval, make_pretrain_step,
+                    make_pretrain_stream_step)
 
 __all__ = ["WeightStatus", "Trainer"]
 
@@ -179,14 +180,32 @@ class Trainer:
         if self.status.value >= WeightStatus.PRE_TRAINED.value:
             return self.state
 
-        if synthetic is None:
+        streaming = cfg.train.pt_on_device_synth and synthetic is None
+        if streaming:
+            # Validation still uses a small fixed host set; training draws
+            # fresh batches on device (steps.make_pretrain_stream_step).
+            import dataclasses
+
+            val_synth = dataclasses.replace(
+                cfg.synth, sample_size=min(cfg.synth.sample_size, 160))
             x, y = create_synthetic_dataset(
-                self._next_key(), cfg.scan, cfg.synth,
+                self._next_key(), cfg.scan, val_synth,
                 full_model=cfg.train.full_model, use_blood=cfg.train.use_blood)
-            x, y = np.asarray(x), np.asarray(y)
+            (_, _), (vx, vy) = data_pipe.split_synthetic(
+                np.asarray(x), np.asarray(y))
+            vol = 500  # pseudo-volume voxels (10*10*5)
+            steps_per_epoch = max(1, round(
+                0.9 * cfg.synth.sample_size**2 / vol / cfg.train.pt_batch_size))
         else:
-            x, y = synthetic
-        (tx, ty), (vx, vy) = data_pipe.split_synthetic(x, y)
+            if synthetic is None:
+                x, y = create_synthetic_dataset(
+                    self._next_key(), cfg.scan, cfg.synth,
+                    full_model=cfg.train.full_model,
+                    use_blood=cfg.train.use_blood)
+                x, y = np.asarray(x), np.asarray(y)
+            else:
+                x, y = synthetic
+            (tx, ty), (vx, vy) = data_pipe.split_synthetic(x, y)
 
         optimizer = make_pretrain_optimizer(cfg.train)
         params = self._init_params()
@@ -197,6 +216,8 @@ class Trainer:
             state = pmesh.replicate(self.mesh, state)
 
         step_fn = make_pretrain_step(self.tuner, cfg, optimizer)
+        stream_fn = (make_pretrain_stream_step(self.tuner, cfg, optimizer)
+                     if streaming else None)
         eval_fn = make_pretrain_eval(self.tuner, cfg)
         rng = np.random.default_rng(cfg.train.seed)
 
@@ -208,12 +229,17 @@ class Trainer:
         for epoch in range(cfg.train.no_pt_epochs):
             t0 = time.time()
             losses = []
-            for batch in data_pipe.synthetic_batches(rng, tx, ty,
-                                                     cfg.train.pt_batch_size):
-                if self.mesh is not None:
-                    batch = pmesh.shard_batch(self.mesh, batch)
-                state, m = step_fn(state, self._next_key(), batch)
-                losses.append(m["loss"])
+            if streaming:
+                for _ in range(steps_per_epoch):
+                    state, m = stream_fn(state, self._next_key())
+                    losses.append(m["loss"])
+            else:
+                for batch in data_pipe.synthetic_batches(
+                        rng, tx, ty, cfg.train.pt_batch_size):
+                    if self.mesh is not None:
+                        batch = pmesh.shard_batch(self.mesh, batch)
+                    state, m = step_fn(state, self._next_key(), batch)
+                    losses.append(m["loss"])
             metrics = eval_fn(state.params, self._next_key(), val_batch)
             metrics = dict(metrics)
             metrics["loss"] = jnp.mean(jnp.stack(losses))
@@ -287,19 +313,21 @@ class Trainer:
         if self.mesh is not None:
             state = pmesh.replicate(self.mesh, state)
 
-        step_fn = make_finetune_step(self.tuner, cfg, optimizer)
+        epoch_fn = make_finetune_epoch(self.tuner, cfg, optimizer)
         eval_fn = make_finetune_eval(self.tuner, cfg)
 
         for epoch in range(cfg.train.no_ft_epochs):
             t0 = time.time()
-            losses = []
-            for _ in range(cfg.train.ft_steps_per_epoch):
-                batch = sampler.sample(cfg.train.ft_batch_size)
-                if self.mesh is not None:
-                    batch = pmesh.shard_batch(self.mesh, batch)
-                state, m = step_fn(state, self._next_key(), batch)
-                losses.append(m["loss"])
-            metrics = {"loss": jnp.mean(jnp.stack(losses)),
+            # Pre-sample the whole epoch's crops and run one scan dispatch
+            # (steps.make_finetune_epoch).
+            crops = [sampler.sample(cfg.train.ft_batch_size)
+                     for _ in range(cfg.train.ft_steps_per_epoch)]
+            stacked = {k: np.stack([c[k] for c in crops]) for k in crops[0]}
+            if self.mesh is not None:
+                stacked = pmesh.shard_batch(self.mesh, stacked,
+                                            time_axis=True)
+            state, m = epoch_fn(state, self._next_key(), stacked)
+            metrics = {"loss": jnp.mean(m["loss"]),
                        "epoch_time_s": time.time() - t0}
             if eval_sampler is not None:
                 vals = []

@@ -44,8 +44,24 @@ def test_j0_at_zero_and_small_args():
 
 
 def test_j1_is_j0_derivative():
-    # d/dx J0(x) = -J1(x); check our autodiff of j0 against our j1
-    x = jnp.linspace(0.1, 35.0, 501)
-    dj0 = jax.vmap(jax.grad(lambda v: bessel_j0(v)))(x)
-    np.testing.assert_allclose(np.asarray(dj0), -np.asarray(bessel_j1(x)),
-                               atol=2e-4)
+    # custom_jvp: d/dx J0(x) = -J1(x) analytically -- gate against scipy's
+    # true derivative, not our own J1 (which would be circular now).
+    x = np.linspace(0.1, 35.0, 501, dtype=np.float64)
+    dj0 = jax.vmap(jax.grad(lambda v: bessel_j0(v)))(jnp.asarray(x, jnp.float32))
+    np.testing.assert_allclose(np.asarray(dj0, np.float64), -sps.j1(x),
+                               atol=5e-6)
+
+
+def test_one_minus_j0_value_and_grad():
+    from qbold_vi_tpu.ops.bessel import one_minus_j0
+
+    x = np.concatenate([np.logspace(-6, 0, 31), np.linspace(1.01, 35, 200)])
+    ours = np.asarray(one_minus_j0(jnp.asarray(x, jnp.float32)), np.float64)
+    ref = 1.0 - sps.j0(x)
+    # relative accuracy even at tiny x (where direct fp32 subtraction dies)
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=5e-6)
+
+    g = jax.vmap(jax.grad(lambda v: one_minus_j0(v)))(
+        jnp.asarray(x, jnp.float32))
+    np.testing.assert_allclose(np.asarray(g, np.float64), sps.j1(x),
+                               atol=5e-6)
