@@ -145,6 +145,36 @@ def main():
     pt_vox = int(np.prod(pb["x"].shape[:-1]))
     print(f"pretrain step:     {dt*1e3:8.2f} ms  ({pt_vox/dt/1e6:8.1f} M voxel/s)")
 
+    # streaming pretrain step (on-device synth gen, zero host transfer)
+    params3 = tuner.init(jax.random.PRNGKey(4), data[:1, :8, :8, :1])
+    sst = qsteps.TrainState(params3, popt.init(params3),
+                            qoptim.swa_init(params3), jnp.zeros([], jnp.int32))
+    sstep = qsteps.make_pretrain_stream_step(tuner, cfg, popt)
+    sholder = {"st": sst}
+
+    def spt():
+        sholder["st"], m = sstep(sholder["st"], key)
+        return sholder["st"]
+
+    dt = timed(spt, sync)
+    print(f"pretrain stream:   {dt*1e3:8.2f} ms  ({pt_vox/dt/1e6:8.1f} M voxel/s)")
+
+    # whole-epoch scan (10 fine-tune steps in one dispatch)
+    T = 10
+    ebatches = {k: jnp.broadcast_to(v, (T,) + v.shape) for k, v in batch.items()}
+    params4 = tuner.init(jax.random.PRNGKey(5), data[:1, :8, :8, :1])
+    est = qsteps.TrainState(params4, opt.init(params4), None,
+                            jnp.zeros([], jnp.int32))
+    efn = qsteps.make_finetune_epoch(tuner, cfg, opt)
+    eholder = {"st": est}
+
+    def ep():
+        eholder["st"], m = efn(eholder["st"], key, ebatches)
+        return eholder["st"]
+
+    dt = timed(ep, sync, reps=3)
+    print(f"ft epoch scan/step:{dt/T*1e3:8.2f} ms  ({ft_vox*T/dt/1e6:8.1f} M voxel/s)")
+
 
 if __name__ == "__main__":
     main()

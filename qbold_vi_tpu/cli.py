@@ -92,11 +92,42 @@ def cmd_train(args) -> int:
         # GM-mask variants for validation (reference train.py:215-226)
         study = np.concatenate([hyperv[..., :-1], baseline[..., :-1]], axis=0)
 
+    import jax
+    from . import infer
+
+    # Post-pretrain artifacts + population stats for prior initialisation
+    # (reference train.py:241-251)
+    if baseline is not None:
+        stats = trainer.estimate_population_param_distribution(
+            np.concatenate([baseline[..., :-2], baseline[..., -1:]], -1))
+        print("population stats (for prior init):", stats)
+        if trainer.status.name == "PRE_TRAINED":
+            for name, arr in (("pt_baseline", baseline), ("pt_hyperv", hyperv)):
+                if arr is None:
+                    continue
+                with_brain_mask = np.concatenate(
+                    [arr[..., :-2], arr[..., -1:]], -1)
+                tdir = os.path.join(d, f"transforms_{name.split('_')[1]}")
+                infer.save_predictions(
+                    trainer.tuner, cfg, trainer.state.params, with_brain_mask,
+                    os.path.join(cfg.train.save_directory, name),
+                    jax.random.PRNGKey(5),
+                    transform_directory=tdir if os.path.isdir(tdir) else None)
+
+    # Per-voxel priors from the PRE-finetune model, used for the KL maps
+    # in the final exports (reference train.py:227-236)
+    from .train import data as data_pipe
+    k = 5 if cfg.model.use_mvg else 4
+    priors = {}
+    for name, arr in (("baseline", baseline), ("hyperv", hyperv)):
+        if arr is not None:
+            wbm = np.concatenate([arr[..., :-2], arr[..., -1:]], -1)
+            priors[name] = data_pipe.predict_priors(
+                trainer._encode_fn(), wbm, k)
+
     trainer.finetune(train_data, study_data=study)
 
     # Posterior export for the study sets (reference train.py:241-279)
-    import jax
-    from . import infer
     for name, arr in (("baseline", baseline), ("hyperv", hyperv)):
         if arr is None:
             continue
@@ -107,7 +138,7 @@ def cmd_train(args) -> int:
             os.path.join(cfg.train.save_directory, name),
             jax.random.PRNGKey(7),
             transform_directory=tdir if os.path.isdir(tdir) else None,
-            use_first_op=False, fine_tuned=True)
+            use_first_op=False, fine_tuned=True, priors=priors.get(name))
     return 0
 
 
