@@ -77,6 +77,15 @@ def main():
     dt = timed(lambda: encode(data), sync)
     print(f"encode:            {dt*1e3:8.2f} ms  ({n_vox/dt/1e6:8.1f} M voxel/s)")
 
+    import dataclasses
+    tuner16 = FineTuner(dataclasses.replace(cfg.model,
+                                            compute_dtype="bfloat16"),
+                        scan, full_model=cfg.train.full_model,
+                        use_blood=cfg.train.use_blood)
+    encode16 = jax.jit(lambda im: tuner16.encode(params, im)[1])
+    dt = timed(lambda: encode16(data), sync)
+    print(f"encode (bf16):     {dt*1e3:8.2f} ms  ({n_vox/dt/1e6:8.1f} M voxel/s)")
+
     qf = q.reshape(-1, q.shape[-1])
 
     summ_jnp = jax.jit(lambda qq: dist.posterior_means_streamed(

@@ -119,6 +119,10 @@ class ModelConfig:
     min_oef: float = 0.04
     dbv_range: float = 0.2
     min_dbv: float = 0.001
+    # TPU extension: compute dtype for the encoder trunk (conv stacks).
+    # "bfloat16" runs the MXU at full rate; params and the distribution /
+    # sigma heads always stay float32.
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -204,6 +208,9 @@ _FLAT_KEY_MAP: dict[str, tuple[str, str]] = {
     "predict_log_data": ("model", "predict_log_data"),
     "save_directory": ("train", "save_directory"),
     "wandb_project": ("train", "wandb_project"),
+    # TPU extensions (not in the reference's key set)
+    "pt_on_device_synth": ("train", "pt_on_device_synth"),
+    "compute_dtype": ("model", "compute_dtype"),
     "d": ("train", "data_directory"),
     "name": (None, "name"),
 }

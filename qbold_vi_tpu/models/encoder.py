@@ -53,18 +53,23 @@ def _activation(name: str):
     return getattr(nn, name) if name != "linear" else (lambda x: x)
 
 
+def _dtype_of(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
 class ConvXY(nn.Module):
     """3x3x1 'Conv3D' as a z-folded 2-D conv (see module docstring)."""
 
     features: int
     init_std: float
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, d, c = x.shape
         x2 = jnp.moveaxis(x, 3, 1).reshape(b * d, h, w, c)
         y = nn.Conv(
-            self.features, (3, 3), padding="SAME",
+            self.features, (3, 3), padding="SAME", dtype=self.dtype,
             kernel_init=nn.initializers.normal(self.init_std),
         )(x2)
         return jnp.moveaxis(y.reshape(b, d, h, w, self.features), 1, 3)
@@ -84,9 +89,11 @@ class GatedResBlock(nn.Module):
     def __call__(self, net1, net2, *, deterministic: bool = True):
         cfg = self.cfg
         act = _activation(cfg.activation)
+        dt = _dtype_of(cfg)
         # Shared 1x1x1 conv applied to both stream 1 and the skip path
         # (reference model.py:144-148 reuses one conv_layer object).
-        shared = nn.Dense(cfg.no_units, kernel_init=nn.initializers.he_normal())
+        shared = nn.Dense(cfg.no_units, dtype=dt,
+                          kernel_init=nn.initializers.he_normal())
         out1 = act(shared(net1))
         skip = act(shared(net2))
 
@@ -99,14 +106,15 @@ class GatedResBlock(nn.Module):
 
         h = norm_drop(net2)
         h = act(h)
-        h = ConvXY(cfg.no_units, cfg.resid_init_std)(h)
+        h = ConvXY(cfg.no_units, cfg.resid_init_std, dtype=dt)(h)
         h = norm_drop(h)
         h = act(h)
-        h = ConvXY(cfg.no_units, cfg.resid_init_std)(h)
+        h = ConvXY(cfg.no_units, cfg.resid_init_std, dtype=dt)(h)
 
         gating_units = cfg.no_units if cfg.channelwise_gating else 1
         gate_raw = nn.Dense(
-            gating_units, kernel_init=nn.initializers.normal(cfg.resid_init_std)
+            gating_units, dtype=dt,
+            kernel_init=nn.initializers.normal(cfg.resid_init_std)
         )(h)
         gate = nn.sigmoid(gate_raw + cfg.gate_offset)
         out2 = skip * (1.0 - gate) + h * gate
@@ -132,7 +140,8 @@ class Encoder(nn.Module):
     def setup(self):
         cfg = self.cfg
         self.first_conv = nn.Dense(
-            cfg.no_units, kernel_init=nn.initializers.he_normal())
+            cfg.no_units, dtype=_dtype_of(cfg),
+            kernel_init=nn.initializers.he_normal())
         self.blocks = [
             GatedResBlock(cfg, name=f"block_{i}")
             for i in range(cfg.no_intermediate_layers)
@@ -169,6 +178,10 @@ class Encoder(nn.Module):
         net1 = net2 = features
         for blk in self.blocks:
             net1, net2 = blk(net1, net2, deterministic=deterministic)
+        # heads always run (and emit) float32: posterior means/log-stds
+        # and noise scales need full precision.
+        net1 = net1.astype(jnp.float32)
+        net2 = net2.astype(jnp.float32)
         out1 = self.final(net1)
         out2 = self.final(net2)
         sigma = jnp.exp(self.sigma_head(net2))

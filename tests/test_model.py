@@ -80,6 +80,24 @@ class TestEncoder:
         np.testing.assert_allclose(np.asarray(out1[0, 0, 0, 0, 4:]),
                                    [20.0, 2.5, 20.0, 2.5], rtol=1e-4)
 
+    def test_bfloat16_trunk_close_to_fp32(self):
+        """compute_dtype=bfloat16 runs the trunk in bf16 (MXU-fast) but
+        heads emit float32 values close to the fp32 reference."""
+        import dataclasses
+
+        cfg16 = dataclasses.replace(CFG, compute_dtype="bfloat16")
+        enc32 = Encoder(CFG, n_taus=SCAN.n_taus, se_idx=SCAN.se_idx)
+        enc16 = Encoder(cfg16, n_taus=SCAN.n_taus, se_idx=SCAN.se_idx)
+        key = jax.random.PRNGKey(4)
+        img = _images(key)
+        params = enc32.init(key, img)  # same pytree works for both
+        o32 = enc32.apply(params, img)
+        o16 = enc16.apply(params, img)
+        for a, b in zip(o32, o16):
+            assert b.dtype == jnp.float32
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=0.05, rtol=0.05)
+
     def test_voxelwise_stream_is_spatially_local(self):
         """Stream-1 output at a voxel must not depend on neighbours
         (pure 1x1x1 path, reference model.py:198-199)."""
