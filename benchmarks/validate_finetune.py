@@ -1,0 +1,99 @@
+"""At-scale fine-tune validation: the full published phase-2 schedule on
+physically-generated fake brains, end-to-end through the Trainer.
+
+Builds 6 subjects of 64x64x8 ASE volumes from smooth (OEF, DBV) maps via
+the forward model (+ noise + elliptical brain mask), pretrains
+(streaming), fine-tunes with the MC-ELBO, then checks posterior maps
+against the generating parameters inside the mask.
+
+    python benchmarks/validate_finetune.py [--ft-epochs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def make_subjects(scan, n=6, x=64, y=64, z=8, seed=0):
+    import jax.numpy as jnp
+
+    from qbold_vi_tpu.ops import physics
+
+    rng = np.random.default_rng(seed)
+    # smooth parameter maps: low-freq random fields
+    def smooth_field(lo, hi):
+        coarse = rng.uniform(0, 1, size=(n, 8, 8, 4))
+        f = np.stack([np.kron(c, np.ones((x // 8, y // 8, z // 4)))
+                      for c in coarse])
+        return (lo + (hi - lo) * f).astype(np.float32)
+
+    oef = smooth_field(0.2, 0.6)
+    dbv = smooth_field(0.01, 0.12)
+    xx, yy = np.meshgrid(np.linspace(-1, 1, x), np.linspace(-1, 1, y),
+                         indexing="ij")
+    mask2d = ((xx**2 + yy**2) < 0.85).astype(np.float32)
+    mask = np.broadcast_to(mask2d[None, :, :, None, None],
+                           (n, x, y, z, 1)).astype(np.float32)
+
+    sig = np.asarray(physics.ase_signal(jnp.asarray(oef), jnp.asarray(dbv),
+                                        scan)) * 800.0
+    noise = rng.normal(size=sig.shape).astype(np.float32) * sig.mean() / 80.0
+    data = np.concatenate([(sig + noise) * mask, mask], -1)
+    return data, oef, dbv, mask[..., 0]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ft-epochs", type=int, default=40)
+    ap.add_argument("--outdir", default="/tmp/ft_validate")
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+
+    from qbold_vi_tpu.config import OPTIMAL
+    from qbold_vi_tpu.infer import posterior_maps
+    from qbold_vi_tpu.train.trainer import Trainer
+
+    cfg = dataclasses.replace(
+        OPTIMAL,
+        train=dataclasses.replace(
+            OPTIMAL.train, pt_on_device_synth=True, no_pt_epochs=30,
+            no_ft_epochs=args.ft_epochs, save_directory=args.outdir),
+        scan=dataclasses.replace(OPTIMAL.scan, simulate_noise=True),
+    )
+    data, oef_true, dbv_true, mask = make_subjects(cfg.scan)
+
+    t0 = time.time()
+    tr = Trainer(cfg)
+    tr.pretrain()
+    t_pt = time.time() - t0
+    print(f"pretrain: {t_pt:.1f}s")
+
+    t0 = time.time()
+    tr.finetune(data, study_data=data[:2])
+    t_ft = time.time() - t0
+    print(f"finetune ({args.ft_epochs} epochs x "
+          f"{cfg.train.ft_steps_per_epoch} steps): {t_ft:.1f}s")
+
+    maps = posterior_maps(tr.tuner, tr.state.params, data,
+                          jax.random.PRNGKey(9), use_first_op=False)
+    m = mask > 0
+    oef_err = np.abs(maps["oef"][..., 0] - oef_true)[m].mean()
+    dbv_err = np.abs(maps["dbv"][..., 0] - dbv_true)[m].mean()
+    oef_corr = np.corrcoef(maps["oef"][..., 0][m], oef_true[m])[0, 1]
+    dbv_corr = np.corrcoef(maps["dbv"][..., 0][m], dbv_true[m])[0, 1]
+    print(f"masked posterior-mean quality: |OEF err|={oef_err:.4f} "
+          f"(corr {oef_corr:.3f}), |DBV err|={dbv_err:.4f} "
+          f"(corr {dbv_corr:.3f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -250,11 +250,16 @@ def apply_flat_overrides(cfg: QBoldConfig, overrides: Mapping[str, Any]) -> QBol
                 name = str(val)
             else:
                 groups[group][fname] = _coerce(groups[group].get(fname), val)
-        elif key in ("tau_start", "tau_end", "tau_step", "te", "tr", "ti",
-                     "hct", "b0", "gamma", "dchi", "r2t", "t1b", "snr"):
-            groups["scan"][key] = _coerce(groups["scan"].get(key), val)
-        # Unknown keys are ignored (reference stores them in args; we have
-        # no dynamic attribute bag on a frozen dataclass).
+        else:
+            # Fall back to exact field-name matches across the groups
+            # (scan constants like tau_start, synth population keys like
+            # sample_size / oef_mean -- the reference's INI `config` keys).
+            # Unknown keys are ignored (the reference stores them in args;
+            # we have no dynamic attribute bag on a frozen dataclass).
+            for group in ("scan", "synth", "model", "train"):
+                if key in groups[group]:
+                    groups[group][key] = _coerce(groups[group][key], val)
+                    break
     # Enforce the reference's floors (train.py:431-432).
     groups["model"]["no_intermediate_layers"] = max(1, int(groups["model"]["no_intermediate_layers"]))
     groups["model"]["no_units"] = max(1, int(groups["model"]["no_units"]))

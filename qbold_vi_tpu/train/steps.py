@@ -84,6 +84,65 @@ def make_pretrain_step(tuner: FineTuner, cfg: QBoldConfig,
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_finetune_epoch_on_device(tuner: FineTuner, cfg: QBoldConfig,
+                                  optimizer: optax.GradientTransformation,
+                                  n_steps: int):
+    """Whole-epoch fine-tune dispatch with ON-DEVICE random cropping.
+
+    The full (S, X, Y, Z, n_taus+1) volume stack and its prior maps are
+    uploaded ONCE (a few MB); every scan step draws (subject, x0, y0)
+    with jax.random and extracts the 38-crop batch with dynamic_slice --
+    no per-epoch host crop assembly or transfer (the host-stacked path
+    ships ~0.8 GB/epoch at the published sizes). Distributionally
+    identical to data.RealCropSampler (uniform subjects with replacement,
+    uniform in-plane windows).
+
+    Returns jitted (state, key, volumes, priors) -> (state, metrics).
+    """
+    b = cfg.train.ft_batch_size
+
+    def loss_fn(params, key, batch):
+        return _finetune_terms(params, key, batch, tuner, cfg)
+
+    def epoch(state: TrainState, key, volumes, priors):
+        s_n, x_n, y_n, z_n, c_n = volumes.shape
+        cx = min(cfg.train.crop_size, x_n)
+        cy = min(cfg.train.crop_size, y_n)
+        k_p = priors.shape[-1]
+        keys = jax.random.split(key, n_steps)
+
+        def take(arr, si, xi, yi, c):
+            return jax.lax.dynamic_slice(
+                arr[si], (xi, yi, 0, 0), (cx, cy, z_n, c))
+
+        def body(state, k):
+            k_s, k_x, k_y, k_step = jax.random.split(k, 4)
+            si = jax.random.randint(k_s, (b,), 0, s_n)
+            xi = jax.random.randint(k_x, (b,), 0, x_n - cx + 1)
+            yi = jax.random.randint(k_y, (b,), 0, y_n - cy + 1)
+            windows = jax.vmap(take, (None, 0, 0, 0, None))(
+                volumes, si, xi, yi, c_n)
+            mask = windows[..., -1:]
+            batch = {
+                "images": windows[..., :-1] * mask,
+                "mask": mask,
+                "priors": jax.vmap(take, (None, 0, 0, 0, None))(
+                    priors, si, xi, yi, k_p),
+            }
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, k_step, batch)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
+            aux["loss"] = loss
+            return (TrainState(params, opt_state, state.swa, state.step + 1),
+                    aux)
+
+        return jax.lax.scan(body, state, keys)
+
+    return jax.jit(epoch, donate_argnums=(0,))
+
+
 def make_pretrain_stream_step(tuner: FineTuner, cfg: QBoldConfig,
                               optimizer: optax.GradientTransformation,
                               vol_shape=(10, 10, 5)):

@@ -37,7 +37,8 @@ from ..parallel import mesh as pmesh
 from ..synth import create_synthetic_dataset
 from . import data as data_pipe
 from .optim import make_finetune_optimizer, make_pretrain_optimizer, swa_init
-from .steps import (TrainState, make_finetune_epoch, make_finetune_eval,
+from .steps import (TrainState, make_finetune_epoch,
+                    make_finetune_epoch_on_device, make_finetune_eval,
                     make_pretrain_eval, make_pretrain_step,
                     make_pretrain_stream_step)
 
@@ -242,7 +243,8 @@ class Trainer:
                     losses.append(m["loss"])
             metrics = eval_fn(state.params, self._next_key(), val_batch)
             metrics = dict(metrics)
-            metrics["loss"] = jnp.mean(jnp.stack(losses))
+            # float() forces device sync so the timing is honest
+            metrics["loss"] = float(jnp.mean(jnp.stack(losses)))
             metrics["epoch_time_s"] = time.time() - t0
             self._log("pretrain", epoch, metrics)
 
@@ -313,21 +315,35 @@ class Trainer:
         if self.mesh is not None:
             state = pmesh.replicate(self.mesh, state)
 
-        epoch_fn = make_finetune_epoch(self.tuner, cfg, optimizer)
         eval_fn = make_finetune_eval(self.tuner, cfg)
+        if self.mesh is None:
+            # Single-device: volumes stay resident on device; crops are
+            # dynamic_slices inside the epoch scan -- no per-epoch host
+            # transfer (steps.make_finetune_epoch_on_device).
+            epoch_fn = make_finetune_epoch_on_device(
+                self.tuner, cfg, optimizer, cfg.train.ft_steps_per_epoch)
+            dev_volumes = jnp.asarray(sampler.data)
+            dev_priors = jnp.asarray(sampler.priors)
+        else:
+            # Mesh: host-sampled crops, sharded over the batch axis.
+            epoch_fn = make_finetune_epoch(self.tuner, cfg, optimizer)
 
         for epoch in range(cfg.train.no_ft_epochs):
             t0 = time.time()
-            # Pre-sample the whole epoch's crops and run one scan dispatch
-            # (steps.make_finetune_epoch).
-            crops = [sampler.sample(cfg.train.ft_batch_size)
-                     for _ in range(cfg.train.ft_steps_per_epoch)]
-            stacked = {k: np.stack([c[k] for c in crops]) for k in crops[0]}
-            if self.mesh is not None:
+            if self.mesh is None:
+                state, m = epoch_fn(state, self._next_key(),
+                                    dev_volumes, dev_priors)
+            else:
+                crops = [sampler.sample(cfg.train.ft_batch_size)
+                         for _ in range(cfg.train.ft_steps_per_epoch)]
+                stacked = {k: np.stack([c[k] for c in crops])
+                           for k in crops[0]}
                 stacked = pmesh.shard_batch(self.mesh, stacked,
                                             time_axis=True)
-            state, m = epoch_fn(state, self._next_key(), stacked)
-            metrics = {"loss": jnp.mean(m["loss"]),
+                state, m = epoch_fn(state, self._next_key(), stacked)
+            # float() forces device sync so the timing is honest
+            loss_val = float(jnp.mean(m["loss"]))
+            metrics = {"loss": loss_val,
                        "epoch_time_s": time.time() - t0}
             if eval_sampler is not None:
                 vals = []

@@ -1,0 +1,54 @@
+"""CLI integration tests: synth / baseline / train --smoke / infer."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from qbold_vi_tpu.cli import main
+
+
+def test_synth_command(tmp_path):
+    out = str(tmp_path / "synth.npz")
+    rc = main(["synth", "--set", "sample_size=30", "--output", out,
+               "--set", "save_directory=" + str(tmp_path)])
+    assert rc == 0
+    data = np.load(out)
+    assert data["x"].shape == (900, 11)
+    assert data["y"].shape == (900, 3)
+
+
+def test_baseline_command(tmp_path):
+    rng = np.random.default_rng(0)
+    vols = np.abs(rng.normal(size=(2, 6, 5, 3, 13))).astype(np.float32) + 0.5
+    path = str(tmp_path / "vols.npy")
+    np.save(path, vols)
+    out = str(tmp_path / "wls")
+    rc = main(["baseline", path, "--output", out])
+    assert rc == 0
+    for suffix in ("_oef", "_dbv", "_r2p"):
+        assert os.path.isfile(out + suffix + ".nii.gz")
+
+
+def test_train_smoke_and_infer_roundtrip(tmp_path):
+    save = str(tmp_path / "run")
+    rc = main(["train", "--smoke",
+               "--set", f"save_directory={save}",
+               "--set", "d=/tmp/definitely_missing"])
+    assert rc == 0
+    assert os.path.isfile(os.path.join(save, "pt_model.msgpack"))
+
+    rng = np.random.default_rng(1)
+    data = np.abs(rng.normal(size=(1, 8, 8, 2, 12))).astype(np.float32) * 50 + 100
+    data[..., -1] = 1.0
+    dpath = str(tmp_path / "subj.npy")
+    np.save(dpath, data)
+    out = str(tmp_path / "maps")
+    # architecture overrides must match what --smoke trained
+    rc = main(["infer", dpath, "--output", out,
+               "--set", f"save_directory={save}",
+               "--set", "no_units=8", "--set", "no_intermediate_layers=1"])
+    assert rc == 0
+    for suffix in ("_oef", "_dbv", "_r2p", "_logstds"):
+        assert os.path.isfile(out + suffix + ".nii.gz")

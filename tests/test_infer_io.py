@@ -58,19 +58,19 @@ class TestPosteriorMaps:
 
 class TestSavePredictions:
     def test_artifact_layout(self, rng, tmp_path):
-        pytest.importorskip("nibabel")
         tuner, params, data, key = _setup(rng)
         base = str(tmp_path / "pt_baseline")
         maps = save_predictions(tuner, CFG, params, data, base, key)
         for suffix in ("_oef", "_dbv", "_r2p", "_logstds"):
             assert os.path.isfile(base + suffix + ".nii.gz"), suffix
-        import nibabel as nib
-        oef = nib.load(base + "_oef.nii.gz").get_fdata()
+        from qbold_vi_tpu.io.nifti import load_nifti
+        oef = load_nifti(base + "_oef.nii.gz")
         # subjects folded into last axis (reference model.py:792-794)
         assert oef.shape == data.shape[1:4] + (data.shape[0],)
+        np.testing.assert_allclose(
+            oef, np.moveaxis(maps["oef"][..., 0], 0, -1), rtol=1e-6)
 
     def test_fine_tuned_artifacts(self, rng, tmp_path):
-        pytest.importorskip("nibabel")
         tuner, params, data, key = _setup(rng, s=1)
         priors = rng.normal(size=data.shape[:-1] + (5,)).astype(np.float32) * 0.3
         base = str(tmp_path / "baseline")
@@ -78,6 +78,27 @@ class TestSavePredictions:
                          fine_tuned=True, priors=priors)
         for suffix in ("_likelihood", "_kl", "_residual", "_oef"):
             assert os.path.isfile(base + suffix + ".nii.gz"), suffix
+
+
+class TestNiftiFallback:
+    def test_roundtrip_without_nibabel(self, rng, tmp_path):
+        """The built-in NIfTI-1 writer/reader round-trips (F-order, gzip),
+        keeping the framework standalone when nibabel is absent."""
+        from qbold_vi_tpu.io import nifti
+
+        for shape in ((5, 4, 3), (6, 5, 4, 2), (3, 2)):
+            data = rng.normal(size=shape).astype(np.float32)
+            p = str(tmp_path / f"x{len(shape)}.nii.gz")
+            nifti._write_nifti1(data, p)
+            back = nifti._read_nifti1(p)
+            assert back.shape == data.shape
+            np.testing.assert_array_equal(back, data)
+
+        # uncompressed path too
+        data = rng.normal(size=(4, 4, 2)).astype(np.float64)
+        p = str(tmp_path / "y.nii")
+        nifti._write_nifti1(data, p)
+        np.testing.assert_array_equal(nifti._read_nifti1(p), data)
 
 
 class TestPreprocessNumerics:

@@ -115,6 +115,23 @@ class TestEpochScan:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-3, atol=2e-5)
 
+    def test_on_device_crop_epoch(self, tmp_path, rng):
+        """Device-resident volumes + dynamic_slice crops: runs, finite,
+        crops respect mask/image coupling."""
+        cfg, tuner, opt, state, _, key = self._setup(tmp_path, rng)
+        epoch_fn = steps.make_finetune_epoch_on_device(
+            tuner, cfg, opt, n_steps=3)
+        s, x, y, z = 3, 12, 10, 2
+        vols = np.abs(rng.normal(size=(s, x, y, z, SCAN.n_taus + 1))
+                      ).astype(np.float32) * 50 + 100
+        vols[..., -1] = (rng.uniform(size=(s, x, y, z)) > 0.2)
+        priors = rng.normal(size=(s, x, y, z, 5)).astype(np.float32) * 0.3
+        state, m = epoch_fn(state, key, jnp.asarray(vols),
+                            jnp.asarray(priors))
+        assert m["loss"].shape == (3,)
+        assert np.all(np.isfinite(np.asarray(m["loss"])))
+        assert int(state.step) == 3
+
     def test_epoch_scan_on_mesh(self, tmp_path, rng):
         assert jax.device_count() == 8
         cfg, tuner, opt, state, batches, key = self._setup(tmp_path, rng)
