@@ -80,9 +80,17 @@ class FineTuner:
 
     # ---- encoder passes ----------------------------------------------------------
 
-    def encode(self, params: dict, images: jax.Array):
+    def encode(self, params: dict, images: jax.Array,
+               dropout_key: jax.Array | None = None):
         """(q_voxelwise, q_neighbourhood, im_sigma) from images
-        (== reference outer model call, model.py:242)."""
+        (== reference outer model call, model.py:242).
+
+        dropout_key: when given (training with cfg.dropout_rate > 0),
+        dropout is active; omitted -> deterministic (inference)."""
+        if dropout_key is not None and self.cfg.dropout_rate > 0.0:
+            return self.encoder.apply(
+                {"params": params["encoder"]}, images,
+                deterministic=False, rngs={"dropout": dropout_key})
         return self.encoder.apply({"params": params["encoder"]}, images)
 
     def prior_params(self, params: dict, q: jax.Array) -> jax.Array:
@@ -94,10 +102,11 @@ class FineTuner:
     # ---- the fine-tune forward pass ---------------------------------------------
 
     def apply(self, params: dict, key: jax.Array, images: jax.Array,
-              no_samples: int | None = None) -> dict:
+              no_samples: int | None = None, train: bool = False) -> dict:
         """One stochastic forward pass (reference model.py:239-286).
 
-        images: (B, X, Y, Z, n_taus). Returns a dict:
+        images: (B, X, Y, Z, n_taus). ``train=True`` activates dropout
+        (Keras fit vs predict semantics). Returns a dict:
           predictions      (B, ..., 4|5)      raw posterior params
           samples          (S, B, ..., 2)     physical (OEF, DBV) draws
           predicted_images (S, B, ..., n_taus) noise-free decoded signals
@@ -105,7 +114,10 @@ class FineTuner:
         """
         cfg = self.cfg
         s = no_samples if no_samples is not None else cfg.no_samples
-        _, q, im_sigma = self.encode(params, images)
+        key, k_drop = jax.random.split(key)
+        _, q, im_sigma = self.encode(
+            params, images,
+            dropout_key=k_drop if (train and cfg.dropout_rate > 0.0) else None)
 
         samples = self.dist.sample_many(key, q, cfg.use_mvg, s)  # (S,B,...,2)
         pred = physics.ase_signal(

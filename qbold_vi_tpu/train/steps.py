@@ -57,7 +57,10 @@ def posterior_mse_metrics(key, tuner: FineTuner, q, y_true, no_samples: int = 20
 
 def _pretrain_loss(params, key, batch, tuner: FineTuner, cfg: QBoldConfig):
     x, y = batch["x"], batch["y"]
-    out1, _, _ = tuner.encoder.apply({"params": params["encoder"]}, x)
+    key, k_drop = jax.random.split(key)
+    out1, _, _ = tuner.encode(
+        params, x,
+        dropout_key=k_drop if cfg.model.dropout_rate > 0.0 else None)
     return losses.synthetic_data_loss(
         key, tuner.dist, cfg.model, cfg.scan, y, out1,
         use_r2p_loss=cfg.train.use_r2p_loss,
@@ -217,11 +220,16 @@ def make_pretrain_eval(tuner: FineTuner, cfg: QBoldConfig):
 
 
 def _finetune_terms(params, key, batch, tuner: FineTuner, cfg: QBoldConfig,
-                    no_samples: Optional[int] = None, kl_samples: int = 70):
-    """Shared forward + the three loss terms (nll, kl, smoothness)."""
+                    no_samples: Optional[int] = None, kl_samples: int = 70,
+                    train: bool = True):
+    """Shared forward + the three loss terms (nll, kl, smoothness).
+
+    ``train``: dropout active (the ELBO validation pass uses model.predict
+    semantics upstream, i.e. dropout off -- reference train.py:338)."""
     images, mask = batch["images"], batch["mask"]
     k_sample, k_kl = jax.random.split(key)
-    out = tuner.apply(params, k_sample, images, no_samples=no_samples)
+    out = tuner.apply(params, k_sample, images, no_samples=no_samples,
+                      train=train)
     q = out["predictions"]
 
     if cfg.model.use_population_prior:
@@ -315,7 +323,7 @@ def make_finetune_eval(tuner: FineTuner, cfg: QBoldConfig,
 
         def one(k):
             total, aux = _finetune_terms(params, k, batch, tuner, cfg,
-                                         kl_samples=kl_samples)
+                                         kl_samples=kl_samples, train=False)
             return aux["nll"], aux["kl"], aux["smoothness"]
 
         nlls, kls, smooths = jax.vmap(one)(keys)

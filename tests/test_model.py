@@ -130,6 +130,54 @@ class TestFineTuner:
         assert s[..., 0].min() >= CFG.min_oef and s[..., 0].max() <= CFG.min_oef + CFG.oef_range
         assert s[..., 1].min() >= CFG.min_dbv and s[..., 1].max() <= CFG.min_dbv + CFG.dbv_range
 
+    def test_dropout_active_only_in_training(self):
+        cfg = ModelConfig(no_units=6, use_mvg=True, dropout_rate=0.5)
+        tuner = FineTuner(cfg, SCAN)
+        key = jax.random.PRNGKey(3)
+        img = _images(key) * 100.0
+        params = tuner.init(key, img)
+        # train=True with different dropout keys -> different q params
+        a = tuner.apply(params, jax.random.PRNGKey(1), img, train=True)
+        b = tuner.apply(params, jax.random.PRNGKey(2), img, train=True)
+        assert not np.allclose(np.asarray(a["predictions"]),
+                               np.asarray(b["predictions"]))
+        # inference (train=False): deterministic encoder
+        c = tuner.apply(params, jax.random.PRNGKey(1), img)
+        d = tuner.apply(params, jax.random.PRNGKey(2), img)
+        np.testing.assert_allclose(np.asarray(c["predictions"]),
+                                   np.asarray(d["predictions"]), rtol=1e-6)
+
+    def test_layer_norm_path(self):
+        cfg = ModelConfig(no_units=6, use_mvg=False, use_layer_norm=True)
+        enc = Encoder(cfg, n_taus=SCAN.n_taus, se_idx=SCAN.se_idx)
+        key = jax.random.PRNGKey(5)
+        img = _images(key)
+        params = enc.init(key, img)
+        out1, _, _ = enc.apply(params, img)
+        assert np.all(np.isfinite(np.asarray(out1)))
+        # GroupNorm(1) scale/bias params exist
+        flat = jax.tree_util.tree_leaves(params)
+        assert any("GroupNorm" in k for k in str(
+            jax.tree_util.tree_structure(params)).split("'"))
+
+    def test_mog_population_prior(self):
+        cfg = ModelConfig(no_units=4, use_mvg=False,
+                          use_population_prior=True, mog_components=3)
+        tuner = FineTuner(cfg, SCAN)
+        key = jax.random.PRNGKey(6)
+        img = _images(key)
+        params = tuner.init(key, img)
+        assert params["pop_prior"].shape == (12,)  # 4 * mog_components
+        _, q, _ = tuner.encode(params, img)
+        prior = tuner.prior_params(params, q)
+        assert prior.shape == q.shape[:-1] + (12,)
+
+        # the MoG KL path runs and is finite
+        from qbold_vi_tpu.train import losses
+        mask = jnp.ones(q.shape[:-1] + (1,))
+        kl = losses.kl_loss(key, tuner.dist, cfg, prior, q, mask)
+        assert np.isfinite(float(kl))
+
     def test_population_prior_params(self):
         cfg = ModelConfig(no_units=4, use_mvg=True, use_population_prior=True)
         tuner = FineTuner(cfg, SCAN)
