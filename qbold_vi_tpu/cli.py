@@ -219,6 +219,33 @@ def cmd_dryrun(args) -> int:
     return 0
 
 
+def cmd_import_weights(args) -> int:
+    """Convert a trained reference .h5 encoder checkpoint into this
+    framework's pt_model.msgpack (io/keras_import.py), so Trainer resumes
+    from it exactly as from our own pretraining."""
+    import jax.numpy as jnp
+
+    from .io.keras_import import load_reference_h5
+    from .models.vi import FineTuner
+    from .train import optim
+    from .train.steps import TrainState
+    from .train.trainer import Trainer, _save_state
+
+    cfg = _load_cfg(args)
+    imported = load_reference_h5(args.h5, cfg.model, cfg.scan,
+                                 reference_dir=args.reference_dir)
+    trainer = Trainer(cfg)
+    params = trainer._init_params()
+    params["encoder"] = imported["encoder"]
+    optimizer = optim.make_pretrain_optimizer(cfg.train)
+    state = TrainState(params, optimizer.init(params),
+                       optim.swa_init(params) if cfg.train.use_swa else None,
+                       jnp.zeros([], jnp.int32))
+    _save_state(trainer.pt_path, state)
+    print(f"imported {args.h5} -> {trainer.pt_path}")
+    return 0
+
+
 def cmd_sweep(args) -> int:
     from .sweep import run_grid_sweep
     cfg = _load_cfg(args)
@@ -268,6 +295,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--output", "-o", required=True)
     sp.add_argument("--transform-directory", default=None)
     sp.set_defaults(fn=cmd_infer)
+
+    sp = add("import-weights", help="convert a reference .h5 checkpoint")
+    sp.add_argument("h5", help="path to reference pt_model.h5/final_model.h5")
+    sp.add_argument("--reference-dir", default="/root/reference",
+                    help="checkout of the upstream reference code")
+    sp.set_defaults(fn=cmd_import_weights)
 
     sp = add("sweep", help="grid sweep over layers x units")
     sp.add_argument("--layers", type=int, nargs="+", default=[2, 4, 6, 8, 10])

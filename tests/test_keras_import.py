@@ -1,0 +1,58 @@
+"""Reference-weight import: converted Keras encoder weights must
+reproduce the reference model's outputs through OUR encoder."""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from qbold_vi_tpu.config import ModelConfig, ScanParams  # noqa: E402
+from qbold_vi_tpu.io.keras_import import (build_reference_encoder,  # noqa: E402
+                                          params_from_reference_encoder)
+from qbold_vi_tpu.models.encoder import Encoder  # noqa: E402
+
+SCAN = ScanParams(simulate_noise=False)
+CFG = ModelConfig(no_units=8, no_intermediate_layers=2, use_mvg=True,
+                  channelwise_gating=True, gate_offset=-3.0,
+                  multi_image_normalisation=False, im_loss_sigma=0.05,
+                  resid_init_std=0.05, student_t_df=200.0,
+                  predict_log_data=False)
+
+
+@pytest.fixture(scope="module")
+def converted():
+    ref = build_reference_encoder(CFG, SCAN, "/root/reference")
+    params = params_from_reference_encoder(ref, CFG)
+    return ref, params
+
+
+def test_outputs_match_reference_model(converted, rng):
+    ref, params = converted
+    images = (np.abs(rng.normal(size=(2, 6, 5, 3, SCAN.n_taus)))
+              .astype(np.float32) * 50 + 100)
+
+    ref_q1, ref_q2, ref_sigma = [np.asarray(o) for o in ref(images)]
+
+    enc = Encoder(CFG, n_taus=SCAN.n_taus, se_idx=SCAN.se_idx)
+    ours = enc.apply({"params": params["encoder"]}, jnp.asarray(images))
+    our_q1, our_q2, our_sigma = [np.asarray(o) for o in ours]
+
+    np.testing.assert_allclose(our_q1, ref_q1, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(our_q2, ref_q2, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(our_sigma, ref_sigma, rtol=2e-4, atol=2e-6)
+
+
+def test_shapes_and_structure(converted):
+    _, params = converted
+    enc = params["encoder"]
+    assert enc["first_conv"]["kernel"].shape == (SCAN.n_taus, CFG.no_units)
+    assert enc["final"]["kernel"].shape == (CFG.no_units, 5)
+    assert enc["sigma_head"]["kernel"].shape == (CFG.no_units, SCAN.n_taus)
+    for i in range(CFG.no_intermediate_layers):
+        blk = enc[f"block_{i}"]
+        assert blk["ConvXY_0"]["Conv_0"]["kernel"].shape == (
+            3, 3, CFG.no_units, CFG.no_units)
+        assert blk["Dense_1"]["kernel"].shape == (CFG.no_units, CFG.no_units)
