@@ -161,6 +161,67 @@ def _elbo_maps_one(tuner: FineTuner, cfg: QBoldConfig, params, key,
     return {"likelihood": nll_map, "kl": kl_map, "residual": residual}
 
 
+def posterior_maps_sharded(tuner: FineTuner, params, data: np.ndarray, key,
+                           mesh, no_samples: int = 200,
+                           use_first_op: bool = True,
+                           use_pallas: bool | None = None) -> dict:
+    """Mesh-parallel full-brain inference: volumes shard over the
+    ``data`` axis (leading/subject dim), params replicate, each device
+    summarizes its shard (the Pallas kernel runs per-device inside
+    shard_map) -- voxel data parallelism end to end, no collectives
+    needed on the forward path.
+
+    data: (S, X, Y, Z, n_taus+1); S must divide by the mesh size.
+    Returns the same map dict as posterior_maps.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .parallel import mesh as pmesh
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    cfg = tuner.cfg
+    dwc = float(tuner.scan.dw_coeff * tuner.scan.hct)
+
+    def local(block, k):
+        masked = block[..., :-1] * block[..., -1:]
+        if use_pallas:
+            from .ops.pallas_summarize import mc_posterior_summaries
+
+            q, raw_log_stds = _encode_q(tuner, params, masked,
+                                        use_first_op=use_first_op)
+            seed = jax.random.randint(k[0], (), 0, np.int32(2**31 - 1))
+            means, variances = mc_posterior_summaries(
+                q.reshape(-1, q.shape[-1]), seed,
+                no_samples=no_samples, mvg=cfg.use_mvg,
+                oef_range=cfg.oef_range, min_oef=cfg.min_oef,
+                dbv_range=cfg.dbv_range, min_dbv=cfg.min_dbv, dw_coeff=dwc)
+            return {"means": means.reshape(q.shape[:-1] + (3,)),
+                    "stds": variances.reshape(q.shape[:-1] + (3,)),
+                    "raw_log_stds": raw_log_stds}
+        return _summarize(tuner, params, k[0], masked,
+                          no_samples=no_samples, use_first_op=use_first_op)
+
+    spec = P(pmesh.DATA_AXIS)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(spec, spec),
+                   out_specs={"means": spec, "stds": spec,
+                              "raw_log_stds": spec},
+                   check_vma=False)
+    n_dev = mesh.devices.size
+    keys = jax.random.split(key, n_dev)
+    block = pmesh.shard_batch(mesh, np.float32(data))
+    out = jax.jit(fn)(block, jax.device_put(
+        keys, jax.sharding.NamedSharding(mesh, spec)))
+    cat = jax.tree_util.tree_map(np.asarray, out)
+    means = cat["means"]
+    return {
+        "oef": means[..., 0:1], "dbv": means[..., 1:2], "r2p": means[..., 2:3],
+        "stds": cat["stds"], "raw_log_stds": cat["raw_log_stds"],
+    }
+
+
 def elbo_maps(tuner: FineTuner, cfg: QBoldConfig, params, data: np.ndarray,
               priors: Optional[np.ndarray], key, no_samples: int = 100,
               chunk: int = 1) -> dict:
