@@ -247,10 +247,22 @@ def cmd_import_weights(args) -> int:
 
 
 def cmd_sweep(args) -> int:
-    from .sweep import run_grid_sweep
+    """Grid sweep (reference wandb_sweep.py) or declarative random search
+    (reference configurations/sweep_prior.yaml)."""
     cfg = _load_cfg(args)
-    run_grid_sweep(cfg, layers=args.layers, units=args.units,
-                   seeds=args.seeds)
+    if args.space:
+        import yaml
+
+        from .sweep import random_search
+        with open(args.space) as f:
+            spec = yaml.safe_load(f)
+        results = random_search(cfg, spec["space"], n_trials=args.trials,
+                                metric=spec.get("metric", "val_elbo"))
+    else:
+        from .sweep import run_grid_sweep
+        results = run_grid_sweep(cfg, layers=args.layers, units=args.units,
+                                 seeds=args.seeds)
+    print(json.dumps(results, default=str, indent=1))
     return 0
 
 
@@ -302,10 +314,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="checkout of the upstream reference code")
     sp.set_defaults(fn=cmd_import_weights)
 
-    sp = add("sweep", help="grid sweep over layers x units")
+    sp = add("sweep", help="grid sweep over layers x units, or random "
+                           "search from a space YAML")
     sp.add_argument("--layers", type=int, nargs="+", default=[2, 4, 6, 8, 10])
     sp.add_argument("--units", type=int, nargs="+", default=[2, 4, 6, 8, 10])
     sp.add_argument("--seeds", type=int, default=3)
+    sp.add_argument("--space", default=None,
+                    help="search-space YAML (e.g. configurations/sweep_prior.yaml)")
+    sp.add_argument("--trials", type=int, default=20)
     sp.set_defaults(fn=cmd_sweep)
     return p
 

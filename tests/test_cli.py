@@ -31,6 +31,31 @@ def test_baseline_command(tmp_path):
         assert os.path.isfile(out + suffix + ".nii.gz")
 
 
+def test_sweep_random_search_with_space_yaml(tmp_path, monkeypatch):
+    """The declarative search space (sweep_prior.yaml schema) drives
+    random_search; stub the run to avoid training."""
+    import qbold_vi_tpu.sweep as sweep_mod
+
+    calls = []
+
+    def fake_run(cfg):
+        calls.append(cfg)
+        return {"val_elbo": float(cfg.train.pt_lr)}
+
+    monkeypatch.setattr(sweep_mod, "_default_run", fake_run)
+    space = tmp_path / "space.yaml"
+    space.write_text(
+        "metric: val_elbo\nspace:\n  pt_lr: [0.0001, 0.005]\n"
+        "  crop_size: [16, 20, 25]\n")
+    rc = main(["sweep", "--space", str(space), "--trials", "4",
+               "--set", "save_directory=" + str(tmp_path)])
+    assert rc == 0
+    assert len(calls) == 4
+    for cfg in calls:
+        assert 0.0001 <= cfg.train.pt_lr <= 0.005
+        assert cfg.train.crop_size in (16, 20, 25)
+
+
 def test_train_smoke_and_infer_roundtrip(tmp_path):
     save = str(tmp_path / "run")
     rc = main(["train", "--smoke",
