@@ -181,7 +181,11 @@ class Trainer:
         if self.status.value >= WeightStatus.PRE_TRAINED.value:
             return self.state
 
-        streaming = cfg.train.pt_on_device_synth and synthetic is None
+        # Streaming generation is a single-device program (the batch is
+        # created inside the step); under a mesh use the host-fed path so
+        # batches shard over devices.
+        streaming = (cfg.train.pt_on_device_synth and synthetic is None
+                     and self.mesh is None)
         if streaming:
             # Validation still uses a small fixed host set; training draws
             # fresh batches on device (steps.make_pretrain_stream_step).
