@@ -226,7 +226,6 @@ def cmd_import_weights(args) -> int:
     import jax.numpy as jnp
 
     from .io.keras_import import load_reference_h5
-    from .models.vi import FineTuner
     from .train import optim
     from .train.steps import TrainState
     from .train.trainer import Trainer, _save_state

@@ -16,13 +16,13 @@ Artifact layout matches the reference exactly:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import ModelConfig, QBoldConfig, ScanParams
+from .config import QBoldConfig
 from .models.vi import FineTuner
 from .train import losses
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 import re
 import sys
 import types
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 

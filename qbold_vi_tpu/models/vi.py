@@ -21,7 +21,7 @@ XLA batch the physics decoder over samples without reshuffling HBM.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 import jax

@@ -15,7 +15,6 @@ program. Differences from the reference are idiomatic, not behavioural:
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

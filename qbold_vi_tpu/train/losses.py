@@ -18,8 +18,6 @@ Every function reduces with masked means exactly as the reference does.
 from __future__ import annotations
 
 import math
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln

@@ -16,14 +16,13 @@ behaviour.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..config import ModelConfig, QBoldConfig, ScanParams
+from ..config import QBoldConfig
 from ..models.vi import FineTuner
 from . import losses
 from .optim import SWAState, swa_update
