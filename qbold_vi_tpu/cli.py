@@ -245,6 +245,46 @@ def cmd_import_weights(args) -> int:
     return 0
 
 
+def cmd_transfer(args) -> int:
+    """Retarget a pretrained checkpoint to a different tau protocol
+    (models/transfer.py): trunk weights are kept, the tau-dependent first
+    conv and sigma head are re-initialised for the new grid."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from .models.transfer import transfer_params
+    from .train import optim
+    from .train.steps import TrainState
+    from .train.trainer import Trainer, WeightStatus, _save_state
+
+    cfg = _load_cfg(args)
+    src = Trainer(cfg)
+    if src.status is WeightStatus.NOT_TRAINED:
+        print("no checkpoint in save_directory", file=sys.stderr)
+        return 1
+
+    new_scan = dataclasses.replace(
+        cfg.scan, tau_start=args.tau_start, tau_step=args.tau_step,
+        tau_end=args.tau_end)
+    new_cfg = dataclasses.replace(
+        cfg, scan=new_scan,
+        train=dataclasses.replace(cfg.train, save_directory=args.output))
+    sample = jnp.zeros((1, 4, 4, 2, new_scan.n_taus), jnp.float32)
+    params = transfer_params(jax.random.PRNGKey(cfg.train.seed),
+                             src.state.params, new_cfg.model, new_scan, sample)
+    optimizer = optim.make_pretrain_optimizer(new_cfg.train)
+    state = TrainState(params, optimizer.init(params),
+                       optim.swa_init(params) if new_cfg.train.use_swa else None,
+                       jnp.zeros([], jnp.int32))
+    dst = Trainer(new_cfg)
+    _save_state(dst.pt_path, state)
+    print(f"transferred to {new_scan.n_taus}-tau protocol -> {dst.pt_path}")
+    return 0
+
+
 def cmd_sweep(args) -> int:
     """Grid sweep (reference wandb_sweep.py) or declarative random search
     (reference configurations/sweep_prior.yaml)."""
@@ -312,6 +352,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--reference-dir", default="/root/reference",
                     help="checkout of the upstream reference code")
     sp.set_defaults(fn=cmd_import_weights)
+
+    sp = add("transfer", help="retarget a checkpoint to a new tau protocol")
+    sp.add_argument("--tau-start", type=float, required=True)
+    sp.add_argument("--tau-step", type=float, required=True)
+    sp.add_argument("--tau-end", type=float, required=True)
+    sp.add_argument("--output", "-o", required=True,
+                    help="save_directory for the transferred checkpoint")
+    sp.set_defaults(fn=cmd_transfer)
 
     sp = add("sweep", help="grid sweep over layers x units, or random "
                            "search from a space YAML")

@@ -31,6 +31,35 @@ def test_baseline_command(tmp_path):
         assert os.path.isfile(out + suffix + ".nii.gz")
 
 
+def test_transfer_command(tmp_path):
+    save = str(tmp_path / "src")
+    rc = main(["train", "--smoke",
+               "--set", f"save_directory={save}",
+               "--set", "d=/tmp/definitely_missing"])
+    assert rc == 0
+    out = str(tmp_path / "dst24")
+    rc = main(["transfer", "--tau-start", "-0.028", "--tau-step", "0.004",
+               "--tau-end", "0.065", "--output", out,
+               "--set", f"save_directory={save}",
+               "--set", "no_units=8", "--set", "no_intermediate_layers=1"])
+    assert rc == 0
+    assert os.path.isfile(os.path.join(out, "pt_model.msgpack"))
+
+    # the transferred checkpoint loads under the 24-tau protocol
+    from qbold_vi_tpu.cli import _load_cfg, build_parser
+    from qbold_vi_tpu.train.trainer import Trainer, WeightStatus
+    import dataclasses
+    from qbold_vi_tpu.config import QBoldConfig, apply_flat_overrides
+
+    cfg = apply_flat_overrides(QBoldConfig(), {
+        "no_units": 8, "no_intermediate_layers": 1,
+        "tau_start": -0.028, "tau_step": 0.004,
+        "save_directory": out})
+    t = Trainer(cfg)
+    assert t.status is WeightStatus.PRE_TRAINED
+    assert t.cfg.scan.n_taus == 24
+
+
 def test_sweep_random_search_with_space_yaml(tmp_path, monkeypatch):
     """The declarative search space (sweep_prior.yaml schema) drives
     random_search; stub the run to avoid training."""
