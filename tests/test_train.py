@@ -112,6 +112,27 @@ class TestSharding:
         assert leaf.sharding.is_fully_replicated
 
 
+class TestShardingCompilation:
+    def test_gradient_allreduce_in_compiled_hlo(self, tmp_path, rng):
+        """Under the mesh, XLA must actually partition the step and insert
+        the gradient all-reduce (the psum the scaling-book recipe promises
+        -- SURVEY.md SS2.3)."""
+        cfg = tiny_cfg(tmp_path)
+        tuner = FineTuner(cfg.model, cfg.scan)
+        opt = optim.make_finetune_optimizer(cfg.train)
+        mesh = make_mesh()
+        key = jax.random.PRNGKey(0)
+        params = tuner.init(key, jnp.zeros((1, 2, 2, 1, SCAN.n_taus)))
+        state = steps.TrainState(params, opt.init(params), None,
+                                 jnp.zeros([], jnp.int32))
+        state = replicate(mesh, state)
+        batch = shard_batch(mesh, real_batch(rng, b=8))
+        step = steps.make_finetune_step(tuner, cfg, opt)
+        compiled = step.lower(state, key, batch).compile()
+        hlo = compiled.as_text()
+        assert "all-reduce" in hlo, "no gradient all-reduce in partitioned HLO"
+
+
 class TestTrainer:
     def test_two_phase_with_resume(self, tmp_path, rng):
         cfg = tiny_cfg(tmp_path)
