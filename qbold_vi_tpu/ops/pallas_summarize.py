@@ -62,7 +62,7 @@ def _box_muller(shape):
 def _summarize_kernel(seed_ref, params_ref, mean_ref, var_ref, *,
                       no_samples: int, mvg: bool, oef_range: float,
                       min_oef: float, dbv_range: float, min_dbv: float,
-                      dw_coeff: float):
+                      dw_coeff: float, antithetic: bool):
     pid = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + pid * jnp.int32(7919))
 
@@ -77,9 +77,8 @@ def _summarize_kernel(seed_ref, params_ref, mean_ref, var_ref, *,
     zero = jnp.zeros_like(mu0)
     acc = (zero, zero, zero, zero, zero, zero)
 
-    def body(_, acc):
+    def accumulate(acc, z0, z1):
         s_o, s2_o, s_d, s2_d, s_r, s2_r = acc
-        z0, z1 = _box_muller(mu0.shape)
         oef_l = mu0 + z0 * std0
         if mvg:
             dbv_l = mu1 + z0 * offd + z1 * std1
@@ -92,10 +91,28 @@ def _summarize_kernel(seed_ref, params_ref, mean_ref, var_ref, *,
                 s_d + dbv, s2_d + dbv * dbv,
                 s_r + r2p, s2_r + r2p * r2p)
 
-    s_o, s2_o, s_d, s2_d, s_r, s2_r = jax.lax.fori_loop(
-        0, no_samples, body, acc)
+    if antithetic:
+        # Each draw is used as (z, -z): unbiased for every summary
+        # (z and -z have the same law), halves PRNG/Box-Muller work per
+        # sample, and the negative pair correlation REDUCES the variance
+        # of mean estimates through the monotone sigmoid transform.
+        def body(_, acc):
+            z0, z1 = _box_muller(mu0.shape)
+            acc = accumulate(acc, z0, z1)
+            return accumulate(acc, -z0, -z1)
 
-    inv_n = 1.0 / float(no_samples)
+        n_iter = no_samples // 2
+    else:
+        def body(_, acc):
+            z0, z1 = _box_muller(mu0.shape)
+            return accumulate(acc, z0, z1)
+
+        n_iter = no_samples
+
+    s_o, s2_o, s_d, s2_d, s_r, s2_r = jax.lax.fori_loop(0, n_iter, body, acc)
+
+    effective = 2 * (no_samples // 2) if antithetic else no_samples
+    inv_n = 1.0 / float(effective)
     m_o, m_d, m_r = s_o * inv_n, s_d * inv_n, s_r * inv_n
     mean_ref[0] = m_o
     mean_ref[1] = m_d
@@ -107,17 +124,22 @@ def _summarize_kernel(seed_ref, params_ref, mean_ref, var_ref, *,
 
 @partial(jax.jit, static_argnames=("no_samples", "mvg", "oef_range",
                                    "min_oef", "dbv_range", "min_dbv",
-                                   "dw_coeff", "interpret", "lanes"))
+                                   "dw_coeff", "interpret", "lanes",
+                                   "antithetic"))
 def mc_posterior_summaries(params: jax.Array, seed: jax.Array, *,
                            no_samples: int = 200, mvg: bool = True,
                            oef_range: float = 0.8, min_oef: float = 0.04,
                            dbv_range: float = 0.2, min_dbv: float = 0.001,
                            dw_coeff: float = 1.0,
-                           interpret: bool = False, lanes: int = _LANES):
+                           interpret: bool = False, lanes: int = _LANES,
+                           antithetic: bool = True):
     """MC means/variances of (OEF, DBV, R2') per voxel.
 
     params: (N, 4|5) raw posterior head outputs (any leading shape is
-    flattened by the caller); seed: int32 scalar.
+    flattened by the caller); seed: int32 scalar. ``antithetic`` (default)
+    draws samples in (z, -z) pairs: unbiased for all summaries, ~33%
+    fewer transcendentals per sample, and lower-variance posterior means
+    (set False for the reference's plain-iid estimator).
     Returns (means (N, 3), vars (N, 3)).
     """
     n = params.shape[0]
@@ -131,7 +153,8 @@ def mc_posterior_summaries(params: jax.Array, seed: jax.Array, *,
     grid = (n_pad // _SUB) // lanes
     kernel = partial(_summarize_kernel, no_samples=no_samples, mvg=mvg,
                      oef_range=oef_range, min_oef=min_oef,
-                     dbv_range=dbv_range, min_dbv=min_dbv, dw_coeff=dw_coeff)
+                     dbv_range=dbv_range, min_dbv=min_dbv, dw_coeff=dw_coeff,
+                     antithetic=antithetic)
     mean_t, var_t = pl.pallas_call(
         kernel,
         grid=(grid,),

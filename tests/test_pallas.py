@@ -34,8 +34,12 @@ def test_kernel_matches_streamed_jnp_within_mc_error(rng, mvg):
     k = 5 if mvg else 4
     params = jnp.asarray(rng.normal(size=(n, k)).astype(np.float32) * 0.3)
     s = 512
+    # antithetic=False: this test gates iid-estimator equivalence with the
+    # jnp path (pairing halves the independent count behind the variance
+    # estimate and is covered by its own test below)
     means_k, vars_k = mc_posterior_summaries(
-        params, jnp.int32(0), no_samples=s, mvg=mvg, dw_coeff=DWC)
+        params, jnp.int32(0), no_samples=s, mvg=mvg, dw_coeff=DWC,
+        antithetic=False)
     means_j, vars_j = DIST.posterior_means_streamed(
         jax.random.PRNGKey(0), params, mvg, no_samples=s,
         r2p_fn=lambda o, d: DWC * o * d)
@@ -72,6 +76,33 @@ def test_kernel_zero_variance_case():
     assert np.all(v[:, :2] < 1e-3)
     # R2' carries the ~300 1/s dw scale: var ~ (dwc*(dbv*s_oef+oef*s_dbv))^2
     assert np.all(v[:, 2] < 0.05)
+
+
+def test_antithetic_unbiased_and_lower_variance(rng):
+    """Antithetic pairing: same means within MC error, and LOWER spread
+    of the mean estimator across repeated runs than iid at equal S."""
+    from qbold_vi_tpu.ops.pallas_summarize import mc_posterior_summaries
+
+    n = 512
+    params = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32) * 0.3)
+    s = 64
+
+    def means_over_seeds(antithetic, n_rep=8):
+        outs = []
+        for i in range(n_rep):
+            m, _ = mc_posterior_summaries(
+                params, jnp.int32(100 + i), no_samples=s, mvg=True,
+                dw_coeff=DWC, antithetic=antithetic)
+            outs.append(np.asarray(m))
+        return np.stack(outs)
+
+    iid = means_over_seeds(False)
+    anti = means_over_seeds(True)
+    # unbiasedness: grand means agree within MC error
+    se = iid.std(0).mean() / np.sqrt(iid.shape[0])
+    assert np.abs(iid.mean(0) - anti.mean(0)).mean() < 6 * se
+    # variance reduction: estimator spread strictly smaller on average
+    assert anti.std(0).mean() < iid.std(0).mean()
 
 
 def test_padding_handles_non_block_sizes(rng):
