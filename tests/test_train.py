@@ -158,6 +158,31 @@ class TestTrainer:
         for x, y in zip(a, b):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
+    def test_wandb_logging_and_nan_tripwire(self, tmp_path, rng):
+        """Metrics flow to the wandb run when configured
+        (reference: train.py:482-488) and non-finite metrics raise
+        (reference: TerminateOnNaN, train.py:375,423)."""
+        from qbold_vi_tpu.train.trainer import NaNLossError
+
+        cfg = tiny_cfg(tmp_path)
+
+        class FakeRun:
+            def __init__(self):
+                self.logged = []
+
+            def log(self, m):
+                self.logged.append(m)
+
+        run = FakeRun()
+        t = Trainer(cfg, wandb_run=run)
+        t.pretrain()
+        assert len(run.logged) == cfg.train.no_pt_epochs
+        assert "val_loss" in run.logged[0]
+
+        t2 = Trainer(cfg, wandb_run=None)
+        with pytest.raises(NaNLossError):
+            t2._log("test", 0, {"loss": float("nan")})
+
     def test_population_stats(self, tmp_path, rng):
         cfg = tiny_cfg(tmp_path)
         t = Trainer(cfg)
