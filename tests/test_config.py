@@ -76,6 +76,48 @@ class TestOverrides:
         assert cfg == QBoldConfig()
 
 
+class TestReferenceDefaultsParity:
+    def test_defaults_match_reference_get_defaults(self):
+        """Our dataclass defaults must match the reference's own
+        utils.get_defaults(), executed as an oracle -- except the
+        documented divergence: the reference itself disagrees with
+        itself on use_population_prior (utils.py:68 says True,
+        train.py:171 says False; we follow train.py, the published-run
+        path), and the 'd'/'f' path args are environment-specific."""
+        import sys
+        sys.path.insert(0, "/root/reference")
+        try:
+            from utils import get_defaults
+        finally:
+            sys.path.remove("/root/reference")
+
+        ref = get_defaults()
+        cfg = QBoldConfig()
+        ours = {
+            **{k: getattr(cfg.model, k) for k in (
+                "no_units", "no_intermediate_layers", "student_t_df",
+                "dropout_rate", "im_loss_sigma", "use_layer_norm",
+                "activation", "multi_image_normalisation",
+                "channelwise_gating", "infer_inv_gamma", "use_mvg",
+                "gate_offset", "resid_init_std", "predict_log_data")},
+            **{k: getattr(cfg.train, k) for k in (
+                "pt_lr", "ft_lr", "kl_weight", "smoothness_weight",
+                "no_pt_epochs", "no_ft_epochs", "crop_size", "use_r2p_loss",
+                "full_model", "use_blood", "inv_gamma_alpha",
+                "inv_gamma_beta", "use_swa", "adamw_decay",
+                "pt_adamw_decay", "wandb_project")},
+            "misalign_prob": cfg.synth.misalign_prob,
+            "uniform_prop": cfg.synth.uniform_prop,
+        }
+        skip = {"use_population_prior"}
+        for key, ref_val in ref.items():
+            if key in skip:
+                continue
+            assert key in ours, f"reference default {key} unmapped"
+            assert ours[key] == pytest.approx(ref_val), (
+                f"{key}: ours={ours[key]} reference={ref_val}")
+
+
 class TestLoaders:
     def test_yaml_matches_builtin_optimal(self):
         cfg = load_yaml_config("configurations/optimal.yaml")
