@@ -318,17 +318,30 @@ def make_finetune_eval(tuner: FineTuner, cfg: QBoldConfig,
     smoothness, on a held-out batch."""
 
     def evaluate(params, key, batch):
-        keys = jax.random.split(key, stochastic_passes)
+        k_kl, *keys = jax.random.split(key, stochastic_passes + 1)
 
-        def one(k):
-            total, aux = _finetune_terms(params, k, batch, tuner, cfg,
-                                         kl_samples=kl_samples, train=False)
-            return aux["nll"], aux["kl"], aux["smoothness"]
+        images, mask = batch["images"], batch["mask"]
 
-        nlls, kls, smooths = jax.vmap(one)(keys)
-        nll = jnp.mean(nlls)
-        kl = kls[0]
-        smooth = smooths[0]
+        def one_nll(k):
+            out = tuner.apply(params, k, images)
+            pred = out["predicted_images"]
+            sigma = jnp.broadcast_to(out["im_sigma"], pred.shape)
+            return losses.fine_tune_nll(
+                cfg.model, tuner.scan.se_idx,
+                jnp.broadcast_to(images, pred.shape), pred, sigma,
+                jnp.broadcast_to(mask, pred.shape[:-1] + (1,)))
+
+        nll = jnp.mean(jax.vmap(one_nll)(jnp.stack(keys)))
+
+        # KL and smoothness are deterministic in the encoder output, so
+        # computed once (the reference callback does the same,
+        # train.py:334-344).
+        _, q, _ = tuner.encode(params, images)
+        prior = (tuner.prior_params(params, q)
+                 if cfg.model.use_population_prior else batch["priors"])
+        kl = losses.kl_loss(k_kl, tuner.dist, cfg.model, prior, q, mask,
+                            no_samples=kl_samples)
+        smooth = losses.smoothness_loss(tuner.dist, q, mask)
         return {
             "val_nll": nll,
             "val_kl": kl,
