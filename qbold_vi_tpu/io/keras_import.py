@@ -141,10 +141,87 @@ def params_from_reference_encoder(ref_model, cfg) -> dict:
     return {"encoder": enc}
 
 
+def _legacy_h5_weights(h5_path: str) -> list:
+    """Parse a Keras-2 legacy ``save_weights`` HDF5 (the format the
+    reference's TF2.x actually wrote: root attr ``layer_names``, per-layer
+    attr ``weight_names``) into [(name, kernel, bias), ...] for Conv3D
+    layers, in layer order."""
+    import h5py
+
+    out = []
+    with h5py.File(h5_path, "r") as f:
+        root = f["model_weights"] if "model_weights" in f else f
+
+        def walk(group):
+            layer_names = [n.decode() if isinstance(n, bytes) else n
+                           for n in group.attrs.get("layer_names", [])]
+            for lname in layer_names:
+                g = group[lname]
+                wnames = [n.decode() if isinstance(n, bytes) else n
+                          for n in g.attrs.get("weight_names", [])]
+                if wnames:
+                    tensors = {wn.split("/")[-1].split(":")[0]:
+                               np.asarray(g[wn]) for wn in wnames}
+                    if "kernel" in tensors and tensors["kernel"].ndim == 5:
+                        out.append((lname, tensors["kernel"],
+                                    tensors.get("bias")))
+                elif isinstance(g, type(group)) and "layer_names" in g.attrs:
+                    walk(g)  # nested model
+
+        walk(root)
+    return out
+
+
+def params_from_legacy_h5(h5_path: str, cfg) -> dict:
+    """Convert a Keras-2 legacy .h5 weights file directly (no Keras
+    needed): Conv3D layers are matched by the monotone counter in their
+    names (conv3d, conv3d_1, ...), the same creation order the live-model
+    path relies on."""
+    convs = _legacy_h5_weights(h5_path)
+
+    def order(item):
+        match = re.search(r"_(\d+)$", item[0])
+        return int(match.group(1)) if match else -1
+
+    convs.sort(key=order)
+    n_blocks = cfg.no_intermediate_layers
+    expected = 1 + 4 * n_blocks + 2
+    assert len(convs) == expected, (
+        f"expected {expected} Conv3D layers in {h5_path}, found {len(convs)}")
+
+    def dense(item):
+        _, k, b = item
+        return {"kernel": np.squeeze(k, axis=(0, 1, 2)), "bias": b}
+
+    def convxy(item):
+        _, k, b = item
+        return {"Conv_0": {"kernel": np.squeeze(k, axis=2), "bias": b}}
+
+    enc: dict[str, Any] = {"first_conv": dense(convs[0])}
+    for i in range(n_blocks):
+        base = 1 + 4 * i
+        enc[f"block_{i}"] = {
+            "Dense_0": dense(convs[base]),
+            "ConvXY_0": convxy(convs[base + 1]),
+            "ConvXY_1": convxy(convs[base + 2]),
+            "Dense_1": dense(convs[base + 3]),
+        }
+    enc["final"] = dense(convs[1 + 4 * n_blocks])
+    enc["sigma_head"] = dense(convs[2 + 4 * n_blocks])
+    return {"encoder": enc}
+
+
 def load_reference_h5(h5_path: str, cfg, scan,
                       reference_dir: str = "/root/reference") -> dict:
-    """Build the reference encoder, load an upstream .h5 checkpoint into
-    it, and convert to our param pytree."""
-    model = build_reference_encoder(cfg, scan, reference_dir)
-    model.load_weights(h5_path)
-    return params_from_reference_encoder(model, cfg)
+    """Convert an upstream .h5 checkpoint to our param pytree.
+
+    Tries the direct legacy-HDF5 parser first (the format the
+    reference's TF2.x wrote; needs only h5py); falls back to rebuilding
+    the reference encoder and loading through Keras (covers Keras-3
+    formats)."""
+    try:
+        return params_from_legacy_h5(h5_path, cfg)
+    except Exception:
+        model = build_reference_encoder(cfg, scan, reference_dir)
+        model.load_weights(h5_path)
+        return params_from_reference_encoder(model, cfg)

@@ -45,6 +45,39 @@ def test_outputs_match_reference_model(converted, rng):
     np.testing.assert_allclose(our_sigma, ref_sigma, rtol=2e-4, atol=2e-6)
 
 
+def test_legacy_h5_parser_roundtrip(converted, tmp_path):
+    """A hand-built Keras-2 legacy weights file (root attr layer_names,
+    per-layer attr weight_names -- the format the reference's TF2.x
+    wrote) parses to the same pytree as the live-model conversion."""
+    import h5py
+
+    from qbold_vi_tpu.io.keras_import import (_iter_convs,
+                                              params_from_legacy_h5)
+
+    ref, params = converted
+    path = str(tmp_path / "legacy.h5")
+    convs = _iter_convs(ref)
+    with h5py.File(path, "w") as f:
+        names = []
+        for i, layer in enumerate(convs):
+            lname = "conv3d" if i == 0 else f"conv3d_{i}"
+            names.append(lname.encode())
+            g = f.create_group(lname)
+            kname = f"{lname}/kernel:0"
+            bname = f"{lname}/bias:0"
+            g.attrs["weight_names"] = [kname.encode(), bname.encode()]
+            g.create_dataset(kname, data=np.asarray(layer.kernel))
+            g.create_dataset(bname, data=np.asarray(layer.bias))
+        f.attrs["layer_names"] = names
+
+    legacy = params_from_legacy_h5(path, CFG)
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(legacy)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_shapes_and_structure(converted):
     _, params = converted
     enc = params["encoder"]
