@@ -123,10 +123,11 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
     }
 
 
-@partial(jax.jit, static_argnames=("tuner", "cfg", "no_samples", "kl_samples"))
+@partial(jax.jit, static_argnames=("tuner", "cfg", "no_samples",
+                                   "kl_samples", "use_pallas_kl"))
 def _elbo_maps_one(tuner: FineTuner, cfg: QBoldConfig, params, key,
                    images, mask, priors, no_samples: int = 100,
-                   kl_samples: int = 100):
+                   kl_samples: int = 100, use_pallas_kl: bool = False):
     """Per-voxel likelihood / KL maps from the fine-tuned model
     (reference: model.py:805-847), fused on device: S stochastic decoder
     passes for the mean NLL map + the sampled/analytic KL map."""
@@ -143,8 +144,19 @@ def _elbo_maps_one(tuner: FineTuner, cfg: QBoldConfig, params, key,
     q = out["predictions"]
     if cfg.model.use_population_prior:
         priors = tuner.prior_params(params, q)
-    kl_map = losses.kl_loss(k_kl, tuner.dist, cfg.model, priors, q, mask,
-                            return_mean=False, no_samples=kl_samples)
+    if use_pallas_kl and cfg.model.use_mvg:
+        # fused MC-KL kernel (ops/pallas_summarize.py): on-chip PRNG,
+        # one HBM pass over (q, prior) per voxel
+        from .ops.pallas_summarize import mc_kl_map
+
+        seed = jax.random.randint(k_kl, (), 0, np.int32(2**31 - 1))
+        kl_flat = mc_kl_map(q.reshape(-1, q.shape[-1]),
+                            priors.reshape(-1, q.shape[-1]), seed,
+                            no_samples=kl_samples, mvg=True)
+        kl_map = jnp.where(mask > 0, kl_flat.reshape(mask.shape), 0.0)
+    else:
+        kl_map = losses.kl_loss(k_kl, tuner.dist, cfg.model, priors, q, mask,
+                                return_mean=False, no_samples=kl_samples)
 
     # Mean-|residual| map on normalised signals (reference model.py:838-847)
     eps = 1e-3
@@ -224,8 +236,11 @@ def posterior_maps_sharded(tuner: FineTuner, params, data: np.ndarray, key,
 
 def elbo_maps(tuner: FineTuner, cfg: QBoldConfig, params, data: np.ndarray,
               priors: Optional[np.ndarray], key, no_samples: int = 100,
-              chunk: int = 1) -> dict:
-    """Chunked likelihood/KL/residual maps over subjects."""
+              chunk: int = 1, use_pallas_kl: bool | None = None) -> dict:
+    """Chunked likelihood/KL/residual maps over subjects. On TPU backends
+    (and MVG posteriors) the KL map runs in the fused Pallas kernel."""
+    if use_pallas_kl is None:
+        use_pallas_kl = jax.default_backend() in ("tpu", "axon")
     outs = []
     for i in range(0, data.shape[0], chunk):
         block = jnp.asarray(data[i:i + chunk])
@@ -236,7 +251,8 @@ def elbo_maps(tuner: FineTuner, cfg: QBoldConfig, params, data: np.ndarray,
         outs.append(jax.tree_util.tree_map(
             np.asarray,
             _elbo_maps_one(tuner, cfg, params, k, images, mask, p,
-                           no_samples=no_samples)))
+                           no_samples=no_samples,
+                           use_pallas_kl=use_pallas_kl)))
     return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
 
 

@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["mc_posterior_summaries"]
+__all__ = ["mc_posterior_summaries", "mc_kl_map"]
 
 _SUB = 8             # sublanes
 _LANES = 512         # lanes per grid step -> 8*512 = 4096 voxels/block
@@ -120,6 +120,99 @@ def _summarize_kernel(seed_ref, params_ref, mean_ref, var_ref, *,
     var_ref[0] = jnp.maximum(s2_o * inv_n - m_o * m_o, 0.0)
     var_ref[1] = jnp.maximum(s2_d * inv_n - m_d * m_d, 0.0)
     var_ref[2] = jnp.maximum(s2_r * inv_n - m_r * m_r, 0.0)
+
+
+def _kl_kernel(seed_ref, q_ref, p_ref, kl_ref, *, no_samples: int,
+               mvg: bool):
+    """Monte-Carlo KL(q || p) map, the algebraically-reduced form of
+    dist/logit_mvn.py::mvg_kl_samples (Jacobian/normaliser cancellation):
+        kl = mean_s 0.5 (swr_p(l_s) - swr_q(l_s))
+             + 0.5 (logdet_p - logdet_q)
+    evaluated per voxel with the on-chip PRNG, accumulators in VMEM."""
+    pid = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + pid * jnp.int32(12553))
+
+    q_mu0 = q_ref[0]
+    q_ls0 = jnp.tanh(q_ref[1]) * 3.0 - 1.0
+    q_mu1 = q_ref[2]
+    q_ls1 = jnp.tanh(q_ref[3]) * 3.0 - 1.0
+    q_std0 = jnp.exp(q_ls0)
+    q_std1 = jnp.exp(q_ls1)
+    q_od = jnp.tanh(q_ref[4]) * math.exp(-2.0) if mvg else 0.0
+
+    p_mu0 = p_ref[0]
+    p_ls0 = jnp.tanh(p_ref[1]) * 3.0 - 1.0
+    p_mu1 = p_ref[2]
+    p_ls1 = jnp.tanh(p_ref[3]) * 3.0 - 1.0
+    p_od = jnp.tanh(p_ref[4]) * math.exp(-2.0) if mvg else 0.0
+    # inverse Cholesky of p (lower triangular [[e^a,0],[c,e^b]])
+    p_itl = jnp.exp(-p_ls0)
+    p_ibr = jnp.exp(-p_ls1)
+    p_ibl = -p_od * jnp.exp(-p_ls0 - p_ls1)
+    q_itl = jnp.exp(-q_ls0)
+    q_ibr = jnp.exp(-q_ls1)
+    q_ibl = -q_od * jnp.exp(-q_ls0 - q_ls1)
+
+    bound = math.log((1.0 - 1e-6) / 1e-6)
+
+    def body(_, acc):
+        z0, z1 = _box_muller(q_mu0.shape)
+        l0 = q_mu0 + z0 * q_std0
+        if mvg:
+            l1 = q_mu1 + z0 * q_od + z1 * q_std1
+        else:
+            l1 = q_mu1 + z1 * q_std1
+        l0 = jnp.clip(l0, -bound, bound)
+        l1 = jnp.clip(l1, -bound, bound)
+        r0q, r1q = l0 - q_mu0, l1 - q_mu1
+        w0q = r0q * q_itl
+        w1q = r1q * q_ibr + r0q * q_ibl
+        r0p, r1p = l0 - p_mu0, l1 - p_mu1
+        w0p = r0p * p_itl
+        w1p = r1p * p_ibr + r0p * p_ibl
+        return acc + 0.5 * ((w0p * w0p + w1p * w1p)
+                            - (w0q * w0q + w1q * w1q))
+
+    acc = jax.lax.fori_loop(0, no_samples, body, jnp.zeros_like(q_mu0))
+    det_term = (p_ls0 + p_ls1) - (q_ls0 + q_ls1)
+    kl_ref[0] = acc * (1.0 / float(no_samples)) + det_term
+
+
+@partial(jax.jit, static_argnames=("no_samples", "mvg", "interpret", "lanes"))
+def mc_kl_map(q_params: jax.Array, p_params: jax.Array, seed: jax.Array, *,
+              no_samples: int = 100, mvg: bool = True,
+              interpret: bool = False, lanes: int = _LANES):
+    """Per-voxel Monte-Carlo KL(q || p) (the reference's kl map export,
+    model.py:827) as a fused Pallas kernel. q_params/p_params: (N, 4|5)
+    raw head outputs. Returns (N,) float32. Gradient-free (inference
+    export only); gated vs the jnp path in tests/test_pallas.py."""
+    n, k = q_params.shape
+    blk = _SUB * lanes
+    n_pad = ((n + blk - 1) // blk) * blk
+
+    def pack(p):
+        t = jnp.zeros((5, n_pad), p.dtype)
+        return t.at[:k, :n].set(p.T).reshape(5, _SUB, n_pad // _SUB)
+
+    grid = (n_pad // _SUB) // lanes
+    kernel = partial(_kl_kernel, no_samples=no_samples, mvg=mvg)
+    kl = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((5, _SUB, lanes), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, _SUB, lanes), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _SUB, lanes), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, _SUB, n_pad // _SUB),
+                                       q_params.dtype),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(jnp.asarray([seed], jnp.int32), pack(q_params), pack(p_params))
+    return kl.reshape(n_pad)[:n]
 
 
 @partial(jax.jit, static_argnames=("no_samples", "mvg", "oef_range",

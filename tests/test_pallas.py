@@ -105,6 +105,28 @@ def test_antithetic_unbiased_and_lower_variance(rng):
     assert anti.std(0).mean() < iid.std(0).mean()
 
 
+def test_mc_kl_kernel_matches_jnp(rng):
+    """The fused MC-KL kernel must agree with the jnp sampled KL (value
+    semantics: same reduced estimator, different RNG stream -> compare
+    within MC tolerance, and both against the closed form)."""
+    from qbold_vi_tpu.ops.pallas_summarize import mc_kl_map
+
+    n = 1024
+    q = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32) * 0.4)
+    p = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32) * 0.4)
+    s = 512
+    kern = np.asarray(mc_kl_map(q, p, jnp.int32(3), no_samples=s, mvg=True))
+    jnpv = np.asarray(DIST.mvg_kl_samples(jax.random.PRNGKey(0), q, p,
+                                          no_samples=s))
+    closed = np.asarray(DIST.mvg_kl_closed_form(q, p))
+    # both estimators target the closed form; bound each by MC error
+    for est, name in ((kern, "kernel"), (jnpv, "jnp")):
+        err = np.abs(est - closed)
+        tol = 8.0 * (np.abs(closed) + 1.0) / np.sqrt(s) + 0.05
+        assert np.all(err < tol), (name, err.max())
+    assert kern.shape == (n,)
+
+
 def test_padding_handles_non_block_sizes(rng):
     from qbold_vi_tpu.ops.pallas_summarize import mc_posterior_summaries
 
