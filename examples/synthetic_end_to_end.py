@@ -43,8 +43,9 @@ def main():
         model=ModelConfig(no_units=24, no_intermediate_layers=1,
                           use_mvg=True, student_t_df=200.0,
                           predict_log_data=False, gate_offset=-3.0),
-        train=TrainConfig(no_pt_epochs=8, pt_lr=2e-3, use_swa=False,
-                          pt_batch_size=8, save_directory=args.outdir),
+        train=TrainConfig(no_pt_epochs=60, pt_lr=2e-3, use_swa=False,
+                          pt_batch_size=8, pt_on_device_synth=True,
+                          save_directory=args.outdir),
     )
 
     print("== phase 1: synthetic pretraining ==")
@@ -74,6 +75,10 @@ def main():
     wls_dbv_err = np.abs(np.asarray(wls_dbv)[..., 0] - dbv_true).mean()
     print(f"WLS: mean |OEF err| = {wls_oef_err:.4f}, "
           f"mean |DBV err| = {wls_dbv_err:.4f}")
+    print("(on noiseless exact-model sweeps the classical fit is hard to"
+          " beat; the VI's value -- priors, uncertainty maps, Student-t"
+          " robustness -- shows on real noisy acquisitions; see"
+          " benchmarks/validate_finetune.py for the full two-phase flow)")
 
 
 if __name__ == "__main__":
