@@ -63,17 +63,24 @@ def main() -> None:
     # of a data-dependent value. Each rep is chained on the previous
     # output so the loop cannot dead-code or overlap-collapse, and one
     # tiny fetch at the end bounds the timed region.
-    def timed(fn, chain, reps):
+    def timed(fn, chain, reps, blocks=5):
         # warmup/compile (2 chained calls so the chain op is compiled too)
         x = chain(fn(images), images)
         x = chain(fn(x), images)
         jax.device_get(x[0, 0, 0, 0, :1])
-        t0 = time.perf_counter()
-        x = images
-        for _ in range(reps):
-            x = chain(fn(x), x)
-        jax.device_get(x[0, 0, 0, 0, :1])
-        return (time.perf_counter() - t0) / reps
+        # median of `blocks` timed blocks of `reps` chained calls each:
+        # tunnel run-to-run variance made single-block means noisy across
+        # rounds (BENCH_r01 55.6 M vs RESULTS.md 65.2 M voxels/s), and a
+        # median is robust to stragglers without hiding real regressions.
+        per_block = []
+        for _ in range(blocks):
+            t0 = time.perf_counter()
+            x = images
+            for _ in range(reps):
+                x = chain(fn(x), x)
+            jax.device_get(x[0, 0, 0, 0, :1])
+            per_block.append((time.perf_counter() - t0) / reps)
+        return float(np.median(per_block))
 
     use_pallas = jax.default_backend() in ("tpu", "axon")
     if use_pallas:
@@ -128,12 +135,15 @@ def main() -> None:
     state, _ = step_fn(state, key, batch)     # compile
     state, _ = step_fn(state, key, batch)
     jax.device_get(jax.tree_util.tree_leaves(state.params)[0])[:1]
-    t0 = time.perf_counter()
     reps = 10
-    for _ in range(reps):
-        state, _ = step_fn(state, key, batch)
-    jax.device_get(jax.tree_util.tree_leaves(state.params)[0])[:1]
-    ft_dt = (time.perf_counter() - t0) / reps
+    ft_blocks = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, _ = step_fn(state, key, batch)
+        jax.device_get(jax.tree_util.tree_leaves(state.params)[0])[:1]
+        ft_blocks.append((time.perf_counter() - t0) / reps)
+    ft_dt = float(np.median(ft_blocks))
     ft_vox = int(np.prod(batch["images"].shape[:-1]))
     print(f"[bench] infer: {n_voxels} voxels in {dt * 1e3:.1f} ms "
           f"({vps / 1e6:.2f} M voxels/s); wls: {n_voxels / wls_dt / 1e6:.2f} "

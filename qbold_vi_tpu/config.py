@@ -140,6 +140,13 @@ class TrainConfig:
     full_model: bool = True
     use_blood: bool = True
     use_swa: bool = True
+    # Whether to ADOPT the SWA running average into the weights at the
+    # end of pretraining. The reference wraps its optimizer in
+    # tfa.optimizers.SWA but never calls assign_average_vars
+    # (train.py:382-385), so upstream's averaged weights are never
+    # applied -- default False matches that executed behaviour; True is
+    # the arguably-intended fix, kept behind this flag.
+    swa_adopt: bool = False
     adamw_decay: float = 2e-4
     pt_adamw_decay: float = 2e-4
     inv_gamma_alpha: float = 0.0
@@ -203,6 +210,7 @@ _FLAT_KEY_MAP: dict[str, tuple[str, str]] = {
     "use_mvg": ("model", "use_mvg"),
     "uniform_prop": ("synth", "uniform_prop"),
     "use_swa": ("train", "use_swa"),
+    "swa_adopt": ("train", "swa_adopt"),
     "adamw_decay": ("train", "adamw_decay"),
     "pt_adamw_decay": ("train", "pt_adamw_decay"),
     "predict_log_data": ("model", "predict_log_data"),

@@ -9,8 +9,11 @@ through it; with a data-parallel mesh the voxel batch shards over ICI.
 This is the path BASELINE.md's "<1 s / 1M-voxel" target maps onto.
 
 Artifact layout matches the reference exactly:
-``<name>_oef/_dbv/_r2p/_logstds[.nii.gz]`` + optional
-``_likelihood/_kl/_residual`` maps and FSL MNI-space exports.
+``<name>_oef/_dbv/_r2p/_logstds[.nii.gz]`` (``_logstds`` = the 3-channel
+200-sample MC variance maps, the semantics the reference's executed
+save_predictions gives that file) + optional ``_likelihood/_kl/_residual``
+maps and FSL MNI-space exports; ``_raw_logstds`` (extension) keeps the
+raw squashed log-std/offdiag head channels.
 """
 
 from __future__ import annotations
@@ -289,6 +292,15 @@ def save_predictions(tuner: FineTuner, cfg: QBoldConfig, params,
     nifti.save_im_data(maps["oef"], filename + "_oef", transform_directory)
     nifti.save_im_data(maps["dbv"], filename + "_dbv", transform_directory)
     nifti.save_im_data(maps["r2p"], filename + "_r2p", transform_directory)
-    nifti.save_im_data(maps["raw_log_stds"], filename + "_logstds",
+    # Reference parity: the reference rebinds ``log_stds`` to the
+    # 200-sample MC variance maps of (OEF, DBV, R2') before saving
+    # (model.py:790 calculate_means(..., return_stds=True), :887), so its
+    # ``_logstds`` artifact holds 3-channel sampled variances -- matched
+    # here. The raw squashed log-std/offdiag head channels (which the
+    # reference computes at model.py:782-786 but then overwrites) are
+    # additionally kept under ``_raw_logstds``.
+    nifti.save_im_data(maps["stds"], filename + "_logstds",
+                       transform_directory)
+    nifti.save_im_data(maps["raw_log_stds"], filename + "_raw_logstds",
                        transform_directory)
     return maps

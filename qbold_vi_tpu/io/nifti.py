@@ -100,7 +100,13 @@ def save_nifti(data: np.ndarray, path: str, header=None) -> None:
         nib.save(nib.Nifti1Image(np.asarray(data), affine=None,
                                  header=header), path)
         return
-    _write_nifti1(np.asarray(data), path)  # header copy needs nibabel
+    if header is not None:
+        import warnings
+        warnings.warn(
+            f"nibabel unavailable: writing {path} with the built-in "
+            "NIfTI-1 writer, which cannot copy the provided header -- "
+            "affine/orientation metadata will be identity", stacklevel=2)
+    _write_nifti1(np.asarray(data), path)
 
 
 def save_im_data(im_data: np.ndarray, filename: str,

@@ -60,7 +60,7 @@ class FineTuner:
     # ---- parameter initialisation ------------------------------------------------
 
     def init(self, key: jax.Array, sample_images: jax.Array) -> dict:
-        k_enc, _ = jax.random.split(key)
+        k_enc, k_prior = jax.random.split(key)
         params: dict[str, Any] = {
             "encoder": self.encoder.init(k_enc, sample_images)["params"]
         }
@@ -69,7 +69,7 @@ class FineTuner:
             if cfg.use_mvg:
                 init = jnp.asarray(POP_PRIOR_INIT_MVG, jnp.float32)
             elif cfg.mog_components > 1:
-                init = jax.random.normal(key, (4 * cfg.mog_components,))
+                init = jax.random.normal(k_prior, (4 * cfg.mog_components,))
             else:
                 init = jnp.asarray(POP_PRIOR_INIT_DIAG, jnp.float32)
             params["pop_prior"] = init

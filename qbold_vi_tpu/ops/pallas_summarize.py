@@ -238,6 +238,12 @@ def mc_posterior_summaries(params: jax.Array, seed: jax.Array, *,
     (set False for the reference's plain-iid estimator).
     Returns (means (N, 3), vars (N, 3)).
     """
+    if no_samples < 1:
+        raise ValueError(f"no_samples must be >= 1, got {no_samples}")
+    if antithetic and (no_samples < 2 or no_samples % 2):
+        # (z, -z) pairing needs an even sample count >= 2; fall back to
+        # the plain iid estimator instead of silently dropping a sample.
+        antithetic = False
     n = params.shape[0]
     k = params.shape[-1]
     blk = _SUB * lanes

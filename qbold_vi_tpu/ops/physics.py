@@ -100,8 +100,8 @@ _G_CONST = np.float32(_G_CONST64)
 # exactly, so 16 nodes reach |err| < 1.5e-6 where the reference's
 # 129-point Simpson lattice on [1e-5, 1] has an inherent discretisation
 # error of ~2.7e-3 (measured against scipy.integrate.quad;
-# tests/test_physics_quadrature.py) -- 8x fewer Bessel evaluations AND
-# ~3 orders of magnitude more accurate.
+# tests/test_physics.py::oracle_tissue_full gates) -- 8x fewer Bessel
+# evaluations AND ~3 orders of magnitude more accurate.
 _GJ16_U64 = np.array([
     0.005143979307365376, 0.026905100186775777, 0.06525346129857601,
     0.11885287482812507, 0.18582445064904252, 0.26381943591394486,
@@ -123,13 +123,21 @@ _GJ16_WG = _GJ16_WG64.astype(np.float32)
 
 
 
-def _align_tau(x, n_taus: int):
-    """Broadcast a per-voxel quantity against the tau axis: if ``x`` already
-    carries a trailing tau axis (misalignment augmentation makes parameters
-    per-tau, signals.py:95-96) leave it; otherwise append a size-1 axis."""
+def _align_tau(x, n_taus: int, per_tau: bool = False):
+    """Broadcast a per-voxel quantity against the tau axis.
+
+    ``per_tau`` must be set explicitly when ``x`` carries a trailing tau
+    axis (misalignment augmentation makes parameters per-tau,
+    signals.py:95-96); it is never inferred from the shape, because a
+    per-voxel trailing dim can coincidentally equal n_taus (e.g. a volume
+    with n_taus z-slices) and silent mis-broadcast would follow."""
     if jnp.ndim(x) == 0:
         return x
-    if jnp.shape(x) and jnp.shape(x)[-1] == n_taus:
+    if per_tau:
+        if jnp.shape(x)[-1] != n_taus:
+            raise ValueError(
+                f"per-tau parameters must have trailing dim {n_taus}, "
+                f"got shape {jnp.shape(x)}")
         return x
     return x[..., None]
 
@@ -144,10 +152,11 @@ def r2_prime(oef, dbv, hct, scan: ScanParams):
 
 
 def tissue_signal_full(dw, dbv, taus, te: float, r2t: float,
-                       reference_fp32_compat: bool = False):
+                       reference_fp32_compat: bool = False,
+                       per_tau: bool = False):
     """Full static-dephasing-regime tissue signal (signals.py:159-193).
 
-    dw, dbv: broadcastable to (..., n_taus) or (...,) scalars per voxel.
+    dw, dbv: (...,) per-voxel, or (..., n_taus) per-tau with ``per_tau``.
     taus:    (n_taus,) float32.
     Returns (..., n_taus).
 
@@ -162,7 +171,7 @@ def tissue_signal_full(dw, dbv, taus, te: float, r2t: float,
     compat mode reproduces the reference's truncation for bit-level
     parity runs (tests/test_parity_reference.py).
     """
-    c = taus * _align_tau(dw, taus.shape[0])   # (..., n_taus)
+    c = taus * _align_tau(dw, taus.shape[0], per_tau)   # (..., n_taus)
     if reference_fp32_compat:
         # reference lattice: 129-point Simpson on [1e-5, 1] with fp32
         # 1 - J0 subtraction (signals.py:166-171)
@@ -174,11 +183,12 @@ def tissue_signal_full(dw, dbv, taus, te: float, r2t: float,
         # inside one fusion.
         x = 1.5 * c[..., None] * _GJ16_U
         integral = jnp.sum(_GJ16_WG * one_minus_j0(x), axis=-1)
-    dbv_b = _align_tau(dbv, taus.shape[0])
+    dbv_b = _align_tau(dbv, taus.shape[0], per_tau)
     return jnp.exp(-dbv_b * integral) * math.exp(-te * r2t)
 
 
-def tissue_signal_asymptotic(dw, dbv, taus, te: float, r2t: float):
+def tissue_signal_asymptotic(dw, dbv, taus, te: float, r2t: float,
+                             per_tau: bool = False):
     """Two-regime asymptotic tissue model (signals.py:196-207).
 
     Branch-free: both regimes are evaluated and blended by the
@@ -186,9 +196,9 @@ def tissue_signal_asymptotic(dw, dbv, taus, te: float, r2t: float):
     much easier to parallelise" (signals.py:195-207).
     """
     n_taus = taus.shape[0]
-    dbv_b = _align_tau(dbv, n_taus)
-    tc = _align_tau(1.0 / dw, n_taus)
-    r2p = _align_tau(dw, n_taus) * dbv_b
+    dbv_b = _align_tau(dbv, n_taus, per_tau)
+    tc = _align_tau(1.0 / dw, n_taus, per_tau)
+    r2p = _align_tau(dw, n_taus, per_tau) * dbv_b
     rt = r2p * taus                   # (..., n_taus)
     under = jnp.abs(taus) < tc
     s_short = jnp.exp(-(0.3 * jnp.square(rt)) / dbv_b)
@@ -205,7 +215,7 @@ def blood_steady_state_weight(dbv, scan: ScanParams):
     return m_bld * scan.nb * dbv
 
 
-def blood_signal(oef, hct, taus, scan: ScanParams):
+def blood_signal(oef, hct, taus, scan: ScanParams, per_tau: bool = False):
     """Venous blood signal, Berman et al. 2018 constants
     (reference: signals.py:233-247; the Golay-2001 variant at 217-231 is
     dead code behind ``if False`` and is deliberately not reproduced)."""
@@ -224,24 +234,27 @@ def blood_signal(oef, hct, taus, scan: ScanParams):
         - 2.0 * jnp.sqrt(0.25 + (te + taus) / td)
         - 2.0 * jnp.sqrt(0.25 + (te - taus) / td)
     )
-    g0_b = _align_tau(g0, jnp.shape(taus)[0])
+    g0_b = _align_tau(g0, jnp.shape(taus)[0], per_tau)
     return math.exp(-r2b * te) * jnp.exp(
         -(0.5 * scan.gamma**2) * g0_b * (td**2) * phase
     )
 
 
 @partial(jax.jit, static_argnames=("scan", "full_model", "include_blood",
-                                   "reference_fp32_compat"))
+                                   "reference_fp32_compat", "per_tau_params"))
 def ase_signal(oef, dbv, scan: ScanParams, hct=None, *,
                full_model: bool = True, include_blood: bool = True,
-               reference_fp32_compat: bool = False):
+               reference_fp32_compat: bool = False,
+               per_tau_params: bool = False):
     """Noise-free ASE signal for (OEF, DBV[, hct]) voxels
     (reference: signals.py:55-140 minus the noise/misalignment stages,
     which are separate pure functions here).
 
-    oef, dbv: (...,) or (..., n_taus) after misalignment augmentation.
-    Returns (..., n_taus) float32. ``reference_fp32_compat``: see
-    tissue_signal_full.
+    oef, dbv: (...,) per-voxel, or (..., n_taus) per-tau maps (from
+    misalignment augmentation) with ``per_tau_params=True`` -- explicit,
+    never shape-inferred, so a per-voxel trailing dim that happens to
+    equal n_taus cannot be mis-read. Returns (..., n_taus) float32.
+    ``reference_fp32_compat``: see tissue_signal_full.
     """
     taus = jnp.asarray(scan.taus())
     if hct is None:
@@ -252,15 +265,17 @@ def ase_signal(oef, dbv, scan: ScanParams, hct=None, *,
 
     if full_model:
         tissue = tissue_signal_full(dw, dbv, taus, scan.te, scan.r2t,
-                                    reference_fp32_compat=reference_fp32_compat)
+                                    reference_fp32_compat=reference_fp32_compat,
+                                    per_tau=per_tau_params)
     else:
-        tissue = tissue_signal_asymptotic(dw, dbv, taus, scan.te, scan.r2t)
+        tissue = tissue_signal_asymptotic(dw, dbv, taus, scan.te, scan.r2t,
+                                          per_tau=per_tau_params)
 
-    dbv_b = _align_tau(dbv, scan.n_taus)
+    dbv_b = _align_tau(dbv, scan.n_taus, per_tau_params)
 
     if include_blood:
         blood_weight = blood_steady_state_weight(dbv_b, scan)
-        blood = blood_signal(oef, hct, taus, scan)
+        blood = blood_signal(oef, hct, taus, scan, per_tau=per_tau_params)
         blood = jnp.broadcast_to(blood, tissue.shape)
     else:
         blood_weight = dbv_b

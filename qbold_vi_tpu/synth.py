@@ -122,12 +122,14 @@ def create_synthetic_dataset(key: jax.Array, scan: ScanParams, synth: SynthParam
     train_y = jnp.stack([oef, dbv, r2p], axis=-1)
 
     sig_oef, sig_dbv = oef, dbv
-    if synth.misalign_prob > 0.0:
+    per_tau = synth.misalign_prob > 0.0
+    if per_tau:
         sig_oef, sig_dbv = physics.misalign_params(
             k_mis, oef, dbv, scan.n_taus, synth.misalign_prob)
 
     train_x = physics.ase_signal(sig_oef, sig_dbv, scan,
-                                 full_model=full_model, include_blood=use_blood)
+                                 full_model=full_model, include_blood=use_blood,
+                                 per_tau_params=per_tau)
     if scan.simulate_noise:
         train_x = physics.add_acquisition_noise(k_noise, train_x, scan.taus())
     return train_x, train_y

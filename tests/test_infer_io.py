@@ -61,7 +61,7 @@ class TestSavePredictions:
         tuner, params, data, key = _setup(rng)
         base = str(tmp_path / "pt_baseline")
         maps = save_predictions(tuner, CFG, params, data, base, key)
-        for suffix in ("_oef", "_dbv", "_r2p", "_logstds"):
+        for suffix in ("_oef", "_dbv", "_r2p", "_logstds", "_raw_logstds"):
             assert os.path.isfile(base + suffix + ".nii.gz"), suffix
         from qbold_vi_tpu.io.nifti import load_nifti
         oef = load_nifti(base + "_oef.nii.gz")
@@ -69,6 +69,14 @@ class TestSavePredictions:
         assert oef.shape == data.shape[1:4] + (data.shape[0],)
         np.testing.assert_allclose(
             oef, np.moveaxis(maps["oef"][..., 0], 0, -1), rtol=1e-6)
+        # _logstds holds the 3-channel MC variance maps (the semantics the
+        # reference's executed save_predictions gives it, model.py:790,887)
+        logstds = load_nifti(base + "_logstds.nii.gz")
+        assert logstds.shape == data.shape[1:4] + (3 * data.shape[0],)
+        np.testing.assert_allclose(
+            logstds,
+            np.moveaxis(maps["stds"], 0, -2).reshape(
+                data.shape[1:4] + (-1,)), rtol=1e-6)
 
     def test_fine_tuned_artifacts(self, rng, tmp_path):
         tuner, params, data, key = _setup(rng, s=1)

@@ -1,11 +1,11 @@
 """Gate the Pallas MC summarization kernel against the jnp path.
 
-TPU-only: the Mosaic interpreter takes minutes per tiny call on this
-class of CPU host, so these tests run only when a real TPU backend is
-present (`python -m pytest tests/test_pallas.py` on a TPU VM; the CPU
-suite skips them). The RNG streams differ (TPU PRNG vs threefry), so MC
-outputs are compared within Monte-Carlo tolerance, per SURVEY.md's
-RNG-parity note.
+The statistical gates run only on a real TPU backend (the Mosaic
+interpreter is too slow at their sizes); TestInterpreterSmoke runs the
+kernels at tiny sizes through the interpreter on every backend so the
+default CPU suite still parses/lowers/executes them. The RNG streams
+differ (TPU PRNG vs threefry), so MC outputs are compared within
+Monte-Carlo tolerance, per SURVEY.md's RNG-parity note.
 """
 
 import jax
@@ -16,9 +16,12 @@ import pytest
 from qbold_vi_tpu.config import ScanParams
 from qbold_vi_tpu.dist.logit_mvn import LogitMVN
 
-pytestmark = pytest.mark.skipif(
+# Statistical gates need the real chip; the interpreter smoke tests at
+# the bottom run everywhere (tiny sizes only).
+tpu_only = pytest.mark.skipif(
     jax.default_backend() not in ("tpu", "axon"),
-    reason="Pallas TPU kernel; Mosaic interpreter is impractically slow on CPU",
+    reason="Pallas TPU kernel; Mosaic interpreter is impractically slow on "
+           "CPU at these sizes",
 )
 
 SCAN = ScanParams(simulate_noise=False)
@@ -26,6 +29,7 @@ DIST = LogitMVN()
 DWC = SCAN.dw_coeff * SCAN.hct
 
 
+@tpu_only
 @pytest.mark.parametrize("mvg", [True, False])
 def test_kernel_matches_streamed_jnp_within_mc_error(rng, mvg):
     from qbold_vi_tpu.ops.pallas_summarize import mc_posterior_summaries
@@ -56,6 +60,7 @@ def test_kernel_matches_streamed_jnp_within_mc_error(rng, mvg):
                                rtol=0.5, atol=1e-5)
 
 
+@tpu_only
 def test_kernel_zero_variance_case():
     """With log-std squashed to its floor the sample spread collapses and
     the mean must equal the deterministic forward transform."""
@@ -78,6 +83,7 @@ def test_kernel_zero_variance_case():
     assert np.all(v[:, 2] < 0.05)
 
 
+@tpu_only
 def test_antithetic_unbiased_and_lower_variance(rng):
     """Antithetic pairing: same means within MC error, and LOWER spread
     of the mean estimator across repeated runs than iid at equal S."""
@@ -105,6 +111,7 @@ def test_antithetic_unbiased_and_lower_variance(rng):
     assert anti.std(0).mean() < iid.std(0).mean()
 
 
+@tpu_only
 def test_mc_kl_kernel_matches_jnp(rng):
     """The fused MC-KL kernel must agree with the jnp sampled KL (value
     semantics: same reduced estimator, different RNG stream -> compare
@@ -127,6 +134,7 @@ def test_mc_kl_kernel_matches_jnp(rng):
     assert kern.shape == (n,)
 
 
+@tpu_only
 def test_padding_handles_non_block_sizes(rng):
     from qbold_vi_tpu.ops.pallas_summarize import mc_posterior_summaries
 
@@ -136,3 +144,65 @@ def test_padding_handles_non_block_sizes(rng):
     assert means.shape == (1111, 3)
     assert vars_.shape == (1111, 3)
     assert np.all(np.isfinite(np.asarray(means)))
+
+
+class TestInterpreterSmoke:
+    """CPU-runnable smoke tests: the Mosaic TPU interpreter executes the
+    kernels at tiny sizes in ~1 s, so the default CPU suite at least
+    parses, lowers and runs them (VERDICT r1: 'interpreter-mode Pallas
+    smoke test on CPU'). NB the interpreter stubs the TPU PRNG
+    (prng_random_bits returns zeros on this JAX version), so statistical
+    gates are impossible here -- these tests pin the DETERMINISTIC parts
+    of the kernel math (transforms, accumulator normalisation, Cholesky
+    whitening, log-det terms), which hold for any draw values; the
+    statistical gates above run on the real chip."""
+
+    def test_summaries_smoke_zero_variance_floor(self, rng):
+        """With log-std squashed to its floor (std ~ e^-4) every sample
+        collapses onto the mean, so the MC means must equal the
+        deterministic forward transform whatever the PRNG emits."""
+        from qbold_vi_tpu.ops.pallas_summarize import mc_posterior_summaries
+
+        mu = rng.normal(size=(16, 2)).astype(np.float32) * 0.5
+        params = np.zeros((16, 5), np.float32)
+        params[:, 0] = mu[:, 0]
+        params[:, 2] = mu[:, 1]
+        params[:, 1] = params[:, 3] = -10.0  # tanh(-10)*3-1 ~ -4
+        means, vars_ = mc_posterior_summaries(
+            jnp.asarray(params), jnp.int32(3), no_samples=8, mvg=True,
+            dw_coeff=DWC, interpret=True, lanes=128)
+        assert means.shape == (16, 3) and vars_.shape == (16, 3)
+        m, v = np.asarray(means), np.asarray(vars_)
+        assert np.all(np.isfinite(m)) and np.all(v >= 0.0)
+        expect = np.asarray(DIST.forward_transform(jnp.asarray(mu)))
+        np.testing.assert_allclose(m[:, 0], expect[:, 0], rtol=2e-2)
+        np.testing.assert_allclose(m[:, 1], expect[:, 1], rtol=2e-2)
+        np.testing.assert_allclose(m[:, 2], DWC * expect[:, 0] * expect[:, 1],
+                                   rtol=4e-2)
+
+    def test_kl_smoke_identical_distributions(self, rng):
+        """KL(q || q) is exactly 0 for EVERY sample draw (whitened
+        residuals and log-dets cancel term by term), so this pins the
+        KL kernel math without needing real randomness."""
+        from qbold_vi_tpu.ops.pallas_summarize import mc_kl_map
+
+        q = jnp.asarray(rng.normal(size=(16, 5)).astype(np.float32) * 0.4)
+        kl = np.asarray(mc_kl_map(q, q, jnp.int32(3), no_samples=8,
+                                  mvg=True, interpret=True, lanes=128))
+        assert kl.shape == (16,)
+        np.testing.assert_allclose(kl, 0.0, atol=1e-5)
+
+    def test_antithetic_guard_odd_and_singleton(self, rng):
+        """Odd/singleton sample counts must not drop samples or divide by
+        zero (ADVICE r1): the kernel falls back to the iid estimator."""
+        from qbold_vi_tpu.ops.pallas_summarize import mc_posterior_summaries
+
+        params = jnp.asarray(rng.normal(size=(8, 5)).astype(np.float32) * 0.3)
+        for s in (1, 3):
+            means, vars_ = mc_posterior_summaries(
+                params, jnp.int32(1), no_samples=s, mvg=True, dw_coeff=DWC,
+                interpret=True, lanes=128, antithetic=True)
+            assert np.all(np.isfinite(np.asarray(means)))
+        with pytest.raises(ValueError):
+            mc_posterior_summaries(params, jnp.int32(1), no_samples=0,
+                                   mvg=True, interpret=True, lanes=128)

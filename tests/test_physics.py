@@ -266,6 +266,21 @@ def test_per_tau_parameters_supported():
     key = jax.random.PRNGKey(2)
     oef, dbv = physics.misalign_params(key, jnp.full((16,), 0.4),
                                        jnp.full((16,), 0.05), 11, prob=1.0)
-    out = physics.ase_signal(oef, dbv, SCAN)
+    out = physics.ase_signal(oef, dbv, SCAN, per_tau_params=True)
     assert out.shape == (16, 11)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_per_tau_is_explicit_never_inferred():
+    # A per-voxel trailing dim that coincidentally equals n_taus must NOT
+    # be treated as per-tau: 11 voxels on the 11-tau protocol give
+    # (11, 11) signals, not (11,).
+    oef = jnp.full((11,), 0.4)
+    dbv = jnp.full((11,), 0.05)
+    out = physics.ase_signal(oef, dbv, SCAN)
+    assert out.shape == (11, SCAN.n_taus)
+    # and a wrong-shaped per-tau input is rejected loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        physics.ase_signal(jnp.zeros((4, 7)) + 0.4, jnp.zeros((4, 7)) + 0.05,
+                           SCAN, per_tau_params=True)
