@@ -37,10 +37,11 @@ from ..parallel import mesh as pmesh
 from ..synth import create_synthetic_dataset
 from . import data as data_pipe
 from .optim import make_finetune_optimizer, make_pretrain_optimizer, swa_init
-from .steps import (TrainState, make_finetune_epoch,
-                    make_finetune_epoch_on_device, make_finetune_eval,
+from .steps import (TrainState, make_finetune_epoch_on_device,
+                    make_finetune_epoch_sharded, make_finetune_eval,
                     make_pretrain_eval, make_pretrain_step,
-                    make_pretrain_stream_step)
+                    make_pretrain_stream_step,
+                    make_pretrain_stream_step_sharded)
 
 __all__ = ["WeightStatus", "Trainer"]
 
@@ -158,6 +159,18 @@ class Trainer:
                 self.pt_path, swa=self.cfg.train.use_swa, optimizer=opt)
             self.status = WeightStatus.PRE_TRAINED
 
+    def _put_eval_batch(self, batch: dict) -> dict:
+        """Device-put an eval batch for the (jitted, non-shard_map) eval
+        fns: sharded over the mesh when the leading dim divides it,
+        replicated otherwise (eval batches are small -- replication costs
+        nothing and keeps shapes static)."""
+        if self.mesh is None:
+            return batch
+        lead = next(iter(batch.values())).shape[0]
+        if lead % self.mesh.devices.size == 0:
+            return pmesh.shard_batch(self.mesh, batch)
+        return pmesh.replicate(self.mesh, batch)
+
     # ---- logging -----------------------------------------------------------------
 
     def _log(self, phase: str, step: int, metrics: dict) -> None:
@@ -181,11 +194,11 @@ class Trainer:
         if self.status.value >= WeightStatus.PRE_TRAINED.value:
             return self.state
 
-        # Streaming generation is a single-device program (the batch is
-        # created inside the step); under a mesh use the host-fed path so
-        # batches shard over devices.
-        streaming = (cfg.train.pt_on_device_synth and synthetic is None
-                     and self.mesh is None)
+        # Streaming generation works on one device AND under a mesh: the
+        # sharded variant has every device generate its own sub-batch
+        # locally (steps.make_pretrain_stream_step_sharded), so the mesh
+        # path keeps the zero-host-transfer property.
+        streaming = cfg.train.pt_on_device_synth and synthetic is None
         if streaming:
             # Validation still uses a small fixed host set; training draws
             # fresh batches on device (steps.make_pretrain_stream_step).
@@ -221,15 +234,24 @@ class Trainer:
             state = pmesh.replicate(self.mesh, state)
 
         step_fn = make_pretrain_step(self.tuner, cfg, optimizer)
-        stream_fn = (make_pretrain_stream_step(self.tuner, cfg, optimizer)
-                     if streaming else None)
+        stream_fn = None
+        if streaming:
+            stream_fn = (
+                make_pretrain_stream_step_sharded(
+                    self.tuner, cfg, optimizer, self.mesh)
+                if self.mesh is not None else
+                make_pretrain_stream_step(self.tuner, cfg, optimizer))
         eval_fn = make_pretrain_eval(self.tuner, cfg)
         rng = np.random.default_rng(cfg.train.seed)
 
         n_val = min(len(vx), 4096 // int(np.prod(vx.shape[1:4])) + 1)
-        val_batch = {"x": vx[:n_val], "y": vy[:n_val]}
         if self.mesh is not None:
-            val_batch = pmesh.shard_batch(self.mesh, val_batch)
+            # shard the eval batch when it divides the mesh, else
+            # replicate it (tiny sets -- e.g. the streaming path's small
+            # fixed validation set -- cannot split 8 ways)
+            n_dev = self.mesh.devices.size
+            n_val = max(n_val // n_dev * n_dev, min(len(vx), n_dev))
+        val_batch = self._put_eval_batch({"x": vx[:n_val], "y": vy[:n_val]})
 
         for epoch in range(cfg.train.no_pt_epochs):
             t0 = time.time()
@@ -252,9 +274,12 @@ class Trainer:
             metrics["epoch_time_s"] = time.time() - t0
             self._log("pretrain", epoch, metrics)
 
-        # SWA: adopt the averaged weights if any snapshots were taken
-        # (reference: tfa SWA assign_average_vars semantics).
-        if state.swa is not None and int(state.swa.n_avg) > 0:
+        # SWA adoption is opt-in (cfg.train.swa_adopt): the reference
+        # builds the tfa SWA wrapper but never calls assign_average_vars
+        # (train.py:382-385), so its averaged weights are never applied;
+        # the default False reproduces that executed behaviour.
+        if (cfg.train.swa_adopt and state.swa is not None
+                and int(state.swa.n_avg) > 0):
             state = state._replace(params=state.swa.average)
 
         self.state = state
@@ -320,31 +345,30 @@ class Trainer:
             state = pmesh.replicate(self.mesh, state)
 
         eval_fn = make_finetune_eval(self.tuner, cfg)
+        # Volumes + priors stay resident on device (uploaded once, a few
+        # MB); crops are dynamic_slices inside the epoch scan -- no
+        # per-epoch host transfer on either path. Under a mesh each device
+        # samples its own sub-batch of crops and grads are pmean-reduced
+        # (steps.make_finetune_epoch_sharded); the round-1 host-stacked
+        # mesh pipeline (~0.8 GB/epoch) is gone.
         if self.mesh is None:
-            # Single-device: volumes stay resident on device; crops are
-            # dynamic_slices inside the epoch scan -- no per-epoch host
-            # transfer (steps.make_finetune_epoch_on_device).
             epoch_fn = make_finetune_epoch_on_device(
                 self.tuner, cfg, optimizer, cfg.train.ft_steps_per_epoch)
             dev_volumes = jnp.asarray(sampler.data)
             dev_priors = jnp.asarray(sampler.priors)
         else:
-            # Mesh: host-sampled crops, sharded over the batch axis.
-            epoch_fn = make_finetune_epoch(self.tuner, cfg, optimizer)
+            epoch_fn = make_finetune_epoch_sharded(
+                self.tuner, cfg, optimizer, cfg.train.ft_steps_per_epoch,
+                self.mesh)
+            dev_volumes = pmesh.replicate(self.mesh,
+                                          jnp.asarray(sampler.data))
+            dev_priors = pmesh.replicate(self.mesh,
+                                         jnp.asarray(sampler.priors))
 
         for epoch in range(cfg.train.no_ft_epochs):
             t0 = time.time()
-            if self.mesh is None:
-                state, m = epoch_fn(state, self._next_key(),
-                                    dev_volumes, dev_priors)
-            else:
-                crops = [sampler.sample(cfg.train.ft_batch_size)
-                         for _ in range(cfg.train.ft_steps_per_epoch)]
-                stacked = {k: np.stack([c[k] for c in crops])
-                           for k in crops[0]}
-                stacked = pmesh.shard_batch(self.mesh, stacked,
-                                            time_axis=True)
-                state, m = epoch_fn(state, self._next_key(), stacked)
+            state, m = epoch_fn(state, self._next_key(),
+                                dev_volumes, dev_priors)
             # float() forces device sync so the timing is honest
             loss_val = float(jnp.mean(m["loss"]))
             metrics = {"loss": loss_val,
@@ -355,8 +379,7 @@ class Trainer:
                         cfg.train.eval_batch_size)):
                     if i >= 4:  # 4 batches, reference train.py:333
                         break
-                    if self.mesh is not None:
-                        vb = pmesh.shard_batch(self.mesh, vb)
+                    vb = self._put_eval_batch(vb)
                     vals.append(eval_fn(state.params, self._next_key(), vb))
                 if vals:
                     for k in vals[0]:
