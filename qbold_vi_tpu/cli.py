@@ -286,17 +286,35 @@ def cmd_transfer(args) -> int:
 
 
 def cmd_sweep(args) -> int:
-    """Grid sweep (reference wandb_sweep.py) or declarative random search
-    (reference configurations/sweep_prior.yaml)."""
+    """Grid sweep (reference wandb_sweep.py) or a declarative sweep from
+    a space YAML -- Bayesian (TPE) by default, matching the reference's
+    ``method: bayes`` wandb sweep (configurations/sweep_prior.yaml),
+    random search via --method random."""
     cfg = _load_cfg(args)
     if args.space:
         import yaml
 
-        from .sweep import random_search
+        from .sweep import bayes_search, parse_wandb_sweep, random_search
         with open(args.space) as f:
             spec = yaml.safe_load(f)
-        results = random_search(cfg, spec["space"], n_trials=args.trials,
-                                metric=spec.get("metric", "val_elbo"))
+        if "parameters" in spec:
+            # the reference's own wandb sweep grammar
+            space, metric, goal, method = parse_wandb_sweep(spec)
+        else:
+            # legacy flat format: {space: {...}, metric: ..., method: ...}
+            space = spec["space"]
+            metric = spec.get("metric", "val_elbo")
+            goal = spec.get("goal", "minimize")
+            method = spec.get("method", "bayes")
+        if args.method:
+            method = args.method
+        if method == "bayes":
+            results = bayes_search(cfg, space, n_trials=args.trials,
+                                   metric=metric,
+                                   maximize=goal == "maximize")
+        else:
+            results = random_search(cfg, space, n_trials=args.trials,
+                                    metric=metric)
     else:
         from .sweep import run_grid_sweep
         results = run_grid_sweep(cfg, layers=args.layers, units=args.units,
@@ -361,13 +379,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="save_directory for the transferred checkpoint")
     sp.set_defaults(fn=cmd_transfer)
 
-    sp = add("sweep", help="grid sweep over layers x units, or random "
-                           "search from a space YAML")
+    sp = add("sweep", help="grid sweep over layers x units, or a "
+                           "Bayesian/random search from a space YAML")
     sp.add_argument("--layers", type=int, nargs="+", default=[2, 4, 6, 8, 10])
     sp.add_argument("--units", type=int, nargs="+", default=[2, 4, 6, 8, 10])
     sp.add_argument("--seeds", type=int, default=3)
     sp.add_argument("--space", default=None,
-                    help="search-space YAML (e.g. configurations/sweep_prior.yaml)")
+                    help="search-space YAML, wandb sweep grammar or flat "
+                         "(e.g. configurations/sweep_prior.yaml)")
+    sp.add_argument("--method", default=None, choices=["bayes", "random"],
+                    help="override the YAML's sweep method")
     sp.add_argument("--trials", type=int, default=20)
     sp.set_defaults(fn=cmd_sweep)
     return p

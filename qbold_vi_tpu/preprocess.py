@@ -29,7 +29,9 @@ import numpy as np
 __all__ = [
     "estimate_norm_snr",
     "average_slices",
+    "average_fieldmaps",
     "prepare_image",
+    "register_to_t1",
     "prepare_data",
     "reslice_images",
 ]
@@ -113,14 +115,37 @@ def prepare_image(image_filename: str) -> np.ndarray:
     ], -1)
 
 
+def average_fieldmaps(vdm_dir: str, warp_type_indicator: str,
+                      shift_im: str) -> str:
+    """Average the two SPM-produced EPI voxel-displacement (VDM) field
+    maps for this acquisition into the mean shift map used for EPI
+    distortion correction (reference: data_preprocessing.py:127-136:
+    ``fslmaths f0 -add f1 -mul 0.5 shift_im``). ``warp_type_indicator``
+    selects baseline ('B') vs hypervent ('H') maps, matching the
+    reference's filename convention."""
+    field_fnames = sorted(glob(f"{vdm_dir}/*{warp_type_indicator}*.nii"))
+    if len(field_fnames) < 2:
+        raise FileNotFoundError(
+            f"need 2 SPM VDM field maps matching *{warp_type_indicator}* "
+            f"in {vdm_dir}, found {len(field_fnames)}")
+    _run(["fslmaths", field_fnames[0], "-add", field_fnames[1],
+          "-mul", "0.5", shift_im])
+    return shift_im
+
+
 def register_to_t1(image_filename: str) -> tuple:
     """T1/MNI registration chain producing the per-subject nonlinear warp
-    and GM mask (reference: data_preprocessing.py:66-177). Requires T1.nii
-    next to the ASE series and a full FSL install; returns
-    (warp_path, gm_mask_path)."""
+    and GM mask (reference: data_preprocessing.py:66-177), including the
+    SPM fieldmap (VDM) shift maps for EPI distortion correction, the
+    ``T1_orig2roi`` concat, the WM+GM segmentation resampling, and the
+    warped-mean QA image. Requires T1.nii, SPM ``c1T1``/``c2T1``
+    segmentations, and a ``VDM/`` fieldmap directory next to the ASE
+    series, plus a full FSL install; returns (warp_path, gm_mask_path).
+    """
     dir_name = path.dirname(image_filename)
     basename = path.basename(image_filename).split(".")[0]
     mean_image = f"{dir_name}/tmean_{basename}.nii.gz"
+    warped_mean_image = f"{dir_name}/tmean_warped{basename}.nii.gz"
     brain_mask = f"{dir_name}/mask_{basename}_mask.nii.gz"
     t1 = f"{dir_name}/T1.nii"
     t1_2mm = f"{dir_name}/T1_2mm.nii.gz"
@@ -128,14 +153,19 @@ def register_to_t1(image_filename: str) -> tuple:
     t1_2mm_invmask = f"{dir_name}/T1_2mm_invmask.nii.gz"
     transform_matrix = f"{dir_name}/{basename}toT1.mat"
     transform_matrix_inv = f"{dir_name}/T1to{basename}.mat"
+    transform_2_roi = f"{dir_name}/{basename}toT1_roi.mat"
     warp_to_std = f"{dir_name}/{basename}_warp_to_std.nii.gz"
     anat_dir = f"{dir_name}/T1_2mm.anat/"
-    warped_mean_image = f"{dir_name}/tmean_warped{basename}.nii.gz"
+    seg_wm_gm_out = f"{dir_name}/{basename}wm_gm"
     t1_to_ase_field = f"{dir_name}/{basename}_from_t1_field.nii.gz"
+    ase_to_t1_field = f"{dir_name}/{basename}_to_t1_field.nii.gz"
     ase_gm = f"{dir_name}/{basename}_gm.nii.gz"
+    shift_im = f"{dir_name}/{basename}ave_shift"
 
     if not path.exists(t1_2mm_mask):
         _run(["fslmaths", t1, "-subsamp2", t1_2mm])
+        # heavily eroded mask for registering the ASE data; the inverted
+        # mask for fsl_anat is NOT eroded (it disrupts std registration)
         _run(["fslmaths", t1_2mm, "-bin", "-kernel", "box", "25", "-ero",
               t1_2mm_mask])
         _run(["fslmaths", t1_2mm, "-bin", "-sub", "1", "-mul", "-1",
@@ -149,21 +179,51 @@ def register_to_t1(image_filename: str) -> tuple:
               "-searchrx", "-20", "20", "-searchry", "-20", "20",
               "-searchrz", "-20", "20", "-finesearch", "2",
               "-refweight", t1_2mm_mask])
+        # ASE->T1 matrix concatenated into the anat ROI space
+        # (reference: data_preprocessing.py:123-125)
+        _run(["convert_xfm", "-omat", transform_2_roi, "-concat",
+              f"{anat_dir}T1_orig2roi.mat", transform_matrix])
+        # SPM EPI unwarping maps, averaged (reference :127-136); 'H' for
+        # hypervent acquisitions, 'B' otherwise
+        indicator = "H" if "hyperv_ase" in image_filename else "B"
+        average_fieldmaps(f"{dir_name}/VDM", indicator, shift_im)
+        # one combined ASE->MNI warp: shift map + affine + nonlinear
+        # field (reference :138-140)
+        _run(["convertwarp", "-r", f"{anat_dir}T1_to_MNI_nonlin.nii.gz",
+              "-o", warp_to_std,
+              "-w", f"{anat_dir}T1_to_MNI_nonlin_field.nii.gz",
+              "-m", transform_2_roi, "-s", shift_im])
+        # registration QA: nonlinearly warp the mean qBOLD image to MNI
+        # (reference :142-145)
+        _run(["applywarp", "-i", mean_image, "-w", warp_to_std,
+              "-o", warped_mean_image,
+              "-r", f"{anat_dir}T1_to_MNI_nonlin.nii.gz"])
+    if not path.exists(seg_wm_gm_out):
+        # resample the SPM GM (c1) + WM (c2) segmentations into ASE space
+        # and binarise their union (reference :147-162)
         _run(["convert_xfm", "-omat", transform_matrix_inv, "-inverse",
               transform_matrix])
-    if not path.exists(warp_to_std):
-        _run(["convertwarp", f"--ref={anat_dir}/T1_to_MNI_nonlin.nii.gz",
-              f"--premat={transform_matrix}",
-              f"--warp1={anat_dir}/T1_to_MNI_nonlin_field.nii.gz",
-              f"--out={warp_to_std}"])
+        seg_ims_out = []
+        for seg_basename in ("c1T1", "c2T1"):
+            seg_im = f"{dir_name}/{seg_basename}.nii"
+            seg_im_out = f"{dir_name}/{basename}_{seg_basename}"
+            seg_ims_out.append(seg_im_out)
+            _run(["flirt", "-in", seg_im, "-ref", mean_image,
+                  "-init", transform_matrix_inv, "-applyxfm",
+                  "-out", seg_im_out])
+        _run(["fslmaths", seg_ims_out[0], "-add", seg_ims_out[1],
+              "-thr", "0.5", "-bin", seg_wm_gm_out])
     if not path.exists(ase_gm):
-        _run(["invwarp", "-w", f"{anat_dir}/T1_to_MNI_nonlin_field.nii.gz",
-              "-o", t1_to_ase_field, "-r", mean_image])
-        _run(["applywarp", f"--in={anat_dir}/T1_fast_pve_1.nii.gz",
-              f"--ref={mean_image}", f"--out={ase_gm}",
-              f"--warp={t1_to_ase_field}",
-              f"--postmat={transform_matrix_inv}"])
-        _run(["fslmaths", ase_gm, "-thr", "0.5", "-bin", ase_gm])
+        # GM mask in ASE space through the inverse of the
+        # distortion-corrected ASE->T1 warp (reference :164-175)
+        _run(["convertwarp", "-r", t1_2mm, "-o", ase_to_t1_field,
+              "-s", shift_im, "-m", transform_matrix])
+        _run(["invwarp", "-w", ase_to_t1_field, "-o", t1_to_ase_field,
+              "-r", mean_image])
+        _run(["applywarp", "-i", f"{dir_name}/c1T1.nii", "-r", mean_image,
+              "-o", ase_gm, "-w", t1_to_ase_field])
+        _run(["fslmaths", ase_gm, "-mas", brain_mask, "-thr", "0.5",
+              ase_gm])
     return warp_to_std, ase_gm
 
 

@@ -1,0 +1,158 @@
+"""Sweep subsystem: grid / random / Bayesian (TPE) search.
+
+The reference's declarative sweep is a wandb *Bayesian* sweep
+(reference: configurations/sweep_prior.yaml:2 ``method: bayes``);
+bayes_search provides that capability natively and is gated here to
+(a) parse the reference's own YAML grammar, (b) find the optimum of the
+published tuning direction (gate_offset ~ -3) in fewer trials than
+random search, and (c) rank trials out of the box via _default_run.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import yaml
+
+from qbold_vi_tpu.config import (ModelConfig, QBoldConfig, ScanParams,
+                                 SynthParams, TrainConfig)
+from qbold_vi_tpu.sweep import (_default_run, bayes_search,
+                                parse_wandb_sweep, random_search)
+
+
+def _objective_factory(noise=0.05, seed=0):
+    """Noisy quadratic in gate_offset with optimum at the published -3.0
+    (reference optimal.yaml gate_offset: -3.0), plus a log-scale pt_lr
+    bowl at 2e-3 -- a cheap stand-in for the val_elbo landscape."""
+    rng = np.random.default_rng(seed)
+
+    def run(cfg):
+        g = cfg.model.gate_offset
+        lr = cfg.train.pt_lr
+        y = ((g + 3.0) ** 2
+             + (np.log10(lr) - np.log10(2e-3)) ** 2
+             + rng.normal() * noise)
+        return {"val_elbo": float(y)}
+
+    return run
+
+
+SPACE = {
+    "gate_offset": ("uniform", -6.0, 0.0),
+    "pt_lr": ("log_uniform", 1e-5, 1e-1),
+}
+
+
+class TestBayes:
+    def test_tpe_converges_to_gate_offset_optimum(self, tmp_path):
+        cfg = QBoldConfig(train=TrainConfig(save_directory=str(tmp_path)))
+        results = bayes_search(cfg, SPACE, n_trials=30,
+                               run_fn=_objective_factory(), seed=1)
+        best = results[0]["overrides"]
+        assert abs(best["gate_offset"] + 3.0) < 0.5
+        assert 5e-4 < best["pt_lr"] < 8e-3
+
+    def test_tpe_beats_random_at_equal_budget(self, tmp_path):
+        """Done-criterion from VERDICT r1 #2: the Bayesian sweep reaches
+        the gate_offset ~ -3 optimum in fewer trials than random. Compared
+        via best-so-far objective at a 20-trial budget, averaged over
+        seeds (each method sees identically-seeded objective noise)."""
+        cfg = QBoldConfig(train=TrainConfig(save_directory=str(tmp_path)))
+        n = 20
+        bayes_best, rand_best = [], []
+        for seed in range(4):
+            rb = random_search(cfg, SPACE, n_trials=n, seed=seed,
+                               run_fn=_objective_factory(seed=100 + seed))
+            bb = bayes_search(cfg, SPACE, n_trials=n, seed=seed,
+                              run_fn=_objective_factory(seed=100 + seed))
+            rand_best.append(rb[0]["val_elbo"])
+            bayes_best.append(bb[0]["val_elbo"])
+        assert np.mean(bayes_best) < np.mean(rand_best)
+
+    def test_fixed_choice_and_failed_trials(self, tmp_path):
+        cfg = QBoldConfig(train=TrainConfig(save_directory=str(tmp_path)))
+        space = {
+            "no_units": ("fixed", 30),
+            "crop_size": ("choice", [16, 20, 25]),
+            "gate_offset": ("uniform", -6.0, 0.0),
+        }
+
+        def run(cfg_):
+            if cfg_.train.crop_size == 20:
+                return {"status": "failed"}  # no metric -> ranks last
+            return {"val_elbo": (cfg_.model.gate_offset + 3.0) ** 2}
+
+        results = bayes_search(cfg, space, n_trials=15, run_fn=run, seed=0)
+        assert all(r["overrides"]["no_units"] == 30 for r in results)
+        assert all(r["overrides"]["crop_size"] in (16, 20, 25)
+                   for r in results)
+        # metric-less trials sort to the end
+        ranked = [("val_elbo" in r) for r in results]
+        assert ranked == sorted(ranked, reverse=True)
+
+    def test_deterministic_given_seed(self, tmp_path):
+        cfg = QBoldConfig(train=TrainConfig(save_directory=str(tmp_path)))
+        a = bayes_search(cfg, SPACE, n_trials=10,
+                         run_fn=_objective_factory(), seed=3)
+        b = bayes_search(cfg, SPACE, n_trials=10,
+                         run_fn=_objective_factory(), seed=3)
+        assert [r["overrides"] for r in a] == [r["overrides"] for r in b]
+
+
+class TestWandbGrammar:
+    def test_parses_reference_sweep_yaml(self):
+        """The reference's own sweep file must load directly
+        (reference: configurations/sweep_prior.yaml:1-51)."""
+        with open("/root/reference/configurations/sweep_prior.yaml") as f:
+            spec = yaml.safe_load(f)
+        space, metric, goal, method = parse_wandb_sweep(spec)
+        assert method == "bayes"
+        assert metric == "val_elbo" and goal == "minimize"
+        assert space["inv_gamma_alpha"] == ("uniform", 0.1, 10.0)
+        assert space["no_pt_epochs"] == ("choice", [10, 20])
+        assert space["no_units"] == ("fixed", 30)
+        # NB: YAML 1.1 parses dot-less scientific notation as strings;
+        # apply_flat_overrides coerces them to the field type downstream.
+        assert space["pt_lr"][0] == "choice"
+        assert any(float(v) == 2e-3 for v in space["pt_lr"][1])
+
+    def test_repo_sweep_yaml_drives_bayes(self, tmp_path):
+        with open("configurations/sweep_prior.yaml") as f:
+            spec = yaml.safe_load(f)
+        space, metric, goal, method = parse_wandb_sweep(spec)
+        assert method == "bayes"
+        cfg = QBoldConfig(train=TrainConfig(save_directory=str(tmp_path)))
+        seen = []
+
+        def run(cfg_):
+            seen.append(cfg_)
+            return {"val_elbo": float(cfg_.train.inv_gamma_alpha)}
+
+        results = bayes_search(cfg, space, n_trials=8, run_fn=run, seed=0)
+        assert len(results) == 8
+        for c in seen:
+            assert 0.1 <= c.train.inv_gamma_alpha <= 10.0
+            assert c.model.no_units == 30
+            assert c.train.no_pt_epochs in (10, 20)
+        # ranked by the metric ascending
+        vals = [r["val_elbo"] for r in results]
+        assert vals == sorted(vals)
+
+
+class TestDefaultRun:
+    def test_default_run_returns_val_elbo(self, tmp_path):
+        """Out-of-the-box ranking: _default_run must produce the metric
+        random_search/bayes_search sort by (VERDICT r1 weak #3)."""
+        cfg = QBoldConfig(
+            scan=ScanParams(simulate_noise=False),
+            synth=SynthParams(sample_size=40),
+            model=ModelConfig(no_units=4, no_intermediate_layers=1,
+                              use_mvg=True, student_t_df=200.0,
+                              predict_log_data=False),
+            train=TrainConfig(no_pt_epochs=1, pt_batch_size=8,
+                              save_directory=str(tmp_path)),
+        )
+        out = _default_run(cfg)
+        assert "val_elbo" in out and np.isfinite(out["val_elbo"])
+        assert out["val_elbo"] == out["val_loss"]
+        assert out["status"] == "PRE_TRAINED"

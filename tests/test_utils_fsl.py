@@ -102,3 +102,126 @@ class TestPrepareImage:
         out2 = preprocess.prepare_image(src)
         assert calls == []
         np.testing.assert_array_equal(out, out2)
+
+
+class TestRegistrationChain:
+    """Command-sequence parity of the full T1/MNI registration chain --
+    SPM/VDM fieldmap averaging, T1_orig2roi concat, WM+GM segmentation,
+    warped-mean QA -- against the reference
+    (data_preprocessing.py:66-177), via a mocked subprocess runner."""
+
+    def _subject(self, tmp_path, base="baseline_ase"):
+        d = tmp_path / "subj"
+        (d / "VDM").mkdir(parents=True)
+        # SPM fieldmaps for both acquisitions (reference :129-132)
+        for name in ("vdm5_B1.nii", "vdm5_B2.nii",
+                     "vdm5_H1.nii", "vdm5_H2.nii"):
+            (d / "VDM" / name).touch()
+        (d / "T1.nii").touch()
+        (d / "c1T1.nii").touch()
+        (d / "c2T1.nii").touch()
+        return d, str(d / f"{base}.nii.gz")
+
+    def test_full_chain_command_sequence(self, monkeypatch, tmp_path):
+        from qbold_vi_tpu import preprocess
+
+        d, src = self._subject(tmp_path)
+        calls = []
+        monkeypatch.setattr(preprocess, "_run",
+                            lambda cmd: calls.append(list(cmd)))
+        warp, gm = preprocess.register_to_t1(src)
+
+        dn = str(d)
+        anat = f"{dn}/T1_2mm.anat/"
+        progs = [c[0] for c in calls]
+        assert progs == [
+            "fslmaths", "fslmaths", "fslmaths",        # T1_2mm + masks
+            "fsl_anat",                                 # MNI nonlin field
+            "flirt", "convert_xfm",                     # ASE->T1 + roi concat
+            "fslmaths",                                 # VDM average
+            "convertwarp", "applywarp",                 # warp_to_std + QA
+            "convert_xfm", "flirt", "flirt", "fslmaths",  # WM+GM seg
+            "convertwarp", "invwarp", "applywarp", "fslmaths",  # ase_gm
+        ]
+        # T1_orig2roi concat (reference :123-125)
+        assert calls[5] == ["convert_xfm", "-omat",
+                            f"{dn}/baseline_asetoT1_roi.mat", "-concat",
+                            f"{anat}T1_orig2roi.mat",
+                            f"{dn}/baseline_asetoT1.mat"]
+        # VDM average uses the 'B' (baseline) maps (reference :129-136)
+        assert calls[6][0] == "fslmaths" and calls[6][2] == "-add"
+        assert "vdm5_B" in calls[6][1] and "vdm5_B" in calls[6][3]
+        assert calls[6][4:] == ["-mul", "0.5", f"{dn}/baseline_aseave_shift"]
+        # combined warp includes the shift map (reference :138-140)
+        assert calls[7] == ["convertwarp", "-r",
+                            f"{anat}T1_to_MNI_nonlin.nii.gz",
+                            "-o", f"{dn}/baseline_ase_warp_to_std.nii.gz",
+                            "-w", f"{anat}T1_to_MNI_nonlin_field.nii.gz",
+                            "-m", f"{dn}/baseline_asetoT1_roi.mat",
+                            "-s", f"{dn}/baseline_aseave_shift"]
+        # warped-mean QA image (reference :142-145)
+        assert calls[8] == ["applywarp", "-i",
+                            f"{dn}/tmean_baseline_ase.nii.gz",
+                            "-w", f"{dn}/baseline_ase_warp_to_std.nii.gz",
+                            "-o", f"{dn}/tmean_warpedbaseline_ase.nii.gz",
+                            "-r", f"{anat}T1_to_MNI_nonlin.nii.gz"]
+        # WM+GM segmentation union (reference :147-162)
+        assert calls[10][0:2] == ["flirt", "-in"]
+        assert calls[10][2] == f"{dn}/c1T1.nii"
+        assert "-applyxfm" in calls[10]
+        assert calls[12] == ["fslmaths", f"{dn}/baseline_ase_c1T1", "-add",
+                             f"{dn}/baseline_ase_c2T1", "-thr", "0.5",
+                             "-bin", f"{dn}/baseline_asewm_gm"]
+        # ase_gm through the distortion-corrected inverse warp
+        # (reference :164-175), masked by the brain mask
+        assert calls[13] == ["convertwarp", "-r", f"{dn}/T1_2mm.nii.gz",
+                             "-o", f"{dn}/baseline_ase_to_t1_field.nii.gz",
+                             "-s", f"{dn}/baseline_aseave_shift",
+                             "-m", f"{dn}/baseline_asetoT1.mat"]
+        assert calls[16] == ["fslmaths", f"{dn}/baseline_ase_gm.nii.gz",
+                             "-mas", f"{dn}/mask_baseline_ase_mask.nii.gz",
+                             "-thr", "0.5", f"{dn}/baseline_ase_gm.nii.gz"]
+        assert warp == f"{dn}/baseline_ase_warp_to_std.nii.gz"
+        assert gm == f"{dn}/baseline_ase_gm.nii.gz"
+
+    def test_hyperv_uses_h_fieldmaps(self, monkeypatch, tmp_path):
+        from qbold_vi_tpu import preprocess
+
+        d, src = self._subject(tmp_path, base="hyperv_ase")
+        calls = []
+        monkeypatch.setattr(preprocess, "_run",
+                            lambda cmd: calls.append(list(cmd)))
+        preprocess.register_to_t1(src)
+        vdm_call = [c for c in calls if c[0] == "fslmaths" and "-add" in c
+                    and "VDM" in c[1]][0]
+        assert "vdm5_H" in vdm_call[1] and "vdm5_H" in vdm_call[3]
+
+    def test_caching_skips_completed_blocks(self, monkeypatch, tmp_path):
+        """Blocks are cached on output existence exactly like the
+        reference (if not path.exists guards)."""
+        from qbold_vi_tpu import preprocess
+
+        d, src = self._subject(tmp_path)
+        dn = str(d)
+        # pre-create every block's sentinel output
+        (d / "T1_2mm_mask.nii.gz").touch()
+        anat = d / "T1_2mm.anat"
+        anat.mkdir()
+        (anat / "T1_to_MNI_nonlin_field.nii.gz").touch()
+        (d / "tmean_warpedbaseline_ase.nii.gz").touch()
+        (d / "baseline_asewm_gm").touch()
+        (d / "baseline_ase_gm.nii.gz").touch()
+        calls = []
+        monkeypatch.setattr(preprocess, "_run",
+                            lambda cmd: calls.append(list(cmd)))
+        preprocess.register_to_t1(src)
+        assert calls == []
+
+    def test_missing_fieldmaps_raise(self, monkeypatch, tmp_path):
+        from qbold_vi_tpu import preprocess
+
+        d = tmp_path / "s2"
+        (d / "VDM").mkdir(parents=True)
+        with pytest.raises(FileNotFoundError):
+            preprocess.average_fieldmaps(str(d / "VDM"), "B",
+                                         str(d / "shift"))
