@@ -158,20 +158,48 @@ def cmd_synth(args) -> int:
 
 
 def cmd_baseline(args) -> int:
-    """Log-linear WLS fit (reference: loglinear.py:107-157)."""
-    from .baseline import fit_wls
-    from .io import nifti
+    """Log-linear WLS fit (reference: loglinear.py:107-157).
+
+    Protocol: the reference CLI runs the 24-tau 'streamlined' grid
+    (tau from -0.028 step 0.004, loglinear.py:149-152); --protocol auto
+    (default) applies that grid when the data carries 24 tau channels
+    and the config grid otherwise; 'streamlined'/'config' force it.
+    With --transform-directory the (OEF, DBV, R2') maps are additionally
+    warped to MNI space exactly like the reference's save_predictions
+    (loglinear.py:31-61)."""
+    import dataclasses
+
     import jax.numpy as jnp
+
+    from .baseline import fit_wls
+    from .io import fsl, nifti
 
     cfg = _load_cfg(args)
     data = np.load(args.data)
     if args.strip_channels:
         data = data[..., :-args.strip_channels]
-    oef, dbv, r2p = fit_wls(jnp.asarray(data), cfg.scan)
+
+    scan = cfg.scan
+    if args.protocol == "streamlined" or (
+            args.protocol == "auto" and data.shape[-1] == 24):
+        scan = dataclasses.replace(scan, tau_start=-0.028, tau_step=0.004)
+    if data.shape[-1] != scan.n_taus:
+        print(f"data has {data.shape[-1]} tau channels but the "
+              f"{args.protocol} protocol grid has {scan.n_taus}",
+              file=sys.stderr)
+        return 1
+
+    oef, dbv, r2p = fit_wls(jnp.asarray(data), scan)
     base = args.output or os.path.splitext(args.data)[0]
+    tdir = args.transform_directory
+    if tdir and fsl.have_fsl():
+        fsl.warp_maps_to_mni(np.asarray(oef), np.asarray(dbv),
+                             np.asarray(r2p), base, tdir)
+    elif tdir:
+        print("FSL not found; skipping MNI warp", file=sys.stderr)
     for name, arr in (("oef", oef), ("dbv", dbv), ("r2p", r2p)):
-        nifti.save_im_data(np.asarray(arr), f"{base}_{name}")
-    print(f"wrote {base}_{{oef,dbv,r2p}}.nii.gz")
+        nifti.save_im_data(np.asarray(arr), f"{base}_{name}", tdir)
+    print(f"wrote {base}_{{oef,dbv,r2p}}.nii.gz ({scan.n_taus}-tau grid)")
     return 0
 
 
@@ -220,9 +248,12 @@ def cmd_dryrun(args) -> int:
 
 
 def cmd_import_weights(args) -> int:
-    """Convert a trained reference .h5 encoder checkpoint into this
-    framework's pt_model.msgpack (io/keras_import.py), so Trainer resumes
-    from it exactly as from our own pretraining."""
+    """Convert a trained reference .h5 checkpoint into this framework's
+    msgpack checkpoints (io/keras_import.py): a pt_model.h5 becomes
+    pt_model.msgpack; --final converts a fine-tuned final_model.h5
+    (incl. the learned population prior / trainable sigma extras,
+    reference model.py:252-281) into final_model.msgpack, so Trainer
+    resumes from it exactly as from our own training."""
     import jax.numpy as jnp
 
     from .io.keras_import import load_reference_h5
@@ -235,13 +266,23 @@ def cmd_import_weights(args) -> int:
                                  reference_dir=args.reference_dir)
     trainer = Trainer(cfg)
     params = trainer._init_params()
-    params["encoder"] = imported["encoder"]
-    optimizer = optim.make_pretrain_optimizer(cfg.train)
-    state = TrainState(params, optimizer.init(params),
-                       optim.swa_init(params) if cfg.train.use_swa else None,
-                       jnp.zeros([], jnp.int32))
-    _save_state(trainer.pt_path, state)
-    print(f"imported {args.h5} -> {trainer.pt_path}")
+    params.update(imported)   # encoder + pop_prior/log_sigma when present
+    extras = sorted(set(imported) - {"encoder"})
+    if args.final:
+        optimizer = optim.make_finetune_optimizer(cfg.train)
+        state = TrainState(params, optimizer.init(params), None,
+                           jnp.zeros([], jnp.int32))
+        out = trainer.final_path
+    else:
+        optimizer = optim.make_pretrain_optimizer(cfg.train)
+        state = TrainState(params, optimizer.init(params),
+                           optim.swa_init(params) if cfg.train.use_swa
+                           else None,
+                           jnp.zeros([], jnp.int32))
+        out = trainer.pt_path
+    _save_state(out, state)
+    print(f"imported {args.h5} -> {out}"
+          + (f" (extras: {', '.join(extras)})" if extras else ""))
     return 0
 
 
@@ -357,6 +398,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--output", "-o", default=None)
     sp.add_argument("--strip-channels", type=int, default=2,
                     help="trailing mask channels to drop (reference uses 2)")
+    sp.add_argument("--protocol", default="auto",
+                    choices=["auto", "streamlined", "config"],
+                    help="tau grid: the reference CLI's 24-tau "
+                         "streamlined protocol, the config grid, or "
+                         "auto-pick by channel count (default)")
+    sp.add_argument("--transform-directory", default=None,
+                    help="directory with nonlin<i>.nii.gz warps + "
+                         "MNI152_T1_2mm.nii.gz for MNI-space export "
+                         "(reference loglinear.py:31-61)")
     sp.set_defaults(fn=cmd_baseline)
 
     sp = add("infer", help="posterior map export")
@@ -369,6 +419,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("h5", help="path to reference pt_model.h5/final_model.h5")
     sp.add_argument("--reference-dir", default="/root/reference",
                     help="checkout of the upstream reference code")
+    sp.add_argument("--final", action="store_true",
+                    help="the .h5 is a fine-tuned final_model: write "
+                         "final_model.msgpack (FULL_TRAINED resume)")
     sp.set_defaults(fn=cmd_import_weights)
 
     sp = add("transfer", help="retarget a checkpoint to a new tau protocol")

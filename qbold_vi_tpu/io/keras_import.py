@@ -31,7 +31,8 @@ from typing import Any
 import numpy as np
 
 __all__ = ["stub_heavy_tf_extras", "build_reference_encoder",
-           "params_from_reference_encoder", "load_reference_h5"]
+           "params_from_reference_encoder", "params_from_legacy_h5",
+           "extras_from_legacy", "load_reference_h5"]
 
 
 def stub_heavy_tf_extras() -> None:
@@ -141,14 +142,24 @@ def params_from_reference_encoder(ref_model, cfg) -> dict:
     return {"encoder": enc}
 
 
-def _legacy_h5_weights(h5_path: str) -> list:
+def _legacy_h5_weights(h5_path: str) -> tuple[list, list]:
     """Parse a Keras-2 legacy ``save_weights`` HDF5 (the format the
     reference's TF2.x actually wrote: root attr ``layer_names``, per-layer
-    attr ``weight_names``) into [(name, kernel, bias), ...] for Conv3D
-    layers, in layer order."""
+    attr ``weight_names`` whose entries are FULL sub-paths like
+    ``conv3d_3/kernel:0`` -- a nested-Model layer group lists every
+    nested weight this way). Returns
+
+        (convs:  [(sub_layer_name, kernel, bias), ...]  (5-D kernels),
+         extras: [(sub_layer_name, var_name, array), ...]  (everything
+                  else -- e.g. tfp VariableLayer scalars/vectors))
+
+    grouping weight names by their sub-layer path so nested layouts
+    (the reference's ``final_model.h5``, whose outer model nests the
+    encoder Model as a single layer) parse correctly instead of
+    collapsing every conv onto one dict key (ADVICE r1)."""
     import h5py
 
-    out = []
+    convs, extras = [], []
     with h5py.File(h5_path, "r") as f:
         root = f["model_weights"] if "model_weights" in f else f
 
@@ -160,15 +171,52 @@ def _legacy_h5_weights(h5_path: str) -> list:
                 wnames = [n.decode() if isinstance(n, bytes) else n
                           for n in g.attrs.get("weight_names", [])]
                 if wnames:
-                    tensors = {wn.split("/")[-1].split(":")[0]:
-                               np.asarray(g[wn]) for wn in wnames}
-                    if "kernel" in tensors and tensors["kernel"].ndim == 5:
-                        out.append((lname, tensors["kernel"],
-                                    tensors.get("bias")))
+                    by_sublayer: dict[str, dict] = {}
+                    for wn in wnames:
+                        parts = wn.split("/")
+                        var = parts[-1].split(":")[0]
+                        prefix = "/".join(parts[:-1]) or lname
+                        by_sublayer.setdefault(prefix, {})[var] = (
+                            np.asarray(g[wn]))
+                    for prefix, tensors in by_sublayer.items():
+                        sub = prefix.split("/")[-1]
+                        k = tensors.get("kernel")
+                        if k is not None and k.ndim == 5:
+                            convs.append((sub, k, tensors.get("bias")))
+                        else:
+                            for var, arr in tensors.items():
+                                extras.append((sub, var, arr))
                 elif isinstance(g, type(group)) and "layer_names" in g.attrs:
-                    walk(g)  # nested model
-
+                    walk(g)  # nested model stored as its own group tree
         walk(root)
+    return convs, extras
+
+
+def extras_from_legacy(extras: list, cfg) -> dict:
+    """Map non-conv weights from a legacy fine-tuner checkpoint onto this
+    framework's extra param leaves (reference model.py:252-281):
+
+    * the trainable population prior -- a tfp VariableLayer of shape (5,)
+      (MVG) or (4 * mog_components,) (reference model.py:252-267)
+      -> params["pop_prior"];
+    * the trainable scalar noise -- a (1,) VariableLayer used when
+      heteroscedastic noise is off (reference model.py:278-281)
+      -> params["log_sigma"].
+
+    Identification is by shape against the config (VariableLayer names
+    are not stable across Keras versions), first match wins in file
+    order.
+    """
+    out: dict[str, Any] = {}
+    pop_size = (5 if cfg.use_mvg else 4 * cfg.mog_components)
+    for _sub, _var, arr in extras:
+        a = np.asarray(arr).reshape(-1)
+        if (cfg.use_population_prior and "pop_prior" not in out
+                and a.size == pop_size):
+            out["pop_prior"] = a.astype(np.float32)
+        elif (not cfg.heteroscedastic_noise and "log_sigma" not in out
+              and a.size == 1):
+            out["log_sigma"] = np.float32(a[0])
     return out
 
 
@@ -176,8 +224,10 @@ def params_from_legacy_h5(h5_path: str, cfg) -> dict:
     """Convert a Keras-2 legacy .h5 weights file directly (no Keras
     needed): Conv3D layers are matched by the monotone counter in their
     names (conv3d, conv3d_1, ...), the same creation order the live-model
-    path relies on."""
-    convs = _legacy_h5_weights(h5_path)
+    path relies on. Fine-tuner extras (population prior / trainable
+    sigma) are mapped by extras_from_legacy when the config enables
+    them."""
+    convs, extras = _legacy_h5_weights(h5_path)
 
     def order(item):
         match = re.search(r"_(\d+)$", item[0])
@@ -208,17 +258,21 @@ def params_from_legacy_h5(h5_path: str, cfg) -> dict:
         }
     enc["final"] = dense(convs[1 + 4 * n_blocks])
     enc["sigma_head"] = dense(convs[2 + 4 * n_blocks])
-    return {"encoder": enc}
+    params: dict[str, Any] = {"encoder": enc}
+    params.update(extras_from_legacy(extras, cfg))
+    return params
 
 
 def load_reference_h5(h5_path: str, cfg, scan,
                       reference_dir: str = "/root/reference") -> dict:
-    """Convert an upstream .h5 checkpoint to our param pytree.
+    """Convert an upstream .h5 checkpoint (pt_model.h5 OR a fine-tuned
+    final_model.h5 incl. population prior / trainable sigma extras) to
+    our param pytree.
 
     Tries the direct legacy-HDF5 parser first (the format the
     reference's TF2.x wrote; needs only h5py); falls back to rebuilding
     the reference encoder and loading through Keras (covers Keras-3
-    formats)."""
+    formats; encoder weights only)."""
     try:
         return params_from_legacy_h5(h5_path, cfg)
     except Exception:

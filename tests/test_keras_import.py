@@ -89,3 +89,84 @@ def test_shapes_and_structure(converted):
         assert blk["ConvXY_0"]["Conv_0"]["kernel"].shape == (
             3, 3, CFG.no_units, CFG.no_units)
         assert blk["Dense_1"]["kernel"].shape == (CFG.no_units, CFG.no_units)
+
+
+def test_nested_model_h5_with_finetuner_extras(converted, tmp_path):
+    """The realistic final_model.h5 layout: the whole encoder nests under
+    ONE top-level layer group whose weight_names are full sub-paths
+    ('conv3d_3/kernel:0'), plus tfp VariableLayer extras for the learned
+    population prior (5,) and trainable sigma (1,)
+    (reference model.py:252-281). The parser must recurse the sub-paths
+    (not collapse them by basename, ADVICE r1) and map the extras."""
+    import dataclasses
+
+    import h5py
+
+    from qbold_vi_tpu.io.keras_import import (_iter_convs,
+                                              params_from_legacy_h5)
+
+    ref, params = converted
+    cfg = dataclasses.replace(CFG, use_population_prior=True,
+                              heteroscedastic_noise=False)
+    pop = np.asarray([-0.9, 0.3, -1.2, 0.5, 0.05], np.float32)
+    log_sigma = np.asarray([np.log(0.07)], np.float32)
+
+    path = str(tmp_path / "final_model.h5")
+    convs = _iter_convs(ref)
+    with h5py.File(path, "w") as f:
+        # nested encoder: one group, full-path weight names
+        g = f.create_group("model")
+        wnames = []
+        for i, layer in enumerate(convs):
+            lname = "conv3d" if i == 0 else f"conv3d_{i}"
+            for var, arr in (("kernel", np.asarray(layer.kernel)),
+                             ("bias", np.asarray(layer.bias))):
+                wn = f"{lname}/{var}:0"
+                wnames.append(wn.encode())
+                g.create_dataset(wn, data=arr)
+        g.attrs["weight_names"] = wnames
+        # VariableLayer extras as separate top-level layer groups
+        names = [b"model"]
+        for lname, arr in (("variable", pop), ("variable_1", log_sigma)):
+            vg = f.create_group(lname)
+            wn = f"{lname}/Variable:0"
+            vg.attrs["weight_names"] = [wn.encode()]
+            vg.create_dataset(wn, data=arr)
+            names.append(lname.encode())
+        f.attrs["layer_names"] = names
+
+    out = params_from_legacy_h5(path, cfg)
+    # encoder identical to the live-model conversion
+    flat_a = jax.tree_util.tree_leaves(params["encoder"])
+    flat_b = jax.tree_util.tree_leaves(out["encoder"])
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # extras mapped onto the FineTuner param leaves
+    np.testing.assert_array_equal(out["pop_prior"], pop)
+    np.testing.assert_allclose(float(out["log_sigma"]), float(log_sigma[0]))
+
+    # and the imported pytree drives the fine-tuner directly
+    from qbold_vi_tpu.models.vi import FineTuner
+
+    tuner = FineTuner(cfg, SCAN)
+    fwd = tuner.apply(out, jax.random.PRNGKey(0),
+                      jnp.abs(jnp.ones((1, 4, 4, 2, SCAN.n_taus))) * 100.0,
+                      no_samples=2)
+    assert np.all(np.isfinite(np.asarray(fwd["predicted_images"])))
+    prior = tuner.prior_params(out, fwd["predictions"])
+    np.testing.assert_array_equal(np.asarray(prior)[0, 0, 0, 0], pop)
+
+
+def test_extras_ignored_when_config_disables_them(converted, tmp_path):
+    """A final_model.h5 with extras imported under a config without a
+    population prior / with heteroscedastic noise keeps only the
+    encoder (shape-gated mapping, no stray leaves)."""
+    import h5py
+
+    from qbold_vi_tpu.io.keras_import import extras_from_legacy
+
+    extras = [("variable", "Variable", np.zeros(5, np.float32)),
+              ("variable_1", "Variable", np.zeros(1, np.float32))]
+    out = extras_from_legacy(extras, CFG)  # CFG: no pop prior, hetero on
+    assert out == {}
