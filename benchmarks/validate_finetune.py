@@ -52,6 +52,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ft-epochs", type=int, default=40)
     ap.add_argument("--outdir", default="/tmp/ft_validate")
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="encoder trunk compute dtype (bf16 A/B for the "
+                         "training-quality validation, VERDICT r1 #4)")
     args = ap.parse_args()
 
     import dataclasses
@@ -64,6 +68,8 @@ def main():
 
     cfg = dataclasses.replace(
         OPTIMAL,
+        model=dataclasses.replace(OPTIMAL.model,
+                                  compute_dtype=args.compute_dtype),
         train=dataclasses.replace(
             OPTIMAL.train, pt_on_device_synth=True, no_pt_epochs=30,
             no_ft_epochs=args.ft_epochs, save_directory=args.outdir),

@@ -25,6 +25,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["LogitMVN", "logit"]
 
@@ -40,6 +41,130 @@ def _clip_preserve_gradient(x, lo, hi):
     """Value-clip with a straight-through gradient, mirroring
     tfp.math.clip_by_value_preserve_gradient (reference: logit_mvn.py:65)."""
     return x + jax.lax.stop_gradient(jnp.clip(x, lo, hi) - x)
+
+
+# ---- streaming sampled KL (custom VJP) ----------------------------------------------
+#
+# The materialised sampled KL builds (S, ...) tensors for the draws,
+# logits and whitened residuals, and AD stores matching residuals for
+# the backward pass -- at the published fine-tune workload that is the
+# single largest HBM consumer of the training step (benchmarks/
+# roofline.py: the KL adds ~6 ms of the 28 ms step). This variant
+# streams the S samples through a fori_loop with O(voxels) state and
+# RECOMPUTES each draw from its PRNG key in the backward pass, where the
+# per-sample gradient is accumulated in closed form. Exact in value and
+# gradient vs mvg_kl_samples (same key stream, same straight-through
+# clip, same stop-gradient placement; gated in tests/test_dist.py).
+
+_KL_BOUND = math.log((1.0 - 1e-6) / 1e-6)
+
+
+def _kl_draw(q, keys, s):
+    q_mu0, q_ls0, q_mu1, q_ls1, q_od = q
+    z = jax.random.normal(keys[s], q_mu0.shape + (2,), q_mu0.dtype)
+    z0, z1 = z[..., 0], z[..., 1]
+    l0 = jnp.clip(q_mu0 + z0 * jnp.exp(q_ls0), -_KL_BOUND, _KL_BOUND)
+    l1 = jnp.clip(q_mu1 + z0 * q_od + z1 * jnp.exp(q_ls1),
+                  -_KL_BOUND, _KL_BOUND)
+    return z0, z1, l0, l1
+
+
+def _whiten(l0, l1, mu0, ls0, mu1, ls1, od):
+    """(r0, r1, w0, w1, inv_tl, inv_br, inv_bl) of the Cholesky whitening
+    (see squared_whitened_residual)."""
+    inv_tl = jnp.exp(-ls0)
+    inv_br = jnp.exp(-ls1)
+    inv_bl = -jnp.exp(-ls0 - ls1) * od
+    r0 = l0 - mu0
+    r1 = l1 - mu1
+    w0 = r0 * inv_tl
+    w1 = r1 * inv_br + r0 * inv_bl
+    return r0, r1, w0, w1, inv_tl, inv_br, inv_bl
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _mvg_kl_streamed(q, p, keys, no_samples: int):
+    """mean_s 0.5 (swr_p(l_s) - swr_q(l_s)) + (ls_p0 + ls_p1) - (ls_q0
+    + ls_q1), with q/p = (mu0, ls0, mu1, ls1, od) squashed tuples and
+    l_s drawn from q via keys[s] -- the reduced sampled KL of
+    mvg_kl_samples as a streaming loop."""
+    q_mu0, q_ls0, q_mu1, q_ls1, q_od = q
+    p_mu0, p_ls0, p_mu1, p_ls1, p_od = p
+
+    def body(s, acc):
+        _z0, _z1, l0, l1 = _kl_draw(q, keys, s)
+        *_rp, wp0, wp1, _, _, _ = _whiten(l0, l1, p_mu0, p_ls0, p_mu1,
+                                          p_ls1, p_od)
+        *_rq, wq0, wq1, _, _, _ = _whiten(l0, l1, q_mu0, q_ls0, q_mu1,
+                                          q_ls1, q_od)
+        return acc + 0.5 * ((wp0 * wp0 + wp1 * wp1)
+                            - (wq0 * wq0 + wq1 * wq1))
+
+    acc = jax.lax.fori_loop(0, no_samples, body, jnp.zeros_like(q_mu0))
+    det = (p_ls0 + p_ls1) - (q_ls0 + q_ls1)
+    return acc / float(no_samples) + det
+
+
+def _mvg_kl_streamed_fwd(q, p, keys, no_samples: int):
+    return _mvg_kl_streamed(q, p, keys, no_samples), (q, p, keys)
+
+
+def _mvg_kl_streamed_bwd(no_samples: int, res, g):
+    q, p, keys = res
+    q_mu0, q_ls0, q_mu1, q_ls1, q_od = q
+    p_mu0, p_ls0, p_mu1, p_ls1, p_od = p
+    zero = jnp.zeros_like(q_mu0)
+
+    def body(s, acc):
+        (g_qm0, g_qls0, g_qm1, g_qls1, g_qod,
+         g_pm0, g_pls0, g_pm1, g_pls1, g_pod) = acc
+        z0, z1, l0, l1 = _kl_draw(q, keys, s)
+        rp0, _rp1, wp0, wp1, p_itl, p_ibr, p_ibl = _whiten(
+            l0, l1, p_mu0, p_ls0, p_mu1, p_ls1, p_od)
+        rq0, _rq1, wq0, wq1, q_itl, q_ibr, q_ibl = _whiten(
+            l0, l1, q_mu0, q_ls0, q_mu1, q_ls1, q_od)
+
+        # d(0.5 swr)/dl for each distribution's whitening
+        dp_l0 = wp0 * p_itl + wp1 * p_ibl
+        dp_l1 = wp1 * p_ibr
+        dq_l0 = wq0 * q_itl + wq1 * q_ibl
+        dq_l1 = wq1 * q_ibr
+        # pathwise derivative through l_s (clip is straight-through);
+        # q's own params are stop-gradiented inside swr_q, so only the
+        # l-dependence contributes there
+        dl0 = dp_l0 - dq_l0
+        dl1 = dp_l1 - dq_l1
+        g_qm0 = g_qm0 + dl0
+        g_qls0 = g_qls0 + dl0 * z0 * jnp.exp(q_ls0)
+        g_qm1 = g_qm1 + dl1
+        g_qod = g_qod + dl1 * z0
+        g_qls1 = g_qls1 + dl1 * z1 * jnp.exp(q_ls1)
+        # direct derivatives of 0.5 swr_p w.r.t. p's parameters
+        g_pm0 = g_pm0 - dp_l0
+        g_pm1 = g_pm1 - dp_l1
+        g_pls0 = g_pls0 - (wp0 * wp0 + wp1 * rp0 * p_ibl)
+        g_pls1 = g_pls1 - wp1 * wp1
+        g_pod = g_pod - wp1 * rp0 * jnp.exp(-p_ls0 - p_ls1)
+        return (g_qm0, g_qls0, g_qm1, g_qls1, g_qod,
+                g_pm0, g_pls0, g_pm1, g_pls1, g_pod)
+
+    acc = jax.lax.fori_loop(0, no_samples, body, (zero,) * 10)
+    inv_n = 1.0 / float(no_samples)
+    (g_qm0, g_qls0, g_qm1, g_qls1, g_qod,
+     g_pm0, g_pls0, g_pm1, g_pls1, g_pod) = [a * inv_n for a in acc]
+    # det term: + (ls_p0 + ls_p1), q side stop-gradiented
+    g_pls0 = g_pls0 + 1.0
+    g_pls1 = g_pls1 + 1.0
+    gq = (g * g_qm0, g * g_qls0, g * g_qm1, g * g_qls1, g * g_qod)
+    gp = (g * g_pm0, g * g_pls0, g * g_pm1, g * g_pls1, g * g_pod)
+    keys_ct = np.zeros(keys.shape, dtype=jax.dtypes.float0)
+    return gq, gp, keys_ct
+
+
+_mvg_kl_streamed.defvjp(_mvg_kl_streamed_fwd, _mvg_kl_streamed_bwd)
 
 
 @dataclass(frozen=True)
@@ -286,10 +411,21 @@ class LogitMVN:
         kl = jax.vmap(one)(samples)          # (S, ...)
         return jnp.mean(kl, axis=0)
 
-    def mvg_kl_samples(self, key, q_params, p_params, no_samples: int = 50):
+    def mvg_kl_samples(self, key, q_params, p_params, no_samples: int = 50,
+                       streamed: bool = True):
         """Monte-Carlo KL(q || p) = E_q[log q - log p] for the full-cov
         logit-Normal -- algebraically reduced form of the reference
-        computation (model.py:592-610), exact in value AND gradient:
+        computation (model.py:592-610), exact in value AND gradient.
+
+        ``streamed`` (default): the S samples run through a fori_loop
+        with O(voxels) state and an analytic custom VJP that recomputes
+        each draw from its key -- no (S, ...) tensors in HBM on either
+        pass (the materialised form was the training step's largest HBM
+        consumer, benchmarks/roofline.py). streamed=False keeps the
+        materialised einsum form; the two are gated for exact value and
+        gradient agreement in tests/test_dist.py.
+
+        Original reduction notes:
 
         Both log-probs are evaluated at the SAME sample, so the logit-
         Jacobian terms sum log u(1-u) and the log(2 pi) normalisers cancel
@@ -309,6 +445,12 @@ class LogitMVN:
 
         Returns (...,): mean KL over samples.
         """
+        if streamed:
+            q = self.unpack(q_params, mvg=True)
+            p = self.unpack(p_params, mvg=True)
+            keys = jax.random.split(key, no_samples)
+            return _mvg_kl_streamed(q, p, keys, no_samples)
+
         q_mu0, q_ls0, q_mu1, q_ls1, q_od = self.unpack(q_params, mvg=True)
         # Same key-split + draw order as sample_many -> sample, so the
         # sample stream (and hence the MC estimate) matches the reference

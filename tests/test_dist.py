@@ -255,3 +255,60 @@ def test_posterior_means_and_r2p(rng):
     assert np.all(m[..., 1] > D.min_dbv) and np.all(m[..., 1] < D.min_dbv + D.dbv_range)
     np.testing.assert_allclose(m[..., 2], 301.7 * 0 + m[..., 2])  # finite
     assert np.all(np.isfinite(np.asarray(stds)))
+
+
+class TestStreamedKL:
+    """The streaming custom-VJP sampled KL must match the materialised
+    form exactly (same key stream) in value AND gradient -- it replaces
+    (S, ...) HBM tensors with a PRNG-recompute fori_loop on both passes
+    (benchmarks/roofline.py motivated this: the KL was the training
+    step's largest HBM consumer)."""
+
+    def _params(self, rng, n=64):
+        q = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32) * 0.4)
+        p = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32) * 0.4)
+        return q, p
+
+    def test_value_matches_materialised(self, rng):
+        q, p = self._params(rng)
+        key = jax.random.PRNGKey(3)
+        a = D.mvg_kl_samples(key, q, p, no_samples=32, streamed=False)
+        b = D.mvg_kl_samples(key, q, p, no_samples=32, streamed=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-5)
+
+    def test_gradients_match_materialised(self, rng):
+        """Exact analytic VJP: grads w.r.t. BOTH raw param tensors agree
+        with AD through the materialised form, including the tanh squash
+        chains, the straight-through clip, and the stop-gradient
+        placement on q inside log q."""
+        q, p = self._params(rng)
+        key = jax.random.PRNGKey(5)
+        w = jnp.asarray(np.linspace(0.5, 2.0, q.shape[0]), jnp.float32)
+
+        def loss(streamed):
+            return lambda qq, pp: jnp.sum(w * D.mvg_kl_samples(
+                key, qq, pp, no_samples=16, streamed=streamed))
+
+        ga = jax.grad(loss(False), argnums=(0, 1))(q, p)
+        gb = jax.grad(loss(True), argnums=(0, 1))(q, p)
+        for a, b in zip(ga, gb):
+            scale = np.abs(np.asarray(a)).max() + 1.0
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b) / scale,
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_streamed_under_jit_and_vmap(self, rng):
+        q, p = self._params(rng, n=8)
+        key = jax.random.PRNGKey(7)
+
+        @jax.jit
+        def f(qq, pp):
+            return D.mvg_kl_samples(key, qq, pp, no_samples=8)
+
+        out = f(q, p)
+        assert out.shape == (8,)
+        assert np.all(np.isfinite(np.asarray(out)))
+        # and inside a grad-of-jit (the training-step usage)
+        g = jax.jit(jax.grad(lambda qq: jnp.sum(f(qq, p))))(q)
+        assert np.all(np.isfinite(np.asarray(g)))
