@@ -160,10 +160,11 @@ class Trainer:
             self.status = WeightStatus.PRE_TRAINED
 
     def _put_eval_batch(self, batch: dict) -> dict:
-        """Device-put an eval batch for the (jitted, non-shard_map) eval
+        """Device-put a batch for the (jitted, non-shard_map) step/eval
         fns: sharded over the mesh when the leading dim divides it,
-        replicated otherwise (eval batches are small -- replication costs
-        nothing and keeps shapes static)."""
+        replicated otherwise (small batches -- replication costs nothing,
+        keeps shapes static, and psum-mean of identical per-device grads
+        equals the single-device gradient)."""
         if self.mesh is None:
             return batch
         lead = next(iter(batch.values())).shape[0]
@@ -263,8 +264,7 @@ class Trainer:
             else:
                 for batch in data_pipe.synthetic_batches(
                         rng, tx, ty, cfg.train.pt_batch_size):
-                    if self.mesh is not None:
-                        batch = pmesh.shard_batch(self.mesh, batch)
+                    batch = self._put_eval_batch(batch)
                     state, m = step_fn(state, self._next_key(), batch)
                     losses.append(m["loss"])
             metrics = eval_fn(state.params, self._next_key(), val_batch)

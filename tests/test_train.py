@@ -376,3 +376,20 @@ class TestShardedEpochParity:
         assert os.path.isfile(t.final_path)
         assert jax.tree_util.tree_leaves(
             t.state.params)[0].sharding.is_fully_replicated
+
+    def test_trainer_mesh_hostfed_pretrain(self, tmp_path, rng):
+        """The host-fed (fixed-dataset) pretrain also works under a mesh:
+        batches shard when they divide the mesh and replicate otherwise
+        (tiny tail batches must not crash on divisibility)."""
+        import dataclasses
+
+        cfg = tiny_cfg(tmp_path)
+        cfg = dataclasses.replace(
+            cfg,
+            synth=SynthParams(sample_size=40),   # -> 2 train pseudo-volumes
+            train=dataclasses.replace(cfg.train, pt_on_device_synth=False,
+                                      pt_batch_size=8))
+        t = Trainer(cfg, mesh=make_mesh())
+        t.pretrain()
+        assert t.status is WeightStatus.PRE_TRAINED
+        assert os.path.isfile(t.pt_path)
