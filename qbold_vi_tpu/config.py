@@ -151,6 +151,11 @@ class TrainConfig:
     pt_adamw_decay: float = 2e-4
     inv_gamma_alpha: float = 0.0
     inv_gamma_beta: float = 0.0
+    # Mid-phase crash recovery (TPU extension; the reference resumes only
+    # at phase granularity): when > 0, a full-pytree .partial checkpoint
+    # is written every N epochs and a restarted run continues from the
+    # last completed epoch of the interrupted phase.
+    checkpoint_every_epochs: int = 0
     ft_steps_per_epoch: int = 100     # reference: train.py:376
     ft_batch_size: int = 38           # reference: train.py:68
     eval_batch_size: int = 3          # reference: train.py:70
@@ -218,6 +223,7 @@ _FLAT_KEY_MAP: dict[str, tuple[str, str]] = {
     "wandb_project": ("train", "wandb_project"),
     # TPU extensions (not in the reference's key set)
     "pt_on_device_synth": ("train", "pt_on_device_synth"),
+    "checkpoint_every_epochs": ("train", "checkpoint_every_epochs"),
     "compute_dtype": ("model", "compute_dtype"),
     "d": ("train", "data_directory"),
     "name": (None, "name"),

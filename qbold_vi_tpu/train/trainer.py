@@ -159,6 +159,45 @@ class Trainer:
                 self.pt_path, swa=self.cfg.train.use_swa, optimizer=opt)
             self.status = WeightStatus.PRE_TRAINED
 
+    # ---- mid-phase crash recovery --------------------------------------------------
+    #
+    # The reference resumes only at phase granularity (a finished
+    # pt_model/final_model file skips the whole phase,
+    # train.py:193-202,260-263); with checkpoint_every_epochs > 0 a
+    # ``<phase>.partial`` full-pytree checkpoint is additionally written
+    # every N epochs, so a crashed/preempted run continues from the last
+    # completed epoch instead of restarting the phase. Epoch position is
+    # derived from the saved step counter (steps per epoch are static);
+    # the host PRNG key sequence restarts on resume -- distributionally
+    # equivalent, documented.
+
+    @staticmethod
+    def _partial_path(final_path: str) -> str:
+        return final_path + ".partial"
+
+    def _phase_start(self, final_path: str, *, swa: bool, optimizer,
+                     steps_per_epoch: int):
+        """(state | None, start_epoch) -- loads a mid-phase checkpoint
+        when one exists."""
+        partial = self._partial_path(final_path)
+        if self.cfg.train.checkpoint_every_epochs <= 0 or \
+                not os.path.isfile(partial):
+            return None, 0
+        state = self._load_state(partial, swa=swa, optimizer=optimizer)
+        start_epoch = int(state.step) // max(1, steps_per_epoch)
+        return state, start_epoch
+
+    def _phase_checkpoint(self, final_path: str, state: TrainState,
+                          epoch: int) -> None:
+        k = self.cfg.train.checkpoint_every_epochs
+        if k > 0 and (epoch + 1) % k == 0:
+            _save_state(self._partial_path(final_path), state)
+
+    def _phase_done(self, final_path: str) -> None:
+        partial = self._partial_path(final_path)
+        if os.path.isfile(partial):
+            os.remove(partial)
+
     def _put_eval_batch(self, batch: dict) -> dict:
         """Device-put a batch for the (jitted, non-shard_map) step/eval
         fns: sharded over the mesh when the leading dim divides it,
@@ -227,10 +266,16 @@ class Trainer:
             (tx, ty), (vx, vy) = data_pipe.split_synthetic(x, y)
 
         optimizer = make_pretrain_optimizer(cfg.train)
-        params = self._init_params()
-        state = TrainState(params, optimizer.init(params),
-                           swa_init(params) if cfg.train.use_swa else None,
-                           jnp.zeros([], jnp.int32))
+        if not streaming:
+            steps_per_epoch = max(1, len(tx) // cfg.train.pt_batch_size)
+        state, start_epoch = self._phase_start(
+            self.pt_path, swa=cfg.train.use_swa, optimizer=optimizer,
+            steps_per_epoch=steps_per_epoch)
+        if state is None:
+            params = self._init_params()
+            state = TrainState(params, optimizer.init(params),
+                               swa_init(params) if cfg.train.use_swa else None,
+                               jnp.zeros([], jnp.int32))
         if self.mesh is not None:
             state = pmesh.replicate(self.mesh, state)
 
@@ -254,7 +299,7 @@ class Trainer:
             n_val = max(n_val // n_dev * n_dev, min(len(vx), n_dev))
         val_batch = self._put_eval_batch({"x": vx[:n_val], "y": vy[:n_val]})
 
-        for epoch in range(cfg.train.no_pt_epochs):
+        for epoch in range(start_epoch, cfg.train.no_pt_epochs):
             t0 = time.time()
             losses = []
             if streaming:
@@ -272,6 +317,7 @@ class Trainer:
             # float() forces device sync so the timing is honest
             metrics["loss"] = float(jnp.mean(jnp.stack(losses)))
             metrics["epoch_time_s"] = time.time() - t0
+            self._phase_checkpoint(self.pt_path, state, epoch)
             self._log("pretrain", epoch, metrics)
 
         # SWA adoption is opt-in (cfg.train.swa_adopt): the reference
@@ -285,6 +331,7 @@ class Trainer:
         self.state = state
         self.status = WeightStatus.PRE_TRAINED
         _save_state(self.pt_path, state)
+        self._phase_done(self.pt_path)
         return state
 
     # ---- phase 2: real-data fine-tuning -------------------------------------------
@@ -334,13 +381,17 @@ class Trainer:
                 sd, priors, 76, rng=np.random.default_rng(0))
 
         optimizer = make_finetune_optimizer(cfg.train)
-        params = self.state.params
-        if cfg.model.use_population_prior and "pop_prior" not in params:
-            params = dict(params)
-            params.update({k: v for k, v in self._init_params().items()
-                           if k != "encoder"})
-        state = TrainState(params, optimizer.init(params), None,
-                           jnp.zeros([], jnp.int32))
+        state, start_epoch = self._phase_start(
+            self.final_path, swa=False, optimizer=optimizer,
+            steps_per_epoch=cfg.train.ft_steps_per_epoch)
+        if state is None:
+            params = self.state.params
+            if cfg.model.use_population_prior and "pop_prior" not in params:
+                params = dict(params)
+                params.update({k: v for k, v in self._init_params().items()
+                               if k != "encoder"})
+            state = TrainState(params, optimizer.init(params), None,
+                               jnp.zeros([], jnp.int32))
         if self.mesh is not None:
             state = pmesh.replicate(self.mesh, state)
 
@@ -365,7 +416,7 @@ class Trainer:
             dev_priors = pmesh.replicate(self.mesh,
                                          jnp.asarray(sampler.priors))
 
-        for epoch in range(cfg.train.no_ft_epochs):
+        for epoch in range(start_epoch, cfg.train.no_ft_epochs):
             t0 = time.time()
             state, m = epoch_fn(state, self._next_key(),
                                 dev_volumes, dev_priors)
@@ -384,11 +435,13 @@ class Trainer:
                 if vals:
                     for k in vals[0]:
                         metrics[k] = jnp.mean(jnp.stack([v[k] for v in vals]))
+            self._phase_checkpoint(self.final_path, state, epoch)
             self._log("finetune", epoch, metrics)
 
         self.state = state
         self.status = WeightStatus.FULL_TRAINED
         _save_state(self.final_path, state)
+        self._phase_done(self.final_path)
         return state
 
     # ---- population statistics -----------------------------------------------------

@@ -393,3 +393,91 @@ class TestShardedEpochParity:
         t.pretrain()
         assert t.status is WeightStatus.PRE_TRAINED
         assert os.path.isfile(t.pt_path)
+
+
+class TestMidPhaseResume:
+    """checkpoint_every_epochs > 0 writes .partial full-pytree
+    checkpoints so a crashed run resumes from the last completed epoch
+    (the reference can only skip whole phases)."""
+
+    def _cfg(self, tmp_path):
+        import dataclasses
+
+        cfg = tiny_cfg(tmp_path)
+        return dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, no_pt_epochs=3, no_ft_epochs=3,
+                checkpoint_every_epochs=1))
+
+    def test_pretrain_crash_resume(self, tmp_path, rng):
+        cfg = self._cfg(tmp_path)
+
+        class Crash(RuntimeError):
+            pass
+
+        seen = []
+
+        def crashing_logger(phase, step, metrics):
+            seen.append((phase, step))
+            if len(seen) == 2:
+                raise Crash()
+
+        t = Trainer(cfg, logger=crashing_logger)
+        with pytest.raises(Crash):
+            t.pretrain()
+        partial = t.pt_path + ".partial"
+        assert os.path.isfile(partial)
+        assert not os.path.isfile(t.pt_path)
+
+        resumed = []
+        t2 = Trainer(cfg, logger=lambda p, s, m: resumed.append((p, s)))
+        t2.pretrain()
+        # epochs 0 and 1 completed before the crash (checkpoint precedes
+        # the log call) -> the resume runs only epoch 2
+        assert resumed == [("pretrain", 2)]
+        assert t2.status is WeightStatus.PRE_TRAINED
+        assert os.path.isfile(t2.pt_path)
+        assert not os.path.isfile(partial)  # cleaned up at phase end
+        # step counter reflects ALL epochs, not just the resumed ones
+        spe = int(t2.state.step) // cfg.train.no_pt_epochs
+        assert int(t2.state.step) == spe * cfg.train.no_pt_epochs
+
+    def test_finetune_crash_resume(self, tmp_path, rng):
+        cfg = self._cfg(tmp_path)
+        t = Trainer(cfg)
+        t.pretrain()
+        real = np.abs(rng.normal(size=(3, 40, 30, 2, SCAN.n_taus + 1))
+                      ).astype(np.float32) + 0.5
+        real[..., -1] = 1.0
+
+        class Crash(RuntimeError):
+            pass
+
+        count = {"n": 0}
+
+        def crashing_logger(phase, step, metrics):
+            if phase == "finetune":
+                count["n"] += 1
+                if count["n"] == 1:
+                    raise Crash()
+
+        t.logger = crashing_logger
+        with pytest.raises(Crash):
+            t.finetune(real)
+        assert os.path.isfile(t.final_path + ".partial")
+
+        resumed = []
+        t2 = Trainer(cfg, logger=lambda p, s, m: resumed.append((p, s)))
+        assert t2.status is WeightStatus.PRE_TRAINED
+        t2.finetune(real)
+        assert [e for p, e in resumed if p == "finetune"] == [1, 2]
+        assert t2.status is WeightStatus.FULL_TRAINED
+        assert int(t2.state.step) == (cfg.train.ft_steps_per_epoch
+                                      * cfg.train.no_ft_epochs)
+        assert not os.path.isfile(t2.final_path + ".partial")
+
+    def test_disabled_by_default(self, tmp_path, rng):
+        cfg = tiny_cfg(tmp_path)
+        t = Trainer(cfg)
+        t.pretrain()
+        assert not os.path.isfile(t.pt_path + ".partial")
