@@ -264,17 +264,25 @@ def save_predictions(tuner: FineTuner, cfg: QBoldConfig, params,
                      transform_directory: Optional[str] = None,
                      use_first_op: bool = True,
                      fine_tuned: bool = False,
-                     priors: Optional[np.ndarray] = None) -> dict:
+                     priors: Optional[np.ndarray] = None,
+                     mesh=None) -> dict:
     """Posterior summary export (reference: model.py:772-887).
 
     Writes ``<filename>_oef/_dbv/_r2p/_logstds.nii.gz``; with
     ``fine_tuned`` also ``_likelihood/_kl/_residual``; with a transform
-    directory also the FSL MNI-space maps. Returns the map dict.
+    directory also the FSL MNI-space maps. With ``mesh`` (and a subject
+    count divisible by it) the posterior summarization shards over the
+    data axis (posterior_maps_sharded). Returns the map dict.
     """
     from .io import fsl, nifti
 
     k1, k2 = jax.random.split(key)
-    maps = posterior_maps(tuner, params, data, k1, use_first_op=use_first_op)
+    if mesh is not None and data.shape[0] % mesh.devices.size == 0:
+        maps = posterior_maps_sharded(tuner, params, data, k1, mesh,
+                                      use_first_op=use_first_op)
+    else:
+        maps = posterior_maps(tuner, params, data, k1,
+                              use_first_op=use_first_op)
 
     if fine_tuned:
         extra = elbo_maps(tuner, cfg, params, data, priors, k2)

@@ -39,7 +39,18 @@ __all__ = [
 
 
 def blank_crop(data: np.ndarray) -> np.ndarray:
-    """Crop away mostly-empty margins (reference: train.py:20)."""
+    """Crop away mostly-empty margins (reference: train.py:20).
+
+    The fixed margins are sized for the reference's 96x96 acquisitions;
+    on smaller (e.g. simulated) volumes they would silently produce an
+    EMPTY array -- and NaN losses downstream -- so the crop is skipped
+    with a warning when it would remove everything."""
+    if data.shape[1] <= 34 or data.shape[2] <= 20:
+        import warnings
+        warnings.warn(
+            f"blank_crop margins (34, 20) would empty volumes of shape "
+            f"{data.shape[1:3]}; skipping the crop", stacklevel=2)
+        return np.float32(data)
     return np.float32(data[:, 17:-17, 10:-10])
 
 

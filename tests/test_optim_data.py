@@ -139,3 +139,20 @@ class TestPredictPriors:
         # chunked in 2+1
         assert [s.shape[0] for s in seen] == [2, 1]
         np.testing.assert_allclose(priors[0, 0, 0, 0], np.arange(5))
+
+
+def test_blank_crop_guards_small_volumes():
+    """The fixed 96x96 margins must not silently empty small volumes
+    (that produced NaN losses downstream)."""
+    import warnings
+
+    from qbold_vi_tpu.train import data as data_pipe
+
+    big = np.zeros((2, 96, 96, 8, 12), np.float32)
+    assert data_pipe.blank_crop(big).shape == (2, 62, 76, 8, 12)
+    small = np.zeros((2, 32, 32, 4, 12), np.float32)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = data_pipe.blank_crop(small)
+    assert out.shape == small.shape
+    assert any("blank_crop" in str(x.message) for x in w)
