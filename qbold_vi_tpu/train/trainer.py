@@ -15,8 +15,16 @@ qbold_build_model.py:11-82, qbold_train_model.py:16-147):
 * NaN tripwire per epoch (reference: TerminateOnNaN, train.py:375,423);
 * pluggable metric logger (stdout always; wandb when configured,
   reference: train.py:482-488, qbold_train_model.py:22-25);
-* optional data-parallel mesh: params replicated, batches sharded
-  (parallel/mesh.py) -- absent from the reference entirely.
+* optional mid-phase crash recovery: ``checkpoint_every_epochs`` writes
+  .partial full-pytree checkpoints and a restart continues from the
+  last completed epoch (TPU extension; the reference resumes only at
+  phase granularity);
+* optional data-parallel mesh (absent from the reference entirely):
+  params/volumes replicated, every device samples its own crops or
+  generates its own synthetic sub-batch inside shard_map epochs with
+  pmean'd grads (steps.make_finetune_epoch_sharded /
+  make_pretrain_stream_step_sharded) -- zero per-step host transfer on
+  the multi-chip path.
 """
 
 from __future__ import annotations

@@ -43,7 +43,11 @@ DIST = LogitMVN()
 def _stub_tfp_for_losses():
     """tfp stub sufficient to EXECUTE the reference loss paths: the
     clip is value-identical to tf.clip_by_value, and InverseGamma only
-    needs log_prob (standard closed form via tf.math.lgamma)."""
+    needs log_prob (standard closed form via tf.math.lgamma).
+
+    MUTATES any already-registered stub in place (io.keras_import's
+    stub_heavy_tf_extras may have run first in the same session, and the
+    reference ``model`` module caches whatever tfp object it imported)."""
     class _InverseGamma:
         def __init__(self, alpha, beta):
             self.a = tf.cast(alpha, tf.float32)
@@ -53,12 +57,18 @@ def _stub_tfp_for_losses():
             return (self.a * tf.math.log(self.b) - tf.math.lgamma(self.a)
                     - (self.a + 1.0) * tf.math.log(x) - self.b / x)
 
-    tfp = types.ModuleType("tensorflow_probability")
-    tfp.layers = types.SimpleNamespace(VariableLayer=None)
-    tfp.math = types.SimpleNamespace(
-        clip_by_value_preserve_gradient=tf.clip_by_value)
-    tfp.distributions = types.SimpleNamespace(InverseGamma=_InverseGamma)
-    sys.modules["tensorflow_probability"] = tfp
+    tfp = sys.modules.get("tensorflow_probability")
+    if tfp is None:
+        tfp = types.ModuleType("tensorflow_probability")
+        sys.modules["tensorflow_probability"] = tfp
+    if not hasattr(tfp, "layers"):
+        tfp.layers = types.SimpleNamespace(VariableLayer=None)
+    if not hasattr(tfp, "math"):
+        tfp.math = types.SimpleNamespace()
+    tfp.math.clip_by_value_preserve_gradient = tf.clip_by_value
+    if not hasattr(tfp, "distributions"):
+        tfp.distributions = types.SimpleNamespace()
+    tfp.distributions.InverseGamma = _InverseGamma
     if "tensorflow_addons" not in sys.modules:
         tfa = types.ModuleType("tensorflow_addons")
         tfa.layers = types.SimpleNamespace(GroupNormalization=None)
