@@ -59,12 +59,44 @@ def _default_run(cfg: QBoldConfig) -> dict:
     for rec in reversed(records):
         if "val_loss" in rec:
             out["val_loss"] = float(rec["val_loss"])
-            out["val_elbo"] = float(rec["val_loss"])
             for k in ("oef_mse", "dbv_mse", "r2p_mse"):
                 if k in rec:
                     out[k] = float(rec[k])
             break
+    if "val_loss" not in out and trainer.state is not None:
+        # Resumed from an existing checkpoint (e.g. a re-run sweep
+        # directory): no training epochs ran, so evaluate directly --
+        # a trial must always report its ranking metric.
+        out.update(_pretrain_val_metrics(trainer))
+    if "val_loss" in out:
+        out["val_elbo"] = out["val_loss"]
     return out
+
+
+def _pretrain_val_metrics(trainer) -> dict:
+    """Held-out synthetic validation metrics for an already-trained
+    state (the same eval the Trainer runs per epoch)."""
+    import dataclasses
+
+    import jax
+    import numpy as np_
+
+    from .synth import create_synthetic_dataset
+    from .train import data as data_pipe
+    from .train import steps
+
+    cfg = trainer.cfg
+    val_synth = dataclasses.replace(
+        cfg.synth, sample_size=min(cfg.synth.sample_size, 160))
+    x, y = create_synthetic_dataset(
+        jax.random.PRNGKey(cfg.train.seed), cfg.scan, val_synth,
+        full_model=cfg.train.full_model, use_blood=cfg.train.use_blood)
+    (_, _), (vx, vy) = data_pipe.split_synthetic(np_.asarray(x),
+                                                 np_.asarray(y))
+    eval_fn = steps.make_pretrain_eval(trainer.tuner, cfg)
+    m = eval_fn(trainer.state.params, jax.random.PRNGKey(0),
+                {"x": vx, "y": vy})
+    return {k: float(v) for k, v in m.items()}
 
 
 def run_grid_sweep(cfg: QBoldConfig,

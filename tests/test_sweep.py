@@ -156,3 +156,24 @@ class TestDefaultRun:
         assert "val_elbo" in out and np.isfinite(out["val_elbo"])
         assert out["val_elbo"] == out["val_loss"]
         assert out["status"] == "PRE_TRAINED"
+
+
+class TestResumedTrial:
+    def test_default_run_reports_metric_on_resume(self, tmp_path):
+        """A trial resumed from an existing checkpoint directory (e.g. a
+        re-run sweep) must still report val_elbo -- otherwise the ranking
+        silently degrades to unranked (bit us in the round-2 evidence
+        run)."""
+        cfg = QBoldConfig(
+            scan=ScanParams(simulate_noise=False),
+            synth=SynthParams(sample_size=40),
+            model=ModelConfig(no_units=4, no_intermediate_layers=1,
+                              use_mvg=True, student_t_df=200.0,
+                              predict_log_data=False),
+            train=TrainConfig(no_pt_epochs=1, pt_batch_size=8,
+                              save_directory=str(tmp_path)),
+        )
+        first = _default_run(cfg)
+        again = _default_run(cfg)   # resumes PRE_TRAINED instantly
+        assert np.isfinite(first["val_elbo"])
+        assert np.isfinite(again["val_elbo"])
