@@ -79,20 +79,18 @@ def _pretrain_val_metrics(trainer) -> dict:
     import dataclasses
 
     import jax
-    import numpy as np_
 
-    from .synth import create_synthetic_dataset
+    from .synth import create_synthetic_dataset_host
     from .train import data as data_pipe
     from .train import steps
 
     cfg = trainer.cfg
     val_synth = dataclasses.replace(
         cfg.synth, sample_size=min(cfg.synth.sample_size, 160))
-    x, y = create_synthetic_dataset(
+    x, y = create_synthetic_dataset_host(
         jax.random.PRNGKey(cfg.train.seed), cfg.scan, val_synth,
         full_model=cfg.train.full_model, use_blood=cfg.train.use_blood)
-    (_, _), (vx, vy) = data_pipe.split_synthetic(np_.asarray(x),
-                                                 np_.asarray(y))
+    (_, _), (vx, vy) = data_pipe.split_synthetic(x, y)
     eval_fn = steps.make_pretrain_eval(trainer.tuner, cfg)
     m = eval_fn(trainer.state.params, jax.random.PRNGKey(0),
                 {"x": vx, "y": vy})

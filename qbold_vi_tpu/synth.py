@@ -24,7 +24,8 @@ import numpy as np
 from .config import ScanParams, SynthParams
 from .ops import physics
 
-__all__ = ["sample_population_params", "create_synthetic_dataset", "truncated_normal"]
+__all__ = ["sample_population_params", "create_synthetic_dataset",
+           "create_synthetic_dataset_host", "truncated_normal"]
 
 
 def truncated_normal(key, shape, loc, scale, low, high, dtype=jnp.float32):
@@ -133,3 +134,89 @@ def create_synthetic_dataset(key: jax.Array, scan: ScanParams, synth: SynthParam
     if scan.simulate_noise:
         train_x = physics.add_acquisition_noise(k_noise, train_x, scan.taus())
     return train_x, train_y
+
+
+def create_synthetic_dataset_host(key: jax.Array, scan: ScanParams,
+                                  synth: SynthParams, *,
+                                  full_model: bool = True,
+                                  use_blood: bool = True):
+    """create_synthetic_dataset with all RANDOMNESS on the host (NumPy),
+    reusing the jitted device physics only for the signal decode.
+    Returns numpy (x [N, n_taus], y [N, 3]).
+
+    Why: fixed host datasets (host-fed pretraining sets, validation
+    sets) are input-pipeline work, but generating them through
+    ``create_synthetic_dataset`` costs a full XLA compile of the RNG +
+    shuffle + noise program -- measured at ~190 s through the
+    tunneled-TPU link (and CPU-targeted threefry compiles hang outright
+    in remote-compile environments), dwarfing the milliseconds of
+    actual compute. NumPy sampling is distribution-identical (streams
+    differ -- the documented RNG-parity stance, SURVEY.md); the only
+    jitted program left is the pure physics decode, which executes on
+    the default backend. The on-device STREAMING path
+    (steps.stream_synthetic_batch) is the one that belongs on the
+    accelerator, inside the train step.
+    """
+    try:  # typed key arrays vs legacy uint32 keys
+        key_bits = jax.random.key_data(key)
+    except TypeError:
+        key_bits = key
+    seed = int(np.asarray(key_bits).reshape(-1)[-1])
+    rng = np.random.default_rng(seed)
+    n = synth.sample_size
+
+    def mixture(n_total, lo, hi, mean, std, truncated):
+        n_uni = round(n_total * synth.uniform_prop)
+        n_norm = n_total - n_uni
+        uni = rng.uniform(lo, hi, size=n_uni)
+        if truncated:
+            # inverse-CDF truncated normal (same law as
+            # tfp/TruncatedNormal; scipy for the normal CDF/PPF)
+            import scipy.special as sps
+            a = (lo - mean) / std
+            b = (hi - mean) / std
+            ca, cb = sps.ndtr(a), sps.ndtr(b)
+            u = rng.uniform(ca, cb, size=n_norm)
+            norm = sps.ndtri(u) * std + mean
+        else:
+            norm = np.clip(rng.normal(mean, std, size=n_norm), lo, hi)
+        return np.concatenate([uni, norm]).astype(np.float32)
+
+    oefs = mixture(n, synth.oef_start, synth.oef_end, synth.oef_mean,
+                   synth.oef_std, truncated=False)
+    dbvs = mixture(n, synth.dbv_start, synth.dbv_end, synth.dbv_mean,
+                   synth.dbv_std, truncated=True)
+    oef, dbv = [a.reshape(-1) for a in np.meshgrid(oefs, dbvs,
+                                                   indexing="ij")]
+    perm = rng.permutation(oef.shape[0])
+    oef, dbv = oef[perm], dbv[perm]
+
+    r2p = scan.dw_coeff * scan.hct * oef * dbv
+    y = np.stack([oef, dbv, r2p], -1).astype(np.float32)
+
+    sig_oef, sig_dbv = oef, dbv
+    per_tau = synth.misalign_prob > 0.0
+    if per_tau:
+        # numpy port of physics.misalign_params (signals.py:80-96)
+        n_vox = oef.shape[0]
+        mis = rng.uniform(size=(n_vox, 1)) < synth.misalign_prob
+        from_idx = rng.integers(4, scan.n_taus - 1, size=(n_vox, 1))
+        m = np.logical_and(np.arange(scan.n_taus)[None, :] > from_idx, mis)
+        mis_oef = np.clip(rng.normal(size=(n_vox, 1)) * 0.15
+                          + oef[:, None], 0.05, 0.8)
+        mis_dbv = np.clip(rng.normal(size=(n_vox, 1)) * 0.05
+                          + dbv[:, None], 0.002, 0.3)
+        sig_oef = np.where(m, mis_oef, oef[:, None]).astype(np.float32)
+        sig_dbv = np.where(m, mis_dbv, dbv[:, None]).astype(np.float32)
+
+    x = np.asarray(physics.ase_signal(
+        sig_oef, sig_dbv, scan, full_model=full_model,
+        include_blood=use_blood, per_tau_params=per_tau))
+
+    if scan.simulate_noise:
+        taus = scan.taus()
+        prof = physics.norm_snr_profile(taus)
+        snr = rng.uniform(50.0, 120.0, size=(x.shape[0], 1)) * prof[None, :]
+        std = x.mean(0, keepdims=True) / snr
+        x = (x + rng.normal(size=x.shape) * std).astype(np.float32)
+    return x, y

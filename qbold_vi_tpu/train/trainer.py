@@ -42,14 +42,13 @@ from flax import serialization
 from ..config import QBoldConfig
 from ..models.vi import FineTuner
 from ..parallel import mesh as pmesh
-from ..synth import create_synthetic_dataset
+from ..synth import create_synthetic_dataset_host
 from . import data as data_pipe
 from .optim import make_finetune_optimizer, make_pretrain_optimizer, swa_init
 from .steps import (TrainState, make_finetune_epoch_on_device,
                     make_finetune_epoch_sharded, make_finetune_eval,
                     make_pretrain_eval, make_pretrain_step,
-                    make_pretrain_stream_step,
-                    make_pretrain_stream_step_sharded)
+                    make_pretrain_stream_epoch)
 
 __all__ = ["WeightStatus", "Trainer"]
 
@@ -254,21 +253,22 @@ class Trainer:
 
             val_synth = dataclasses.replace(
                 cfg.synth, sample_size=min(cfg.synth.sample_size, 160))
-            x, y = create_synthetic_dataset(
+            # host-CPU generation: a fixed val set through the
+            # accelerator backend costs a ~190 s remote compile on
+            # tunneled TPUs for seconds of compute (synth.py)
+            x, y = create_synthetic_dataset_host(
                 self._next_key(), cfg.scan, val_synth,
                 full_model=cfg.train.full_model, use_blood=cfg.train.use_blood)
-            (_, _), (vx, vy) = data_pipe.split_synthetic(
-                np.asarray(x), np.asarray(y))
+            (_, _), (vx, vy) = data_pipe.split_synthetic(x, y)
             vol = 500  # pseudo-volume voxels (10*10*5)
             steps_per_epoch = max(1, round(
                 0.9 * cfg.synth.sample_size**2 / vol / cfg.train.pt_batch_size))
         else:
             if synthetic is None:
-                x, y = create_synthetic_dataset(
+                x, y = create_synthetic_dataset_host(
                     self._next_key(), cfg.scan, cfg.synth,
                     full_model=cfg.train.full_model,
                     use_blood=cfg.train.use_blood)
-                x, y = np.asarray(x), np.asarray(y)
             else:
                 x, y = synthetic
             (tx, ty), (vx, vy) = data_pipe.split_synthetic(x, y)
@@ -288,13 +288,13 @@ class Trainer:
             state = pmesh.replicate(self.mesh, state)
 
         step_fn = make_pretrain_step(self.tuner, cfg, optimizer)
-        stream_fn = None
+        stream_epoch_fn = None
         if streaming:
-            stream_fn = (
-                make_pretrain_stream_step_sharded(
-                    self.tuner, cfg, optimizer, self.mesh)
-                if self.mesh is not None else
-                make_pretrain_stream_step(self.tuner, cfg, optimizer))
+            # whole-epoch scan: ONE dispatch per epoch (round-1 measured
+            # the streaming phase wall-dominated by per-step dispatch
+            # through the remote link)
+            stream_epoch_fn = make_pretrain_stream_epoch(
+                self.tuner, cfg, optimizer, steps_per_epoch, mesh=self.mesh)
         eval_fn = make_pretrain_eval(self.tuner, cfg)
         rng = np.random.default_rng(cfg.train.seed)
 
@@ -309,12 +309,11 @@ class Trainer:
 
         for epoch in range(start_epoch, cfg.train.no_pt_epochs):
             t0 = time.time()
-            losses = []
             if streaming:
-                for _ in range(steps_per_epoch):
-                    state, m = stream_fn(state, self._next_key())
-                    losses.append(m["loss"])
+                state, m = stream_epoch_fn(state, self._next_key())
+                losses = [m["loss"]]
             else:
+                losses = []
                 for batch in data_pipe.synthetic_batches(
                         rng, tx, ty, cfg.train.pt_batch_size):
                     batch = self._put_eval_batch(batch)
@@ -323,7 +322,8 @@ class Trainer:
             metrics = eval_fn(state.params, self._next_key(), val_batch)
             metrics = dict(metrics)
             # float() forces device sync so the timing is honest
-            metrics["loss"] = float(jnp.mean(jnp.stack(losses)))
+            metrics["loss"] = float(jnp.mean(jnp.concatenate(
+                [jnp.atleast_1d(x) for x in losses])))
             metrics["epoch_time_s"] = time.time() - t0
             self._phase_checkpoint(self.pt_path, state, epoch)
             self._log("pretrain", epoch, metrics)

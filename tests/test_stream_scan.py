@@ -150,3 +150,64 @@ class TestEpochScan:
         epoch_fn = steps.make_finetune_epoch(tuner, cfg, opt)
         state, m = epoch_fn(state, key, sharded)
         assert np.all(np.isfinite(np.asarray(m["loss"])))
+
+
+class TestStreamEpochScan:
+    """The scanned whole-epoch streaming pretrain (ONE dispatch/epoch)
+    must compute exactly a sequence of stream steps with the epoch key
+    split into per-step keys -- single-device and 8-device mesh."""
+
+    def _setup(self, tmp_path):
+        import dataclasses
+        cfg = tiny_cfg(tmp_path, pt_lr=2e-3)
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, pt_batch_size=8))
+        tuner = FineTuner(cfg.model, cfg.scan)
+        opt = optim.make_pretrain_optimizer(cfg.train)
+        params = tuner.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 2, 2, 1, SCAN.n_taus)))
+        return cfg, tuner, opt, params
+
+    def _fresh(self, opt, params):
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        return steps.TrainState(p, opt.init(p), optim.swa_init(p),
+                                jnp.zeros([], jnp.int32))
+
+    def test_matches_sequential_steps(self, tmp_path):
+        cfg, tuner, opt, params = self._setup(tmp_path)
+        n_steps = 4
+        key = jax.random.PRNGKey(7)
+
+        epoch = steps.make_pretrain_stream_epoch(tuner, cfg, opt, n_steps)
+        st_e, m = epoch(self._fresh(opt, params), key)
+        assert m["loss"].shape == (n_steps,)
+
+        st_s = self._fresh(opt, params)
+        seq_losses = []
+        sim = jax.jit(lambda s, k: steps._stream_step_body(
+            s, k, tuner, cfg, opt, cfg.train.pt_batch_size, (10, 10, 5)))
+        for k in jax.random.split(key, n_steps):
+            st_s, ms = sim(st_s, k)
+            seq_losses.append(float(ms["loss"]))
+        np.testing.assert_allclose(np.asarray(m["loss"]), seq_losses,
+                                   rtol=2e-5, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(st_e.params),
+                        jax.tree_util.tree_leaves(st_s.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-6)
+        # SWA state advanced identically
+        assert int(st_e.swa.n_avg) == int(st_s.swa.n_avg)
+
+    def test_mesh_epoch_runs_and_stays_replicated(self, tmp_path):
+        cfg, tuner, opt, params = self._setup(tmp_path)
+        mesh = make_mesh()
+        epoch = steps.make_pretrain_stream_epoch(tuner, cfg, opt, 3,
+                                                 mesh=mesh)
+        st = replicate(mesh, self._fresh(opt, params))
+        hlo = epoch.lower(st, jax.random.PRNGKey(0)).compile().as_text()
+        assert "all-reduce" in hlo
+        st, m = epoch(st, jax.random.PRNGKey(0))
+        assert m["loss"].shape == (3,)
+        assert np.all(np.isfinite(np.asarray(m["loss"])))
+        assert jax.tree_util.tree_leaves(
+            st.params)[0].sharding.is_fully_replicated

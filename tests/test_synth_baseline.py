@@ -108,3 +108,47 @@ class TestWLS:
         assert np.all(np.asarray(oef) >= 0.01) and np.all(np.asarray(oef) <= 0.8)
         assert np.all(np.asarray(dbv) >= 0.002) and np.all(np.asarray(dbv) <= 0.25)
         assert np.all(np.asarray(r2p) >= 1e-2) and np.all(np.asarray(r2p) <= 100.0)
+
+
+class TestHostDataset:
+    def test_host_matches_device_distributionally(self):
+        """create_synthetic_dataset_host (NumPy randomness + jitted
+        physics decode) must match create_synthetic_dataset in
+        distribution -- streams differ by design (the RNG-parity stance);
+        it exists because XLA-compiling the RNG/shuffle program for a
+        fixed host dataset costs ~190 s on tunneled-TPU backends."""
+        from qbold_vi_tpu.synth import (create_synthetic_dataset,
+                                        create_synthetic_dataset_host)
+
+        scan = ScanParams()
+        sp = SynthParams(sample_size=120, uniform_prop=0.2,
+                         misalign_prob=0.1)
+        xh, yh = create_synthetic_dataset_host(jax.random.PRNGKey(0),
+                                               scan, sp)
+        xd, yd = create_synthetic_dataset(jax.random.PRNGKey(0), scan, sp)
+        xd, yd = np.asarray(xd), np.asarray(yd)
+        assert xh.shape == xd.shape and yh.shape == yd.shape
+        assert xh.dtype == np.float32 and yh.dtype == np.float32
+        # population moments agree within sampling error of a 120-draw
+        # population (seeded, deterministic -- no flake)
+        for i in range(3):
+            assert abs(yh[:, i].mean() - yd[:, i].mean()) < 0.15 * (
+                1.0 + abs(yd[:, i].mean()))
+        np.testing.assert_allclose(xh.mean(), xd.mean(), rtol=0.05)
+        np.testing.assert_allclose(xh.std(), xd.std(), rtol=0.25)
+        # y relationship: r2p = dw*hct*oef*dbv exactly
+        np.testing.assert_allclose(
+            yh[:, 2], scan.dw_coeff * scan.hct * yh[:, 0] * yh[:, 1],
+            rtol=1e-5)
+
+    def test_host_noiseless_signals_exact(self):
+        """With noise and misalignment off, the host path's signals are
+        EXACTLY physics.ase_signal of its own (oef, dbv) draws."""
+        from qbold_vi_tpu.ops import physics
+        from qbold_vi_tpu.synth import create_synthetic_dataset_host
+
+        scan = ScanParams(simulate_noise=False)
+        sp = SynthParams(sample_size=20)
+        x, y = create_synthetic_dataset_host(jax.random.PRNGKey(3), scan, sp)
+        expect = np.asarray(physics.ase_signal(y[:, 0], y[:, 1], scan))
+        np.testing.assert_allclose(x, expect, rtol=1e-6, atol=1e-7)
