@@ -180,8 +180,13 @@ def cmd_baseline(args) -> int:
         data = data[..., :-args.strip_channels]
 
     scan = cfg.scan
-    if args.protocol == "streamlined" or (
-            args.protocol == "auto" and data.shape[-1] == 24):
+    if args.protocol == "streamlined":
+        scan = dataclasses.replace(scan, tau_start=-0.028, tau_step=0.004)
+    elif (args.protocol == "auto" and data.shape[-1] == 24
+          and scan.n_taus != data.shape[-1]):
+        # auto only substitutes the streamlined grid when the configured
+        # grid does NOT already match the data -- a user-specified 24-tau
+        # protocol must never be silently replaced
         scan = dataclasses.replace(scan, tau_start=-0.028, tau_step=0.004)
     if data.shape[-1] != scan.n_taus:
         print(f"data has {data.shape[-1]} tau channels but the "

@@ -198,7 +198,11 @@ def register_to_t1(image_filename: str) -> tuple:
         _run(["applywarp", "-i", mean_image, "-w", warp_to_std,
               "-o", warped_mean_image,
               "-r", f"{anat_dir}T1_to_MNI_nonlin.nii.gz"])
-    if not path.exists(seg_wm_gm_out):
+    # NB existence check on the .nii.gz FSL actually writes: the
+    # reference guards on the extensionless name (data_preprocessing.py
+    # :147 vs :161), which never exists, so upstream re-runs this block
+    # every call -- a documented upstream caching bug, fixed here.
+    if not path.exists(seg_wm_gm_out + ".nii.gz"):
         # resample the SPM GM (c1) + WM (c2) segmentations into ASE space
         # and binarise their union (reference :147-162)
         _run(["convert_xfm", "-omat", transform_matrix_inv, "-inverse",

@@ -43,58 +43,23 @@ def _default_run(cfg: QBoldConfig) -> dict:
     val_elbo sort vacuous). Pass a custom ``run_fn`` to sweep the full
     two-phase pipeline against real data instead.
     """
-    from .train.trainer import Trainer
+    from .train.trainer import Trainer, _stdout_logger
 
-    records: list[dict] = []
-
-    def logger(phase: str, step: int, metrics: dict) -> None:
-        print(f"[{phase} {step}] " + " ".join(
-            f"{k}={float(v):.5g}" for k, v in sorted(metrics.items())),
-            flush=True)
-        records.append(dict(metrics))
-
-    trainer = Trainer(cfg, logger=logger)
+    trainer = Trainer(cfg)
     trainer.pretrain()
     out: dict = {"status": trainer.status.name}
-    for rec in reversed(records):
-        if "val_loss" in rec:
-            out["val_loss"] = float(rec["val_loss"])
-            for k in ("oef_mse", "dbv_mse", "r2p_mse"):
-                if k in rec:
-                    out[k] = float(rec[k])
-            break
-    if "val_loss" not in out and trainer.state is not None:
-        # Resumed from an existing checkpoint (e.g. a re-run sweep
-        # directory): no training epochs ran, so evaluate directly --
-        # a trial must always report its ranking metric.
-        out.update(_pretrain_val_metrics(trainer))
+    if trainer.state is not None:
+        # One authoritative evaluation on the SAME held-out set every
+        # trial uses (Trainer.pretrain_val_metrics derives it from a
+        # fixed fold of the seed), whether the trial trained fresh or
+        # resumed from an existing checkpoint directory -- resumed and
+        # fresh trials must be ranked on the same basis.
+        m = trainer.pretrain_val_metrics()
+        _stdout_logger("sweep-eval", 0, m)
+        out.update(m)
     if "val_loss" in out:
         out["val_elbo"] = out["val_loss"]
     return out
-
-
-def _pretrain_val_metrics(trainer) -> dict:
-    """Held-out synthetic validation metrics for an already-trained
-    state (the same eval the Trainer runs per epoch)."""
-    import dataclasses
-
-    import jax
-
-    from .synth import create_synthetic_dataset_host
-    from .train import data as data_pipe
-    from .train import steps
-
-    cfg = trainer.cfg
-    val_synth = dataclasses.replace(
-        cfg.synth, sample_size=min(cfg.synth.sample_size, 160))
-    x, y = create_synthetic_dataset_host(
-        jax.random.PRNGKey(cfg.train.seed), cfg.scan, val_synth,
-        full_model=cfg.train.full_model, use_blood=cfg.train.use_blood)
-    (_, _), (vx, vy) = data_pipe.split_synthetic(x, y)
-    eval_fn = steps.make_pretrain_eval(trainer.tuner, cfg)
-    m = eval_fn(trainer.state.params, jax.random.PRNGKey(0),
-                {"x": vx, "y": vy})
-    return {k: float(v) for k, v in m.items()}
 
 
 def run_grid_sweep(cfg: QBoldConfig,

@@ -160,6 +160,21 @@ def make_finetune_epoch_on_device(tuner: FineTuner, cfg: QBoldConfig,
     return jax.jit(epoch, donate_argnums=(0,))
 
 
+
+def _warn_uneven_batch(what: str, requested: int, n_dev: int,
+                       b_local: int) -> None:
+    """The sharded paths use a static per-device batch; when the
+    configured global batch does not divide the mesh the EFFECTIVE
+    global batch changes (e.g. the reference-parity 38 becomes 4*8=32 on
+    8 devices) -- warn rather than silently deviate from the published
+    configuration."""
+    if b_local * n_dev != requested:
+        import warnings
+        warnings.warn(
+            f"{what}: configured batch {requested} does not divide the "
+            f"{n_dev}-device mesh; using {b_local}/device = effective "
+            f"global batch {b_local * n_dev}", stacklevel=3)
+
 def make_finetune_epoch_sharded(tuner: FineTuner, cfg: QBoldConfig,
                                 optimizer: optax.GradientTransformation,
                                 n_steps: int, mesh):
@@ -190,6 +205,8 @@ def make_finetune_epoch_sharded(tuner: FineTuner, cfg: QBoldConfig,
 
     n_dev = mesh.devices.size
     b_local = max(1, cfg.train.ft_batch_size // n_dev)
+    _warn_uneven_batch("finetune epoch (sharded)", cfg.train.ft_batch_size,
+                       n_dev, b_local)
 
     def loss_fn(params, key, batch):
         return _finetune_terms(params, key, batch, tuner, cfg)
@@ -325,6 +342,9 @@ def make_pretrain_stream_epoch(tuner: FineTuner, cfg: QBoldConfig,
         from ..parallel.mesh import DATA_AXIS
         axis_name = DATA_AXIS
         b_local = max(1, cfg.train.pt_batch_size // mesh.devices.size)
+        _warn_uneven_batch("pretrain stream epoch (sharded)",
+                           cfg.train.pt_batch_size, mesh.devices.size,
+                           b_local)
 
     def epoch(state: TrainState, key):
         if axis_name is not None:
@@ -374,6 +394,8 @@ def make_pretrain_stream_step_sharded(tuner: FineTuner, cfg: QBoldConfig,
 
     n_dev = mesh.devices.size
     b_local = max(1, cfg.train.pt_batch_size // n_dev)
+    _warn_uneven_batch("pretrain stream step (sharded)",
+                       cfg.train.pt_batch_size, n_dev, b_local)
 
     def local_step(state: TrainState, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))

@@ -229,6 +229,69 @@ class Trainer:
             raise NaNLossError(f"non-finite metrics at {phase} step {step}: "
                                f"{metrics}")
 
+    # ---- pretraining data ----------------------------------------------------------
+
+    def build_pretrain_data(self, synthetic: Optional[tuple] = None):
+        """(train_set | None, (vx, vy)): the synthetic training split
+        (None when streaming -- batches are generated on device) and the
+        held-out validation split.
+
+        Derived from a FIXED fold of the config seed, not the trainer's
+        rolling key chain, so a fresh run, a mid-phase resume, and an
+        external evaluation (sweep._pretrain_val_metrics) all see the
+        SAME validation set -- otherwise resumed sweep trials would be
+        ranked on a different set than fresh ones.
+        """
+        import dataclasses
+
+        cfg = self.cfg
+        data_key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed),
+                                      0x5EED)
+        streaming = cfg.train.pt_on_device_synth and synthetic is None
+        if streaming:
+            # Validation uses a small fixed host set; training draws
+            # fresh batches on device. Host-CPU generation: a fixed set
+            # through the accelerator backend costs a ~190 s remote
+            # compile on tunneled TPUs for seconds of compute (synth.py).
+            val_synth = dataclasses.replace(
+                cfg.synth, sample_size=min(cfg.synth.sample_size, 160))
+            x, y = create_synthetic_dataset_host(
+                data_key, cfg.scan, val_synth,
+                full_model=cfg.train.full_model,
+                use_blood=cfg.train.use_blood)
+            (_, _), val = data_pipe.split_synthetic(x, y)
+            return None, val
+        if synthetic is None:
+            x, y = create_synthetic_dataset_host(
+                data_key, cfg.scan, cfg.synth,
+                full_model=cfg.train.full_model,
+                use_blood=cfg.train.use_blood)
+        else:
+            x, y = synthetic
+        train, val = data_pipe.split_synthetic(x, y)
+        return train, val
+
+    def _clip_val_batch(self, vx, vy) -> dict:
+        """Bound the per-epoch eval batch (~4k voxels) and place it for
+        the mesh (shard when divisible, replicate otherwise)."""
+        n_val = min(len(vx), 4096 // int(np.prod(vx.shape[1:4])) + 1)
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            n_val = max(n_val // n_dev * n_dev, min(len(vx), n_dev))
+        return self._put_eval_batch({"x": vx[:n_val], "y": vy[:n_val]})
+
+    def pretrain_val_metrics(self, synthetic: Optional[tuple] = None) -> dict:
+        """Held-out synthetic validation metrics for the CURRENT state --
+        the same eval (same set, same clipping) pretrain() runs per
+        epoch; usable on a resumed/loaded state without retraining."""
+        if self.state is None:
+            raise RuntimeError("no trained state to evaluate")
+        _, (vx, vy) = self.build_pretrain_data(synthetic)
+        eval_fn = make_pretrain_eval(self.tuner, self.cfg)
+        m = eval_fn(self.state.params, jax.random.PRNGKey(0),
+                    self._clip_val_batch(vx, vy))
+        return {k: float(v) for k, v in m.items()}
+
     # ---- phase 1: synthetic pretraining -------------------------------------------
 
     def pretrain(self, synthetic: Optional[tuple] = None) -> TrainState:
@@ -246,36 +309,16 @@ class Trainer:
         # locally (steps.make_pretrain_stream_step_sharded), so the mesh
         # path keeps the zero-host-transfer property.
         streaming = cfg.train.pt_on_device_synth and synthetic is None
+        train_set, (vx, vy) = self.build_pretrain_data(synthetic)
         if streaming:
-            # Validation still uses a small fixed host set; training draws
-            # fresh batches on device (steps.make_pretrain_stream_step).
-            import dataclasses
-
-            val_synth = dataclasses.replace(
-                cfg.synth, sample_size=min(cfg.synth.sample_size, 160))
-            # host-CPU generation: a fixed val set through the
-            # accelerator backend costs a ~190 s remote compile on
-            # tunneled TPUs for seconds of compute (synth.py)
-            x, y = create_synthetic_dataset_host(
-                self._next_key(), cfg.scan, val_synth,
-                full_model=cfg.train.full_model, use_blood=cfg.train.use_blood)
-            (_, _), (vx, vy) = data_pipe.split_synthetic(x, y)
             vol = 500  # pseudo-volume voxels (10*10*5)
             steps_per_epoch = max(1, round(
                 0.9 * cfg.synth.sample_size**2 / vol / cfg.train.pt_batch_size))
         else:
-            if synthetic is None:
-                x, y = create_synthetic_dataset_host(
-                    self._next_key(), cfg.scan, cfg.synth,
-                    full_model=cfg.train.full_model,
-                    use_blood=cfg.train.use_blood)
-            else:
-                x, y = synthetic
-            (tx, ty), (vx, vy) = data_pipe.split_synthetic(x, y)
+            tx, ty = train_set
+            steps_per_epoch = max(1, len(tx) // cfg.train.pt_batch_size)
 
         optimizer = make_pretrain_optimizer(cfg.train)
-        if not streaming:
-            steps_per_epoch = max(1, len(tx) // cfg.train.pt_batch_size)
         state, start_epoch = self._phase_start(
             self.pt_path, swa=cfg.train.use_swa, optimizer=optimizer,
             steps_per_epoch=steps_per_epoch)
@@ -297,15 +340,7 @@ class Trainer:
                 self.tuner, cfg, optimizer, steps_per_epoch, mesh=self.mesh)
         eval_fn = make_pretrain_eval(self.tuner, cfg)
         rng = np.random.default_rng(cfg.train.seed)
-
-        n_val = min(len(vx), 4096 // int(np.prod(vx.shape[1:4])) + 1)
-        if self.mesh is not None:
-            # shard the eval batch when it divides the mesh, else
-            # replicate it (tiny sets -- e.g. the streaming path's small
-            # fixed validation set -- cannot split 8 ways)
-            n_dev = self.mesh.devices.size
-            n_val = max(n_val // n_dev * n_dev, min(len(vx), n_dev))
-        val_batch = self._put_eval_batch({"x": vx[:n_val], "y": vy[:n_val]})
+        val_batch = self._clip_val_batch(vx, vy)
 
         for epoch in range(start_epoch, cfg.train.no_pt_epochs):
             t0 = time.time()
@@ -325,8 +360,11 @@ class Trainer:
             metrics["loss"] = float(jnp.mean(jnp.concatenate(
                 [jnp.atleast_1d(x) for x in losses])))
             metrics["epoch_time_s"] = time.time() - t0
-            self._phase_checkpoint(self.pt_path, state, epoch)
+            # NB checkpoint only AFTER the NaN tripwire in _log: a
+            # diverged state must never reach the .partial file, or every
+            # resume would reload it and re-crash.
             self._log("pretrain", epoch, metrics)
+            self._phase_checkpoint(self.pt_path, state, epoch)
 
         # SWA adoption is opt-in (cfg.train.swa_adopt): the reference
         # builds the tfa SWA wrapper but never calls assign_average_vars
@@ -443,8 +481,9 @@ class Trainer:
                 if vals:
                     for k in vals[0]:
                         metrics[k] = jnp.mean(jnp.stack([v[k] for v in vals]))
-            self._phase_checkpoint(self.final_path, state, epoch)
+            # checkpoint only AFTER the NaN tripwire (see pretrain)
             self._log("finetune", epoch, metrics)
+            self._phase_checkpoint(self.final_path, state, epoch)
 
         self.state = state
         self.status = WeightStatus.FULL_TRAINED

@@ -159,3 +159,9 @@ def test_baseline_cli_streamlined_protocol_and_mni_export(tmp_path,
     # channel-count mismatch against a forced protocol errors loudly
     rc = main(["baseline", dpath, "-o", out, "--protocol", "config"])
     assert rc == 1
+
+    # auto must NOT displace a user-configured grid that already matches
+    # the data's 24 channels (it would silently corrupt every tau value)
+    rc = main(["baseline", dpath, "-o", str(tmp_path / "wls2"),
+               "--set", "tau_start=-0.028", "--set", "tau_step=0.004"])
+    assert rc == 0

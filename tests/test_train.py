@@ -432,9 +432,10 @@ class TestMidPhaseResume:
         resumed = []
         t2 = Trainer(cfg, logger=lambda p, s, m: resumed.append((p, s)))
         t2.pretrain()
-        # epochs 0 and 1 completed before the crash (checkpoint precedes
-        # the log call) -> the resume runs only epoch 2
-        assert resumed == [("pretrain", 2)]
+        # the checkpoint follows the log (so the NaN tripwire can veto a
+        # poisoned state): epoch 0 logged+checkpointed, epoch 1's log
+        # crashed before its checkpoint -> resume re-runs epochs 1 and 2
+        assert resumed == [("pretrain", 1), ("pretrain", 2)]
         assert t2.status is WeightStatus.PRE_TRAINED
         assert os.path.isfile(t2.pt_path)
         assert not os.path.isfile(partial)  # cleaned up at phase end
@@ -458,7 +459,7 @@ class TestMidPhaseResume:
         def crashing_logger(phase, step, metrics):
             if phase == "finetune":
                 count["n"] += 1
-                if count["n"] == 1:
+                if count["n"] == 2:   # epoch 0 checkpointed, crash at 1
                     raise Crash()
 
         t.logger = crashing_logger

@@ -209,7 +209,7 @@ class TestRegistrationChain:
         anat.mkdir()
         (anat / "T1_to_MNI_nonlin_field.nii.gz").touch()
         (d / "tmean_warpedbaseline_ase.nii.gz").touch()
-        (d / "baseline_asewm_gm").touch()
+        (d / "baseline_asewm_gm.nii.gz").touch()
         (d / "baseline_ase_gm.nii.gz").touch()
         calls = []
         monkeypatch.setattr(preprocess, "_run",
