@@ -156,6 +156,12 @@ class TrainConfig:
     # is written every N epochs and a restarted run continues from the
     # last completed epoch of the interrupted phase.
     checkpoint_every_epochs: int = 0
+    # Fused Pallas decode+NLL for the fine-tune likelihood term
+    # (ops/pallas_decode.py): "auto" uses it on TPU backends where the
+    # config is covered (full model + heteroscedastic noise), "on"/"off"
+    # force it, "interpret" runs it through the Mosaic interpreter
+    # (CPU tests). Gradient-exact vs the jnp path.
+    fused_decode_nll: str = "auto"
     ft_steps_per_epoch: int = 100     # reference: train.py:376
     ft_batch_size: int = 38           # reference: train.py:68
     eval_batch_size: int = 3          # reference: train.py:70
@@ -224,6 +230,7 @@ _FLAT_KEY_MAP: dict[str, tuple[str, str]] = {
     # TPU extensions (not in the reference's key set)
     "pt_on_device_synth": ("train", "pt_on_device_synth"),
     "checkpoint_every_epochs": ("train", "checkpoint_every_epochs"),
+    "fused_decode_nll": ("train", "fused_decode_nll"),
     "compute_dtype": ("model", "compute_dtype"),
     "d": ("train", "data_directory"),
     "name": (None, "name"),

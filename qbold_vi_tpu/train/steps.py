@@ -157,8 +157,7 @@ def make_finetune_epoch_on_device(tuner: FineTuner, cfg: QBoldConfig,
 
         return jax.lax.scan(body, state, keys)
 
-    return jax.jit(epoch, donate_argnums=(0,))
-
+    return jax.jit(epoch, donate_argnums=_finetune_donate(tuner, cfg))
 
 
 def _warn_uneven_batch(what: str, requested: int, n_dev: int,
@@ -237,7 +236,7 @@ def make_finetune_epoch_sharded(tuner: FineTuner, cfg: QBoldConfig,
     fn = shard_map(local_epoch, mesh=mesh,
                    in_specs=(P(), P(), P(), P()),
                    out_specs=(P(), P()), check_vma=False)
-    return jax.jit(fn, donate_argnums=(0,))
+    return jax.jit(fn, donate_argnums=_finetune_donate(tuner, cfg))
 
 
 def stream_synthetic_batch(key, cfg: QBoldConfig, batch_size: int,
@@ -423,6 +422,25 @@ def make_pretrain_eval(tuner: FineTuner, cfg: QBoldConfig):
     return jax.jit(evaluate)
 
 
+def _fused_nll_fn(tuner: FineTuner, cfg: QBoldConfig):
+    """The fused Pallas decode+NLL op when enabled and applicable, else
+    None (jnp path). Resolved at trace/build time (Python), so the
+    decision costs nothing inside the compiled step."""
+    mode = cfg.train.fused_decode_nll
+    if mode == "off":
+        return None
+    if mode == "auto" and jax.default_backend() not in ("tpu", "axon"):
+        return None
+    from ..ops import pallas_decode
+
+    if not pallas_decode.fused_available(cfg.model, tuner.scan,
+                                         tuner.full_model, tuner.use_blood):
+        return None
+    return pallas_decode.make_fused_decode_nll(
+        cfg.model, tuner.scan, use_blood=tuner.use_blood,
+        interpret=mode == "interpret")
+
+
 def _finetune_terms(params, key, batch, tuner: FineTuner, cfg: QBoldConfig,
                     no_samples: Optional[int] = None, kl_samples: int = 70,
                     train: bool = True):
@@ -432,24 +450,46 @@ def _finetune_terms(params, key, batch, tuner: FineTuner, cfg: QBoldConfig,
     semantics upstream, i.e. dropout off -- reference train.py:338)."""
     images, mask = batch["images"], batch["mask"]
     k_sample, k_kl = jax.random.split(key)
-    out = tuner.apply(params, k_sample, images, no_samples=no_samples,
-                      train=train)
-    q = out["predictions"]
+
+    fused = _fused_nll_fn(tuner, cfg)
+    if fused is not None:
+        # Fused path: encode + sample in XLA, then ONE Pallas op for the
+        # physics decode + reconstruction NLL with a closed-form VJP
+        # (ops/pallas_decode.py; XLA left 7.9/12.5 ms on the table here,
+        # benchmarks/RESULTS.md). Gradient-exact vs the jnp branch below.
+        k_draw, k_drop = jax.random.split(k_sample)
+        s = no_samples if no_samples is not None else cfg.model.no_samples
+        _, q, sigma = tuner.encode(
+            params, images,
+            dropout_key=k_drop if (train and cfg.model.dropout_rate > 0.0)
+            else None)
+        samples = tuner.dist.sample_many(k_draw, q, cfg.model.use_mvg, s)
+        t = tuner.scan.n_taus
+        yb = jnp.broadcast_to(images, (s,) + images.shape).reshape(-1, t)
+        sb = jnp.broadcast_to(sigma, (s,) + sigma.shape).reshape(-1, t)
+        mb = jnp.broadcast_to(mask, (s,) + mask.shape).reshape(-1)
+        rows = fused(samples[..., 0].reshape(-1),
+                     samples[..., 1].reshape(-1), yb, sb, mb)
+        nll = jnp.sum(rows) / jnp.sum(mb)
+    else:
+        out = tuner.apply(params, k_sample, images, no_samples=no_samples,
+                          train=train)
+        q = out["predictions"]
+        # Reconstruction NLL over the leading samples axis; y_true
+        # broadcasts (equivalent to the reference's concat-to-batch
+        # replication, model.py:529,245-246).
+        pred = out["predicted_images"]
+        sigma = out["im_sigma"]
+        nll = losses.fine_tune_nll(
+            cfg.model, tuner.scan.se_idx,
+            jnp.broadcast_to(images, pred.shape), pred,
+            jnp.broadcast_to(sigma, pred.shape),
+            jnp.broadcast_to(mask, pred.shape[:-1] + (1,)))
 
     if cfg.model.use_population_prior:
         prior = tuner.prior_params(params, q)
     else:
         prior = batch["priors"]
-
-    # Reconstruction NLL over the leading samples axis; y_true broadcasts
-    # (equivalent to the reference's concat-to-batch replication,
-    # model.py:529,245-246).
-    pred = out["predicted_images"]
-    sigma = out["im_sigma"]
-    nll = losses.fine_tune_nll(cfg.model, tuner.scan.se_idx,
-                               jnp.broadcast_to(images, pred.shape), pred,
-                               jnp.broadcast_to(sigma, pred.shape),
-                               jnp.broadcast_to(mask, pred.shape[:-1] + (1,)))
     kl = losses.kl_loss(k_kl, tuner.dist, cfg.model, prior, q, mask,
                         no_samples=kl_samples)
     smooth = losses.smoothness_loss(tuner.dist, q, mask)
@@ -459,6 +499,15 @@ def _finetune_terms(params, key, batch, tuner: FineTuner, cfg: QBoldConfig,
              + smooth * cfg.train.smoothness_weight)
     return total, aux
 
+
+
+def _finetune_donate(tuner: FineTuner, cfg: QBoldConfig) -> tuple:
+    """Donation interacts badly with the fused decode+NLL custom call:
+    input-output aliasing around the opaque Pallas op costs the compiled
+    step ~7 ms at the published workload (measured A/B on chip,
+    benchmarks/RESULTS.md), while donating the ~0.4 MB params/opt-state
+    saves nothing material -- so fused steps do not donate."""
+    return () if _fused_nll_fn(tuner, cfg) is not None else (0,)
 
 def make_finetune_step(tuner: FineTuner, cfg: QBoldConfig,
                        optimizer: optax.GradientTransformation):
@@ -476,7 +525,7 @@ def make_finetune_step(tuner: FineTuner, cfg: QBoldConfig,
         aux["loss"] = loss
         return TrainState(params, opt_state, state.swa, state.step + 1), aux
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=_finetune_donate(tuner, cfg))
 
 
 def make_finetune_epoch(tuner: FineTuner, cfg: QBoldConfig,
@@ -513,7 +562,7 @@ def make_finetune_epoch(tuner: FineTuner, cfg: QBoldConfig,
 
         return jax.lax.scan(body, state, (keys, batches))
 
-    return jax.jit(epoch, donate_argnums=(0,))
+    return jax.jit(epoch, donate_argnums=_finetune_donate(tuner, cfg))
 
 
 def make_finetune_eval(tuner: FineTuner, cfg: QBoldConfig,

@@ -1,0 +1,171 @@
+"""Gate the fused decode+NLL kernel against the jnp path.
+
+The kernel is PRNG-free, so unlike the summarize kernel it runs fully
+on CPU through the Mosaic interpreter: value AND analytic-VJP gradients
+are gated exactly against physics.ase_signal + losses.fine_tune_nll
+under AD, across the normalisation / log-domain / likelihood branches.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qbold_vi_tpu.config import ModelConfig, ScanParams
+from qbold_vi_tpu.ops import physics
+from qbold_vi_tpu.ops.pallas_decode import (fused_available,
+                                            make_fused_decode_nll)
+from qbold_vi_tpu.train import losses
+
+SCAN = ScanParams(simulate_noise=False)
+
+
+def _data(rng, n=96):
+    oef = jnp.asarray(rng.uniform(0.1, 0.7, size=n).astype(np.float32))
+    dbv = jnp.asarray(rng.uniform(0.005, 0.18, size=n).astype(np.float32))
+    y = jnp.asarray((np.abs(rng.normal(size=(n, SCAN.n_taus))) * 0.4 + 0.4
+                     ).astype(np.float32))
+    sigma = jnp.asarray((np.abs(rng.normal(size=(n, SCAN.n_taus))) * 0.05
+                         + 0.02).astype(np.float32))
+    mask = jnp.asarray((rng.uniform(size=n) > 0.25).astype(np.float32))
+    return oef, dbv, y, sigma, mask
+
+
+def _jnp_loss(cfg, oef, dbv, y, sigma, mask):
+    pred = physics.ase_signal(oef, dbv, SCAN, full_model=True,
+                              include_blood=True)
+    return losses.fine_tune_nll(cfg, SCAN.se_idx, y, pred, sigma,
+                                mask[:, None])
+
+
+CONFIGS = [
+    dict(student_t_df=200.0, multi_image_normalisation=False,
+         predict_log_data=False),                      # published optimal
+    dict(student_t_df=200.0, multi_image_normalisation=True,
+         predict_log_data=False),
+    dict(student_t_df=2.0, multi_image_normalisation=True,
+         predict_log_data=False),                      # Student-t branch
+    dict(student_t_df=200.0, multi_image_normalisation=False,
+         predict_log_data=True),                       # log-domain
+]
+
+
+@pytest.mark.parametrize("kw", CONFIGS)
+def test_value_and_grads_match_jnp(rng, kw):
+    cfg = ModelConfig(use_mvg=True, **kw)
+    assert fused_available(cfg, SCAN, True, True)
+    fused = make_fused_decode_nll(cfg, SCAN, use_blood=True,
+                                  interpret=True, lanes=128)
+    oef, dbv, y, sigma, mask = _data(rng)
+
+    def fused_loss(o, d, s):
+        rows = fused(o, d, y, s, mask)
+        return jnp.sum(rows) / jnp.sum(mask)
+
+    def ref_loss(o, d, s):
+        return _jnp_loss(cfg, o, d, y, s, mask)
+
+    v_f = float(fused_loss(oef, dbv, sigma))
+    v_r = float(ref_loss(oef, dbv, sigma))
+    np.testing.assert_allclose(v_f, v_r, rtol=2e-5, atol=2e-5)
+
+    g_f = jax.grad(fused_loss, argnums=(0, 1, 2))(oef, dbv, sigma)
+    g_r = jax.grad(ref_loss, argnums=(0, 1, 2))(oef, dbv, sigma)
+    for a, b, name in zip(g_f, g_r, ("oef", "dbv", "sigma")):
+        scale = np.abs(np.asarray(b)).max() + 1e-3
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale,
+            rtol=5e-5, atol=5e-6, err_msg=name)
+
+
+def test_weighted_cotangent_and_padding(rng):
+    """Non-uniform upstream cotangents (the real masked-mean chain) and
+    a non-block-multiple N both flow through the VJP correctly."""
+    cfg = ModelConfig(use_mvg=True, student_t_df=200.0,
+                      multi_image_normalisation=False,
+                      predict_log_data=False)
+    fused = make_fused_decode_nll(cfg, SCAN, use_blood=True,
+                                  interpret=True, lanes=128)
+    oef, dbv, y, sigma, mask = _data(rng, n=77)
+    w = jnp.asarray(np.linspace(0.2, 1.7, 77), jnp.float32)
+
+    def fused_loss(o):
+        return jnp.sum(w * fused(o, dbv, y, sigma, mask))
+
+    def ref_loss(o):
+        pred = physics.ase_signal(o, dbv, SCAN, full_model=True,
+                                  include_blood=True)
+        rows = losses.fine_tune_nll(cfg, SCAN.se_idx, y, pred, sigma,
+                                    mask[:, None], return_mean=False)
+        return jnp.sum(w * rows[:, 0])
+
+    np.testing.assert_allclose(float(fused_loss(oef)),
+                               float(ref_loss(oef)), rtol=2e-5, atol=2e-5)
+    a = np.asarray(jax.grad(fused_loss)(oef))
+    b = np.asarray(jax.grad(ref_loss)(oef))
+    scale = np.abs(b).max() + 1e-3
+    np.testing.assert_allclose(a / scale, b / scale, rtol=5e-5, atol=5e-6)
+
+
+def test_availability_gating():
+    cfg = ModelConfig(use_mvg=True, heteroscedastic_noise=False)
+    assert not fused_available(cfg, SCAN, True, True)
+    cfg2 = ModelConfig(use_mvg=True)
+    assert not fused_available(cfg2, SCAN, False, True)  # asymptotic
+
+
+def test_full_step_equality_with_collapsed_posterior(rng):
+    """With the posterior std squashed to its floor the reparameterised
+    draw is (numerically) the mean regardless of the RNG stream, so the
+    fused and jnp branches of the FULL loss must agree in value and in
+    encoder-parameter gradients."""
+    from qbold_vi_tpu.config import QBoldConfig, TrainConfig
+    from qbold_vi_tpu.models.vi import FineTuner
+    from qbold_vi_tpu.train.steps import _finetune_terms
+
+    b, x, y, z = 1, 8, 4, 1
+    img = jnp.asarray((np.abs(rng.normal(size=(b, x, y, z, SCAN.n_taus)))
+                       * 50 + 100).astype(np.float32))
+    mask = jnp.ones((b, x, y, z, 1), jnp.float32)
+    priors = jnp.asarray(rng.normal(size=(b, x, y, z, 5)
+                                    ).astype(np.float32) * 0.3)
+    batch = {"images": img, "mask": mask, "priors": priors}
+    key = jax.random.PRNGKey(0)
+
+    results = {}
+    for mode in ("off", "interpret"):
+        cfg = QBoldConfig(
+            scan=SCAN,
+            model=ModelConfig(no_units=4, no_intermediate_layers=1,
+                              use_mvg=True, student_t_df=200.0,
+                              predict_log_data=False),
+            train=TrainConfig(fused_decode_nll=mode))
+        tuner = FineTuner(cfg.model, SCAN)
+        params = tuner.init(jax.random.PRNGKey(7), img[:1])
+        # collapse the posterior: bias the std channels hard negative
+        # (tanh squash floors the log-std at -4 -> std ~ e^-4)
+        enc = jax.tree_util.tree_map(lambda v: v, params["encoder"])
+        fb = enc["final"]["bias"]
+        enc["final"]["bias"] = fb.at[1].set(-25.0).at[3].set(-25.0).at[
+            4].set(0.0)
+        params = dict(params, encoder=enc)
+
+        def loss(p):
+            total, aux = _finetune_terms(p, key, batch, tuner, cfg)
+            return total
+
+        results[mode] = (float(loss(params)), jax.grad(loss)(params))
+
+    v_off, g_off = results["off"]
+    v_on, g_on = results["interpret"]
+    # std ~ e^-4 leaves a tiny stochastic residue; tolerances reflect it
+    np.testing.assert_allclose(v_on, v_off, rtol=2e-3)
+    flat_off = jax.tree_util.tree_leaves(g_off)
+    flat_on = jax.tree_util.tree_leaves(g_on)
+    for a, b_ in zip(flat_on, flat_off):
+        scale = np.abs(np.asarray(b_)).max() + 1e-2
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b_) / scale,
+                                   rtol=5e-2, atol=5e-3)
