@@ -169,3 +169,34 @@ def test_full_step_equality_with_collapsed_posterior(rng):
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b_) / scale,
                                    rtol=5e-2, atol=5e-3)
+
+
+def test_fused_step_with_multiple_samples(rng):
+    """no_samples > 1: y/sigma/mask broadcast over the leading sample
+    axis before flattening into the kernel; grads stay finite."""
+    from qbold_vi_tpu.config import QBoldConfig, TrainConfig
+    from qbold_vi_tpu.models.vi import FineTuner
+    from qbold_vi_tpu.train.steps import _finetune_terms
+
+    b, x, y, z = 1, 4, 4, 1
+    img = jnp.asarray((np.abs(rng.normal(size=(b, x, y, z, SCAN.n_taus)))
+                       * 50 + 100).astype(np.float32))
+    mask = jnp.ones((b, x, y, z, 1), jnp.float32)
+    priors = jnp.asarray(rng.normal(size=(b, x, y, z, 5)
+                                    ).astype(np.float32) * 0.3)
+    batch = {"images": img, "mask": mask, "priors": priors}
+    cfg = QBoldConfig(
+        scan=SCAN,
+        model=ModelConfig(no_units=4, no_intermediate_layers=1,
+                          use_mvg=True, student_t_df=200.0,
+                          predict_log_data=False, no_samples=3),
+        train=TrainConfig(fused_decode_nll="interpret"))
+    tuner = FineTuner(cfg.model, SCAN)
+    params = tuner.init(jax.random.PRNGKey(7), img)
+    total, aux = _finetune_terms(params, jax.random.PRNGKey(0), batch,
+                                 tuner, cfg)
+    assert np.isfinite(float(total))
+    g = jax.grad(lambda p: _finetune_terms(p, jax.random.PRNGKey(0),
+                                           batch, tuner, cfg)[0])(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))
