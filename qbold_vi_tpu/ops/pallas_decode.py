@@ -50,9 +50,16 @@ _LANES = 256
 def fused_available(cfg: ModelConfig, scan: ScanParams, full_model: bool,
                     use_blood: bool) -> bool:
     """The kernel covers the published configuration space: full SDR
-    tissue model, heteroscedastic noise. (Asymptotic model or scalar
-    sigma -> jnp path.)"""
-    del scan, use_blood
+    tissue model, heteroscedastic noise, and (for multi-image
+    normalisation) an interior spin-echo window. (Asymptotic model,
+    scalar sigma, or an se window touching the tau-grid edge -> jnp
+    path; NB at se_idx == 0 the jnp multi-norm itself degenerates --
+    the reference's se-1 slice is empty -- so no tau protocol with a
+    boundary spin echo should use multi_image_normalisation at all.)"""
+    del use_blood
+    if cfg.multi_image_normalisation and not (
+            1 <= scan.se_idx < scan.n_taus - 1):
+        return False
     return bool(full_model) and cfg.heteroscedastic_noise
 
 
@@ -165,7 +172,7 @@ def _fwd_kernel(oef_ref, dbv_ref, y_ref, sig_ref, mask_ref, out_ref, *, C):
 
 
 def _bwd_kernel(oef_ref, dbv_ref, y_ref, sig_ref, mask_ref, ct_ref,
-                doef_ref, ddbv_ref, dsig_ref, *, C):
+                doef_ref, ddbv_ref, dsig_ref, dy_ref, *, C):
     oef = oef_ref[0]
     dbv = dbv_ref[0]
     mask = mask_ref[0]
@@ -198,28 +205,40 @@ def _bwd_kernel(oef_ref, dbv_ref, y_ref, sig_ref, mask_ref, ct_ref,
     t_ref = _refs(ys, C) + _EPS
     p_ref = _refs(preds, C) + _EPS
 
-    # e_t = dnll/dq_t (through the optional log) and sigma grads
-    es, d_sigs = [], []
+    # e_t = dnll/dq_t and c_t = dnll/dyhat_t (through the optional log),
+    # plus sigma grads
+    es, cs, yhs = [], [], []
     for t in range(T):
-        yh = ys[t] / t_ref
+        yh_lin = ys[t] / t_ref
         q_lin = preds[t] / p_ref
         if C["log_data"]:
-            yh = jnp.where(mask > 0, jnp.log(yh), 0.0)
+            yh = jnp.where(mask > 0, jnp.log(yh_lin), 0.0)
             z = jnp.where(mask > 0, jnp.log(q_lin), 0.0)
         else:
+            yh = yh_lin
             z = q_lin
         _, d_r, d_sig = _nll_terms(yh - z, sig_ref[0, t], C)
         e = -d_r
+        c = d_r
         if C["log_data"]:
             e = e / q_lin
+            # guard: masked/zero y voxels have yh_lin == 0 and a zeroed
+            # cotangent; avoid inf * 0 -> NaN
+            c = jnp.where(mask > 0,
+                          d_r / jnp.maximum(yh_lin, 1e-30), 0.0)
         es.append(e)
-        d_sigs.append(d_sig)
+        cs.append(c)
+        yhs.append(yh_lin)
         dsig_ref[0, t] = ct * d_sig
 
     # dnll/dpred_k = e_k / P - (sum_t e_t q_t) * w_k / P, w_k = dP/dpred_k
+    # dnll/dy_k    = c_k / Tref - (sum_t c_t yhat_t) * w_k / Tref  (same
+    # chain through the y-side normaliser)
     sum_eq = 0.0
+    sum_cy = 0.0
     for t in range(T):
         sum_eq = sum_eq + es[t] * (preds[t] / p_ref)
+        sum_cy = sum_cy + cs[t] * yhs[t]
     doef = jnp.zeros_like(oef)
     ddbv = jnp.zeros_like(oef)
     se = C["se"]
@@ -227,10 +246,13 @@ def _bwd_kernel(oef_ref, dbv_ref, y_ref, sig_ref, mask_ref, ct_ref,
     wk = 1.0 / 3.0 if C["multi"] else 1.0
     for t in range(T):
         dnll_dpred = es[t] / p_ref
+        dnll_dy = cs[t] / t_ref
         if t in window:
             dnll_dpred = dnll_dpred - sum_eq * (wk / p_ref)
+            dnll_dy = dnll_dy - sum_cy * (wk / t_ref)
         doef = doef + dnll_dpred * dpred_doef[t]
         ddbv = ddbv + dnll_dpred * dpred_ddbv[t]
+        dy_ref[0, t] = ct * dnll_dy
     doef_ref[0] = ct * doef
     ddbv_ref[0] = ct * ddbv
 
@@ -316,15 +338,17 @@ def make_fused_decode_nll(cfg: ModelConfig, scan: ScanParams,
     def rows_bwd(res, ct):
         n, n_pad, packed, (y_shape, sig_shape) = res
         nb = n_pad // (_SUB * lanes)
-        doef, ddbv, dsig = pl.pallas_call(
+        doef, ddbv, dsig, dy = pl.pallas_call(
             partial(_bwd_kernel, C=C),
             grid=(nb,),
             in_specs=[row_spec(), row_spec(), tau_spec(), tau_spec(),
                       row_spec(), row_spec()],
-            out_specs=[row_spec(), row_spec(), tau_spec()],
+            out_specs=[row_spec(), row_spec(), tau_spec(), tau_spec()],
             out_shape=[
                 jax.ShapeDtypeStruct((nb, _SUB, lanes), packed[0].dtype),
                 jax.ShapeDtypeStruct((nb, _SUB, lanes), packed[0].dtype),
+                jax.ShapeDtypeStruct((nb, T, _SUB, lanes),
+                                     packed[0].dtype),
                 jax.ShapeDtypeStruct((nb, T, _SUB, lanes),
                                      packed[0].dtype),
             ],
@@ -333,8 +357,8 @@ def make_fused_decode_nll(cfg: ModelConfig, scan: ScanParams,
         doef = doef.reshape(n_pad)[:n]
         ddbv = ddbv.reshape(n_pad)[:n]
         dsig = dsig.transpose(0, 2, 3, 1).reshape(n_pad, T)[:n]
-        return (doef, ddbv, jnp.zeros(y_shape, doef.dtype), dsig,
-                jnp.zeros((n,), doef.dtype))
+        dy = dy.transpose(0, 2, 3, 1).reshape(n_pad, T)[:n]
+        return (doef, ddbv, dy, dsig, jnp.zeros((n,), doef.dtype))
 
     rows.defvjp(rows_fwd, rows_bwd)
     return rows

@@ -425,8 +425,20 @@ def make_pretrain_eval(tuner: FineTuner, cfg: QBoldConfig):
 def _fused_nll_fn(tuner: FineTuner, cfg: QBoldConfig):
     """The fused Pallas decode+NLL op when enabled and applicable, else
     None (jnp path). Resolved at trace/build time (Python), so the
-    decision costs nothing inside the compiled step."""
-    mode = cfg.train.fused_decode_nll
+    decision costs nothing inside the compiled step.
+
+    Mode strings are normalised (YAML 1.1 parses a bare ``on``/``off``
+    as a BOOL, which the flat-override coercion stringifies to
+    'True'/'False') and validated -- unknown values raise instead of
+    silently picking a path. 'on'/'interpret' are FORCE semantics: an
+    uncovered config errors loudly rather than falling back."""
+    mode = {"true": "on", "false": "off", "1": "on", "0": "off"}.get(
+        str(cfg.train.fused_decode_nll).strip().lower(),
+        str(cfg.train.fused_decode_nll).strip().lower())
+    if mode not in ("auto", "on", "off", "interpret"):
+        raise ValueError(
+            f"fused_decode_nll must be auto|on|off|interpret, got "
+            f"{cfg.train.fused_decode_nll!r}")
     if mode == "off":
         return None
     if mode == "auto" and jax.default_backend() not in ("tpu", "axon"):
@@ -435,6 +447,12 @@ def _fused_nll_fn(tuner: FineTuner, cfg: QBoldConfig):
 
     if not pallas_decode.fused_available(cfg.model, tuner.scan,
                                          tuner.full_model, tuner.use_blood):
+        if mode in ("on", "interpret"):
+            raise ValueError(
+                "fused_decode_nll was forced on but the configuration is "
+                "not covered by the kernel (needs the full SDR model, "
+                "heteroscedastic noise, and an interior spin-echo window "
+                "for multi-image normalisation)")
         return None
     return pallas_decode.make_fused_decode_nll(
         cfg.model, tuner.scan, use_blood=tuner.use_blood,

@@ -200,3 +200,124 @@ def test_fused_step_with_multiple_samples(rng):
                                            batch, tuner, cfg)[0])(params)
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+@pytest.mark.parametrize("log_data", [False, True])
+def test_y_true_gradients_match_jnp(rng, log_data):
+    """d nll / d y_true flows through the kernel's VJP (incl. the y-side
+    normaliser coupling and the log-domain guard for masked/zero
+    voxels), matching AD of the jnp path."""
+    cfg = ModelConfig(use_mvg=True, student_t_df=200.0,
+                      multi_image_normalisation=True,
+                      predict_log_data=log_data)
+    fused = make_fused_decode_nll(cfg, SCAN, use_blood=True,
+                                  interpret=True, lanes=128)
+    oef, dbv, y, sigma, mask = _data(rng, n=64)
+    # a masked voxel with all-zero signal exercises the log-path guard
+    y = y.at[3].set(0.0)
+    mask = mask.at[3].set(0.0)
+
+    def fused_loss(yy):
+        return jnp.sum(fused(oef, dbv, yy, sigma, mask)) / jnp.sum(mask)
+
+    def ref_loss(yy):
+        pred = physics.ase_signal(oef, dbv, SCAN, full_model=True,
+                                  include_blood=True)
+        return losses.fine_tune_nll(cfg, SCAN.se_idx, yy, pred, sigma,
+                                    mask[:, None])
+
+    np.testing.assert_allclose(float(fused_loss(y)), float(ref_loss(y)),
+                               rtol=2e-5, atol=2e-5)
+    a = np.asarray(jax.grad(fused_loss)(y))
+    b = np.asarray(jax.grad(ref_loss)(y))
+    assert np.all(np.isfinite(a))
+    scale = np.abs(b).max() + 1e-3
+    np.testing.assert_allclose(a / scale, b / scale, rtol=5e-5, atol=5e-6)
+
+
+def test_no_blood_branch_matches_jnp(rng):
+    """use_blood=False selects distinct pred/gradient formulas in the
+    kernel; gate them against physics.ase_signal(include_blood=False)."""
+    cfg = ModelConfig(use_mvg=True, student_t_df=200.0,
+                      multi_image_normalisation=False,
+                      predict_log_data=False)
+    fused = make_fused_decode_nll(cfg, SCAN, use_blood=False,
+                                  interpret=True, lanes=128)
+    oef, dbv, y, sigma, mask = _data(rng, n=64)
+
+    def fused_loss(o, d):
+        return jnp.sum(fused(o, d, y, sigma, mask)) / jnp.sum(mask)
+
+    def ref_loss(o, d):
+        pred = physics.ase_signal(o, d, SCAN, full_model=True,
+                                  include_blood=False)
+        return losses.fine_tune_nll(cfg, SCAN.se_idx, y, pred, sigma,
+                                    mask[:, None])
+
+    np.testing.assert_allclose(float(fused_loss(oef, dbv)),
+                               float(ref_loss(oef, dbv)),
+                               rtol=2e-5, atol=2e-5)
+    ga = jax.grad(fused_loss, argnums=(0, 1))(oef, dbv)
+    gb = jax.grad(ref_loss, argnums=(0, 1))(oef, dbv)
+    for a, b in zip(ga, gb):
+        scale = np.abs(np.asarray(b)).max() + 1e-3
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=5e-5, atol=5e-6)
+
+
+class TestModeHandling:
+    def _tuner_cfg(self, **train_kw):
+        from qbold_vi_tpu.config import QBoldConfig, TrainConfig
+        from qbold_vi_tpu.models.vi import FineTuner
+
+        cfg = QBoldConfig(
+            scan=SCAN,
+            model=ModelConfig(use_mvg=True, student_t_df=200.0,
+                              predict_log_data=False),
+            train=TrainConfig(**train_kw))
+        return FineTuner(cfg.model, SCAN, full_model=True), cfg
+
+    def test_yaml_bool_off_disables(self):
+        """YAML 1.1 parses a bare `off` as bool False; the flat-override
+        coercion stringifies it to 'False' -- which must DISABLE the
+        kernel, not force-enable it (review finding)."""
+        from qbold_vi_tpu.train.steps import _fused_nll_fn
+
+        for v in ("False", "false", "0", "off"):
+            tuner, cfg = self._tuner_cfg(fused_decode_nll=v)
+            assert _fused_nll_fn(tuner, cfg) is None, v
+        for v in ("True", "true", "1"):
+            tuner, cfg = self._tuner_cfg(fused_decode_nll=v)
+            assert _fused_nll_fn(tuner, cfg) is not None, v
+
+    def test_unknown_mode_raises(self):
+        from qbold_vi_tpu.train.steps import _fused_nll_fn
+
+        tuner, cfg = self._tuner_cfg(fused_decode_nll="offf")
+        with pytest.raises(ValueError, match="auto\\|on\\|off"):
+            _fused_nll_fn(tuner, cfg)
+
+    def test_forced_on_uncovered_config_raises(self):
+        from qbold_vi_tpu.config import QBoldConfig, TrainConfig
+        from qbold_vi_tpu.models.vi import FineTuner
+        from qbold_vi_tpu.train.steps import _fused_nll_fn
+
+        cfg = QBoldConfig(
+            scan=SCAN,
+            model=ModelConfig(use_mvg=True, heteroscedastic_noise=False),
+            train=TrainConfig(fused_decode_nll="on"))
+        tuner = FineTuner(cfg.model, SCAN, full_model=True)
+        with pytest.raises(ValueError, match="forced on"):
+            _fused_nll_fn(tuner, cfg)
+
+    def test_boundary_se_window_not_covered(self):
+        """multi-image normalisation with a spin echo on the tau-grid
+        edge (se_idx == 0) falls back to the jnp path (the kernel's
+        window would wrap; the jnp multi-norm itself degenerates there)."""
+        scan0 = ScanParams(tau_start=0.0, simulate_noise=False)
+        assert scan0.se_idx == 0
+        cfg = ModelConfig(use_mvg=True, multi_image_normalisation=True)
+        assert not fused_available(cfg, scan0, True, True)
+        cfg2 = ModelConfig(use_mvg=True, multi_image_normalisation=False)
+        assert fused_available(cfg2, scan0, True, True)
