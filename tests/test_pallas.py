@@ -146,6 +146,10 @@ def test_padding_handles_non_block_sizes(rng):
     assert np.all(np.isfinite(np.asarray(means)))
 
 
+@pytest.mark.skipif(
+    jax.default_backend() in ("tpu", "axon"),
+    reason="Mosaic interpreter mode is not usable through the remote "
+           "TPU backend (QBOLD_TEST_TPU runs the native gates above)")
 class TestInterpreterSmoke:
     """CPU-runnable smoke tests: the Mosaic TPU interpreter executes the
     kernels at tiny sizes in ~1 s, so the default CPU suite at least
