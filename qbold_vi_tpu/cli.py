@@ -285,7 +285,7 @@ def cmd_import_weights(args) -> int:
                            else None,
                            jnp.zeros([], jnp.int32))
         out = trainer.pt_path
-    _save_state(out, state)
+    _save_state(out, state, cfg=cfg)
     print(f"imported {args.h5} -> {out}"
           + (f" (extras: {', '.join(extras)})" if extras else ""))
     return 0
@@ -326,7 +326,7 @@ def cmd_transfer(args) -> int:
                        optim.swa_init(params) if new_cfg.train.use_swa else None,
                        jnp.zeros([], jnp.int32))
     dst = Trainer(new_cfg)
-    _save_state(dst.pt_path, state)
+    _save_state(dst.pt_path, state, cfg=new_cfg)
     print(f"transferred to {new_scan.n_taus}-tau protocol -> {dst.pt_path}")
     return 0
 
@@ -335,8 +335,16 @@ def cmd_sweep(args) -> int:
     """Grid sweep (reference wandb_sweep.py) or a declarative sweep from
     a space YAML -- Bayesian (TPE) by default, matching the reference's
     ``method: bayes`` wandb sweep (configurations/sweep_prior.yaml),
-    random search via --method random."""
+    random search via --method random. ``--agent <sweep-id>`` instead
+    attaches to an existing wandb sweep service (the reference's exact
+    workflow, wandb_sweep.py + train.py:482-488): wandb proposes the
+    configs, trials run here, val_elbo reports back."""
     cfg = _load_cfg(args)
+    if getattr(args, "agent", None):
+        from .sweep import run_wandb_agent
+        n = run_wandb_agent(args.agent, cfg, count=args.trials or None)
+        print(json.dumps({"agent": args.agent, "trials_run": n}))
+        return 0
     if args.space:
         import yaml
 
@@ -357,10 +365,12 @@ def cmd_sweep(args) -> int:
         if method == "bayes":
             results = bayes_search(cfg, space, n_trials=args.trials,
                                    metric=metric,
-                                   maximize=goal == "maximize")
+                                   maximize=goal == "maximize",
+                                   parallel_trials=args.parallel_trials)
         else:
             results = random_search(cfg, space, n_trials=args.trials,
-                                    metric=metric)
+                                    metric=metric,
+                                    parallel_trials=args.parallel_trials)
     else:
         from .sweep import run_grid_sweep
         results = run_grid_sweep(cfg, layers=args.layers, units=args.units,
@@ -448,6 +458,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--method", default=None, choices=["bayes", "random"],
                     help="override the YAML's sweep method")
     sp.add_argument("--trials", type=int, default=20)
+    sp.add_argument("--parallel-trials", type=int, default=1,
+                    dest="parallel_trials",
+                    help="train this many trials per dispatch as ONE "
+                         "vmapped population (default objective only)")
+    sp.add_argument("--agent", default=None, metavar="SWEEP_ID",
+                    help="attach to an existing wandb sweep service as "
+                         "an agent (wandb proposes, val_elbo reports "
+                         "back); --trials caps the run count")
     sp.set_defaults(fn=cmd_sweep)
     return p
 

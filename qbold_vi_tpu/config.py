@@ -162,6 +162,15 @@ class TrainConfig:
     # force it, "interpret" runs it through the Mosaic interpreter
     # (CPU tests). Gradient-exact vs the jnp path.
     fused_decode_nll: str = "auto"
+    # Fully fused Pallas ELBO (ops/pallas_elbo.py): posterior sampling +
+    # physics decode + NLL + the 70-sample MC KL in one VMEM pass per
+    # voxel block (completes SURVEY.md §7.8; MVG posteriors only --
+    # others fall back to fused_decode_nll/jnp). Modes: "auto" = on-chip
+    # PRNG noise on TPU backends where covered; "on"/"off" force;
+    # "host" = normals drawn in XLA with the jnp path's exact key stream
+    # (bit-compatible with fused off, slightly more HBM traffic);
+    # "interpret"/"host-interpret" = Mosaic interpreter (CPU tests).
+    fused_elbo: str = "auto"
     ft_steps_per_epoch: int = 100     # reference: train.py:376
     ft_batch_size: int = 38           # reference: train.py:68
     eval_batch_size: int = 3          # reference: train.py:70
@@ -231,6 +240,7 @@ _FLAT_KEY_MAP: dict[str, tuple[str, str]] = {
     "pt_on_device_synth": ("train", "pt_on_device_synth"),
     "checkpoint_every_epochs": ("train", "checkpoint_every_epochs"),
     "fused_decode_nll": ("train", "fused_decode_nll"),
+    "fused_elbo": ("train", "fused_elbo"),
     "compute_dtype": ("model", "compute_dtype"),
     "d": ("train", "data_directory"),
     "name": (None, "name"),

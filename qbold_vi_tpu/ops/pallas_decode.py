@@ -150,33 +150,41 @@ def _nll_terms(r, sigma, C):
 _EPS = 1e-3  # normaliser epsilon (reference model.py:540-545)
 
 
-def _fwd_kernel(oef_ref, dbv_ref, y_ref, sig_ref, mask_ref, out_ref, *, C):
-    oef = oef_ref[0]
-    dbv = dbv_ref[0]
-    mask = mask_ref[0]
+def _nll_row(oef, dbv, ys, sigs, mask, C):
+    """Per-voxel summed-over-tau NLL tile for one (oef, dbv) draw.
+
+    ys/sigs: T-length lists of tau tiles. Shared by the decode+NLL
+    kernel below and the fused ELBO kernel (ops/pallas_elbo.py)."""
     T = len(C["taus"])
     preds, _, _, _ = _signal_tiles(oef, dbv, C)
-    ys = [y_ref[0, t] for t in range(T)]
     t_ref = _refs(ys, C) + _EPS
     p_ref = _refs(preds, C) + _EPS
-    acc = jnp.zeros_like(oef)
+    acc = 0.0
     for t in range(T):
         yh = ys[t] / t_ref
         q = preds[t] / p_ref
         if C["log_data"]:
             yh = jnp.where(mask > 0, jnp.log(yh), 0.0)
             q = jnp.where(mask > 0, jnp.log(q), 0.0)
-        nll, _, _ = _nll_terms(yh - q, sig_ref[0, t], C)
+        nll, _, _ = _nll_terms(yh - q, sigs[t], C)
         acc = acc + nll
-    out_ref[0] = acc * mask
+    return acc
 
 
-def _bwd_kernel(oef_ref, dbv_ref, y_ref, sig_ref, mask_ref, ct_ref,
-                doef_ref, ddbv_ref, dsig_ref, dy_ref, *, C):
+def _fwd_kernel(oef_ref, dbv_ref, y_ref, sig_ref, mask_ref, out_ref, *, C):
     oef = oef_ref[0]
     dbv = dbv_ref[0]
     mask = mask_ref[0]
-    ct = ct_ref[0] * mask          # row output was masked
+    T = len(C["taus"])
+    ys = [y_ref[0, t] for t in range(T)]
+    sigs = [sig_ref[0, t] for t in range(T)]
+    out_ref[0] = _nll_row(oef, dbv, ys, sigs, mask, C) * mask
+
+
+def _nll_row_grads(oef, dbv, ys, sigs, mask, C):
+    """Closed-form per-voxel gradients of ``_nll_row`` for one draw:
+    (doef, ddbv, dsig_list, dy_list), NOT cotangent-scaled. Shared by
+    the decode+NLL backward and the fused ELBO backward."""
     T = len(C["taus"])
     taus, u, wg, k = C["taus"], C["u"], C["wg"], C["k"]
 
@@ -201,13 +209,12 @@ def _bwd_kernel(oef_ref, dbv_ref, y_ref, sig_ref, mask_ref, ct_ref,
             dpred_doef.append((1.0 - w) * dt_doef)
             dpred_ddbv.append((1.0 - w) * dt_ddbv - tissues[t])
 
-    ys = [y_ref[0, t] for t in range(T)]
     t_ref = _refs(ys, C) + _EPS
     p_ref = _refs(preds, C) + _EPS
 
     # e_t = dnll/dq_t and c_t = dnll/dyhat_t (through the optional log),
     # plus sigma grads
-    es, cs, yhs = [], [], []
+    es, cs, yhs, dsigs = [], [], [], []
     for t in range(T):
         yh_lin = ys[t] / t_ref
         q_lin = preds[t] / p_ref
@@ -217,7 +224,7 @@ def _bwd_kernel(oef_ref, dbv_ref, y_ref, sig_ref, mask_ref, ct_ref,
         else:
             yh = yh_lin
             z = q_lin
-        _, d_r, d_sig = _nll_terms(yh - z, sig_ref[0, t], C)
+        _, d_r, d_sig = _nll_terms(yh - z, sigs[t], C)
         e = -d_r
         c = d_r
         if C["log_data"]:
@@ -229,7 +236,7 @@ def _bwd_kernel(oef_ref, dbv_ref, y_ref, sig_ref, mask_ref, ct_ref,
         es.append(e)
         cs.append(c)
         yhs.append(yh_lin)
-        dsig_ref[0, t] = ct * d_sig
+        dsigs.append(d_sig)
 
     # dnll/dpred_k = e_k / P - (sum_t e_t q_t) * w_k / P, w_k = dP/dpred_k
     # dnll/dy_k    = c_k / Tref - (sum_t c_t yhat_t) * w_k / Tref  (same
@@ -241,6 +248,7 @@ def _bwd_kernel(oef_ref, dbv_ref, y_ref, sig_ref, mask_ref, ct_ref,
         sum_cy = sum_cy + cs[t] * yhs[t]
     doef = jnp.zeros_like(oef)
     ddbv = jnp.zeros_like(oef)
+    dys = []
     se = C["se"]
     window = range(se - 1, se + 2) if C["multi"] else (se,)
     wk = 1.0 / 3.0 if C["multi"] else 1.0
@@ -252,7 +260,23 @@ def _bwd_kernel(oef_ref, dbv_ref, y_ref, sig_ref, mask_ref, ct_ref,
             dnll_dy = dnll_dy - sum_cy * (wk / t_ref)
         doef = doef + dnll_dpred * dpred_doef[t]
         ddbv = ddbv + dnll_dpred * dpred_ddbv[t]
-        dy_ref[0, t] = ct * dnll_dy
+        dys.append(dnll_dy)
+    return doef, ddbv, dsigs, dys
+
+
+def _bwd_kernel(oef_ref, dbv_ref, y_ref, sig_ref, mask_ref, ct_ref,
+                doef_ref, ddbv_ref, dsig_ref, dy_ref, *, C):
+    oef = oef_ref[0]
+    dbv = dbv_ref[0]
+    mask = mask_ref[0]
+    ct = ct_ref[0] * mask          # row output was masked
+    T = len(C["taus"])
+    ys = [y_ref[0, t] for t in range(T)]
+    sigs = [sig_ref[0, t] for t in range(T)]
+    doef, ddbv, dsigs, dys = _nll_row_grads(oef, dbv, ys, sigs, mask, C)
+    for t in range(T):
+        dsig_ref[0, t] = ct * dsigs[t]
+        dy_ref[0, t] = ct * dys[t]
     doef_ref[0] = ct * doef
     ddbv_ref[0] = ct * ddbv
 

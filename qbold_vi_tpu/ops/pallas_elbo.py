@@ -1,0 +1,433 @@
+"""Fused Pallas ELBO kernel: posterior sampling + physics decode + NLL
++ sampled KL in ONE VMEM pass per voxel block (SURVEY.md §7.8's stated
+end state; the reference hot loop it replaces is model.py:239-286 +
+592-610 driven from train.py:376).
+
+Round-2 built the middle of this (ops/pallas_decode.py: decode + NLL
+with an analytic recompute-VJP) but left three seams in XLA, together
+~10 ms of the 26 ms published fine-tune step (benchmarks/RESULTS.md):
+
+* the S posterior draws ran as jax.random.normal over the voxel batch;
+* images/sigma/mask were S-fold broadcast through HBM
+  ((S*N, T) reshape copies, train/steps.py);
+* the 70-sample MC KL was a separate fori_loop pass whose every
+  iteration re-read the q/prior maps from HBM (~0.5 GB of traffic at
+  the published 38x25x25x8 workload).
+
+Here ONE kernel per (8 x 256)-voxel tile reads the raw posterior map q
+(5 channels), the prior map p (5), the tau-series y and sigma (T each)
+and the mask ONCE, then with everything resident in VMEM/registers:
+
+* draws the S_nll posterior samples (on-chip TPU PRNG + Box-Muller,
+  shared with ops/pallas_summarize.py -- or host-injected normals for
+  bit-exact gating against the jnp path), forward-transforms, evaluates
+  the full-SDR tau-series and accumulates the masked reconstruction
+  NLL row (pallas_decode._nll_row);
+* runs the S_kl-sample reduced KL loop (the algebra of
+  dist/logit_mvn.py::mvg_kl_samples: Jacobians/normalisers cancel,
+  leaving two squared whitened residuals per draw) in-register;
+* the backward pass RECOMPUTES every draw (PRNG replay from the same
+  seed / the same injected normals) and emits closed-form gradients
+  w.r.t. the raw q map, the prior map, sigma and y -- no stored
+  residuals beyond the packed inputs.
+
+HBM traffic per step is exactly: read (q, p, y, sigma, mask), write
+two rows -- independent of S_nll and S_kl.
+
+Gating: ``noise='host'`` makes the kernel bit-compatible with the jnp
+path (same jax.random normals), so value AND all gradients are gated
+exactly in interpreter mode (tests/test_pallas_elbo.py); the on-chip
+PRNG path is gated statistically and end-to-end.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ModelConfig, ScanParams
+from .pallas_decode import (_SUB, _consts, _nll_row, _nll_row_grads,
+                            _pack_rows, _pack_taus, fused_available)
+from .pallas_summarize import _box_muller
+
+__all__ = ["make_fused_elbo", "fused_elbo_available"]
+
+_LANES = 256
+_KL_BOUND = math.log((1.0 - 1e-6) / 1e-6)
+_EXP_M2 = math.exp(-2.0)
+
+
+def fused_elbo_available(cfg: ModelConfig, scan: ScanParams,
+                         full_model: bool, use_blood: bool) -> bool:
+    """The ELBO kernel covers the decode+NLL kernel's configuration
+    space (full SDR model, heteroscedastic noise, interior spin-echo
+    window) restricted to the MVG posterior, whose KL is the sampled
+    one (reference model.py:658-665; the published optimal.yaml runs
+    use_mvg=True). Diagonal posteriors keep the decode+NLL kernel +
+    the cheap analytic KL."""
+    return fused_available(cfg, scan, full_model, use_blood) and cfg.use_mvg
+
+
+def _elbo_consts(cfg: ModelConfig, scan: ScanParams, use_blood: bool) -> dict:
+    C = dict(_consts(cfg, scan, use_blood))
+    C.update(oef_range=float(cfg.oef_range), min_oef=float(cfg.min_oef),
+             dbv_range=float(cfg.dbv_range), min_dbv=float(cfg.min_dbv))
+    return C
+
+
+def _unpack_q(ref):
+    """Raw (5, 8, L) head tile -> squashed pieces + tanh chain factors
+    (dist/logit_mvn.py transform_std / transform_offdiag)."""
+    mu0 = ref[0, 0]
+    t1 = jnp.tanh(ref[0, 1])
+    ls0 = t1 * 3.0 - 1.0
+    mu1 = ref[0, 2]
+    t3 = jnp.tanh(ref[0, 3])
+    ls1 = t3 * 3.0 - 1.0
+    t4 = jnp.tanh(ref[0, 4])
+    od = t4 * _EXP_M2
+    chains = (3.0 * (1.0 - t1 * t1), 3.0 * (1.0 - t3 * t3),
+              _EXP_M2 * (1.0 - t4 * t4))
+    return (mu0, ls0, mu1, ls1, od), chains
+
+
+def _whiten_tiles(l0, l1, mu0, ls0, mu1, ls1, od):
+    """(r0, w0, w1, itl, ibr, ibl) of the Cholesky whitening (mirrors
+    dist/logit_mvn.py::_whiten on kernel tiles)."""
+    itl = jnp.exp(-ls0)
+    ibr = jnp.exp(-ls1)
+    ibl = -jnp.exp(-ls0 - ls1) * od
+    r0 = l0 - mu0
+    w0 = r0 * itl
+    w1 = (l1 - mu1) * ibr + r0 * ibl
+    return r0, w0, w1, itl, ibr, ibl
+
+
+def _elbo_fwd_kernel(*refs, C, s_nll, s_kl, host_noise):
+    if host_noise:
+        (q_ref, p_ref, y_ref, sig_ref, mask_ref, zn_ref, zk_ref,
+         nll_ref, kl_ref) = refs
+    else:
+        (seed_ref, q_ref, p_ref, y_ref, sig_ref, mask_ref,
+         nll_ref, kl_ref) = refs
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * jnp.int32(7919))
+
+    (q_mu0, q_ls0, q_mu1, q_ls1, q_od), _ = _unpack_q(q_ref)
+    (p_mu0, p_ls0, p_mu1, p_ls1, p_od), _ = _unpack_q(p_ref)
+    q_std0 = jnp.exp(q_ls0)
+    q_std1 = jnp.exp(q_ls1)
+    mask = mask_ref[0]
+    T = len(C["taus"])
+    ys = [y_ref[0, t] for t in range(T)]
+    sigs = [sig_ref[0, t] for t in range(T)]
+
+    # ---- reconstruction NLL over S_nll posterior draws -------------------
+    nll_acc = jnp.zeros_like(q_mu0)
+    for s in range(s_nll):
+        if host_noise:
+            z0, z1 = zn_ref[0, 2 * s], zn_ref[0, 2 * s + 1]
+        else:
+            z0, z1 = _box_muller(q_mu0.shape)
+        l0 = q_mu0 + z0 * q_std0
+        l1 = q_mu1 + z0 * q_od + z1 * q_std1
+        oef = jax.nn.sigmoid(l0) * C["oef_range"] + C["min_oef"]
+        dbv = jax.nn.sigmoid(l1) * C["dbv_range"] + C["min_dbv"]
+        nll_acc = nll_acc + _nll_row(oef, dbv, ys, sigs, mask, C)
+
+    # ---- sampled KL over S_kl draws (reduced form, clip on the logit
+    # draw -- dist/logit_mvn.py::_mvg_kl_streamed) ------------------------
+    def kl_term(z0, z1):
+        l0 = jnp.clip(q_mu0 + z0 * q_std0, -_KL_BOUND, _KL_BOUND)
+        l1 = jnp.clip(q_mu1 + z0 * q_od + z1 * q_std1,
+                      -_KL_BOUND, _KL_BOUND)
+        _, wq0, wq1, *_ = _whiten_tiles(l0, l1, q_mu0, q_ls0, q_mu1,
+                                        q_ls1, q_od)
+        _, wp0, wp1, *_ = _whiten_tiles(l0, l1, p_mu0, p_ls0, p_mu1,
+                                        p_ls1, p_od)
+        return 0.5 * ((wp0 * wp0 + wp1 * wp1) - (wq0 * wq0 + wq1 * wq1))
+
+    if host_noise:
+        kl_acc = jnp.zeros_like(q_mu0)
+        for s in range(s_kl):
+            kl_acc = kl_acc + kl_term(zk_ref[0, 2 * s], zk_ref[0, 2 * s + 1])
+    else:
+        def body(_, acc):
+            z0, z1 = _box_muller(q_mu0.shape)
+            return acc + kl_term(z0, z1)
+
+        kl_acc = jax.lax.fori_loop(0, s_kl, body, jnp.zeros_like(q_mu0))
+
+    kl = kl_acc * (1.0 / float(s_kl)) + ((p_ls0 + p_ls1)
+                                         - (q_ls0 + q_ls1))
+    nll_ref[0] = nll_acc * mask
+    kl_ref[0] = jnp.where(mask > 0, kl, 0.0)
+
+
+def _elbo_bwd_kernel(*refs, C, s_nll, s_kl, host_noise):
+    if host_noise:
+        (q_ref, p_ref, y_ref, sig_ref, mask_ref, zn_ref, zk_ref,
+         ctn_ref, ctk_ref, dq_ref, dp_ref, dsig_ref, dy_ref) = refs
+    else:
+        (seed_ref, q_ref, p_ref, y_ref, sig_ref, mask_ref,
+         ctn_ref, ctk_ref, dq_ref, dp_ref, dsig_ref, dy_ref) = refs
+        # PRNG REPLAY: same seed expression and same draw ORDER as the
+        # forward kernel (S_nll NLL pairs, then S_kl KL pairs) -> the
+        # recomputed samples are bit-identical.
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * jnp.int32(7919))
+
+    (q_mu0, q_ls0, q_mu1, q_ls1, q_od), (qc1, qc3, qc4) = _unpack_q(q_ref)
+    (p_mu0, p_ls0, p_mu1, p_ls1, p_od), (pc1, pc3, pc4) = _unpack_q(p_ref)
+    q_std0 = jnp.exp(q_ls0)
+    q_std1 = jnp.exp(q_ls1)
+    mask = mask_ref[0]
+    ct_n = ctn_ref[0] * mask                      # nll row was masked
+    ct_k = ctk_ref[0] * jnp.where(mask > 0, 1.0, 0.0)
+    T = len(C["taus"])
+    ys = [y_ref[0, t] for t in range(T)]
+    sigs = [sig_ref[0, t] for t in range(T)]
+
+    zero = jnp.zeros_like(q_mu0)
+
+    # ---- NLL side: pathwise grads through each draw ----------------------
+    g_mu0 = g_ls0 = g_mu1 = g_ls1 = g_od = zero
+    dsig_acc = [zero] * T
+    dy_acc = [zero] * T
+    for s in range(s_nll):
+        if host_noise:
+            z0, z1 = zn_ref[0, 2 * s], zn_ref[0, 2 * s + 1]
+        else:
+            z0, z1 = _box_muller(q_mu0.shape)
+        l0 = q_mu0 + z0 * q_std0
+        l1 = q_mu1 + z0 * q_od + z1 * q_std1
+        s0 = jax.nn.sigmoid(l0)
+        s1 = jax.nn.sigmoid(l1)
+        oef = s0 * C["oef_range"] + C["min_oef"]
+        dbv = s1 * C["dbv_range"] + C["min_dbv"]
+        doef, ddbv, dsigs, dys = _nll_row_grads(oef, dbv, ys, sigs, mask, C)
+        dl0 = doef * (C["oef_range"] * s0 * (1.0 - s0))
+        dl1 = ddbv * (C["dbv_range"] * s1 * (1.0 - s1))
+        g_mu0 = g_mu0 + dl0
+        g_ls0 = g_ls0 + dl0 * z0 * q_std0
+        g_mu1 = g_mu1 + dl1
+        g_od = g_od + dl1 * z0
+        g_ls1 = g_ls1 + dl1 * z1 * q_std1
+        for t in range(T):
+            dsig_acc[t] = dsig_acc[t] + dsigs[t]
+            dy_acc[t] = dy_acc[t] + dys[t]
+
+    # ---- KL side: closed-form per-draw grads (the algebra of
+    # dist/logit_mvn.py::_mvg_kl_streamed_bwd; clip is straight-through,
+    # q's own params stop-gradiented inside swr_q) ------------------------
+    def kl_grads(z0, z1, acc):
+        (k_qm0, k_qls0, k_qm1, k_qls1, k_qod,
+         k_pm0, k_pls0, k_pm1, k_pls1, k_pod) = acc
+        l0 = jnp.clip(q_mu0 + z0 * q_std0, -_KL_BOUND, _KL_BOUND)
+        l1 = jnp.clip(q_mu1 + z0 * q_od + z1 * q_std1,
+                      -_KL_BOUND, _KL_BOUND)
+        rp0, wp0, wp1, p_itl, p_ibr, p_ibl = _whiten_tiles(
+            l0, l1, p_mu0, p_ls0, p_mu1, p_ls1, p_od)
+        _, wq0, wq1, q_itl, q_ibr, q_ibl = _whiten_tiles(
+            l0, l1, q_mu0, q_ls0, q_mu1, q_ls1, q_od)
+        dp_l0 = wp0 * p_itl + wp1 * p_ibl
+        dp_l1 = wp1 * p_ibr
+        dl0 = dp_l0 - (wq0 * q_itl + wq1 * q_ibl)
+        dl1 = dp_l1 - wq1 * q_ibr
+        return (k_qm0 + dl0, k_qls0 + dl0 * z0 * q_std0, k_qm1 + dl1,
+                k_qls1 + dl1 * z1 * q_std1, k_qod + dl1 * z0,
+                k_pm0 - dp_l0,
+                k_pls0 - (wp0 * wp0 + wp1 * rp0 * p_ibl),
+                k_pm1 - dp_l1,
+                k_pls1 - wp1 * wp1,
+                k_pod - wp1 * rp0 * jnp.exp(-p_ls0 - p_ls1))
+
+    acc0 = (zero,) * 10
+    if host_noise:
+        acc = acc0
+        for s in range(s_kl):
+            acc = kl_grads(zk_ref[0, 2 * s], zk_ref[0, 2 * s + 1], acc)
+    else:
+        def body(_, acc):
+            z0, z1 = _box_muller(q_mu0.shape)
+            return kl_grads(z0, z1, acc)
+
+        acc = jax.lax.fori_loop(0, s_kl, body, acc0)
+
+    inv_n = 1.0 / float(s_kl)
+    (k_qm0, k_qls0, k_qm1, k_qls1, k_qod,
+     k_pm0, k_pls0, k_pm1, k_pls1, k_pod) = [a * inv_n for a in acc]
+    # det term: + (p_ls0 + p_ls1); the q logdet is stop-gradiented
+    # (reference model.py:596 semantics), so no q-side det contribution.
+    k_pls0 = k_pls0 + 1.0
+    k_pls1 = k_pls1 + 1.0
+
+    dq_ref[0, 0] = ct_n * g_mu0 + ct_k * k_qm0
+    dq_ref[0, 1] = (ct_n * g_ls0 + ct_k * k_qls0) * qc1
+    dq_ref[0, 2] = ct_n * g_mu1 + ct_k * k_qm1
+    dq_ref[0, 3] = (ct_n * g_ls1 + ct_k * k_qls1) * qc3
+    dq_ref[0, 4] = (ct_n * g_od + ct_k * k_qod) * qc4
+    dp_ref[0, 0] = ct_k * k_pm0
+    dp_ref[0, 1] = ct_k * k_pls0 * pc1
+    dp_ref[0, 2] = ct_k * k_pm1
+    dp_ref[0, 3] = ct_k * k_pls1 * pc3
+    dp_ref[0, 4] = ct_k * k_pod * pc4
+    for t in range(T):
+        dsig_ref[0, t] = ct_n * dsig_acc[t]
+        dy_ref[0, t] = ct_n * dy_acc[t]
+
+
+def _pack_noise(z, n_pad, lanes):
+    """(S, N, 2) normals -> (NB, 2S, 8, L); column 2s+c is z[s, :, c]
+    (the jax.random.normal(key, shape + (2,)) layout of LogitMVN.sample,
+    so host-noise runs are bit-compatible with the jnp path)."""
+    s, n, _ = z.shape
+    return _pack_taus(z.transpose(1, 0, 2).reshape(n, 2 * s), n_pad, lanes)
+
+
+@functools.lru_cache(maxsize=32)
+def make_fused_elbo(cfg: ModelConfig, scan: ScanParams,
+                    use_blood: bool = True, s_nll: int = 1, s_kl: int = 70,
+                    noise: str = "device", interpret: bool = False,
+                    lanes: int = _LANES):
+    """Build the fused sample+decode+NLL+KL op for a configuration.
+
+    Returns f(q, p, y, sigma, mask, seed | z_nll, z_kl) ->
+    (nll_rows (N,), kl_rows (N,)) with a closed-form custom VJP w.r.t.
+    (q, p, y, sigma). Inputs flat: q/p (N, 5) raw head/prior maps,
+    y/sigma (N, T), mask (N,). ``noise='device'`` draws on-chip (seed:
+    int32 scalar, PRNG replay in the backward); ``noise='host'`` takes
+    z_nll (s_nll, N, 2) and z_kl (s_kl, N, 2) standard normals and is
+    then bit-compatible with the jnp path (exactness gates,
+    tests/test_pallas_elbo.py).
+
+    Loss assembly (matches train/steps.py::_finetune_terms):
+        nll = sum(nll_rows) / (s_nll * sum(mask))
+        kl  = sum(kl_rows) / sum(mask)
+    """
+    if noise not in ("device", "host"):
+        raise ValueError(f"noise must be device|host, got {noise!r}")
+    C = _elbo_consts(cfg, scan, use_blood)
+    T = len(C["taus"])
+    host = noise == "host"
+    interp = pltpu.InterpretParams() if interpret else False
+
+    def row_spec():
+        return pl.BlockSpec((1, _SUB, lanes), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def chan_spec(c):
+        return pl.BlockSpec((1, c, _SUB, lanes), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def _packed(q, p, y, sigma, mask, *zs):
+        n = mask.shape[0]
+        blk = _SUB * lanes
+        n_pad = ((n + blk - 1) // blk) * blk
+        packed = (_pack_taus(q, n_pad, lanes), _pack_taus(p, n_pad, lanes),
+                  _pack_taus(y, n_pad, lanes),
+                  _pack_taus(sigma, n_pad, lanes),
+                  _pack_rows(mask, n_pad, lanes))
+        if host:
+            packed += tuple(_pack_noise(z, n_pad, lanes) for z in zs)
+        return n, n_pad, packed
+
+    def _seed_arg(seed):
+        return (jnp.asarray(jnp.ravel(seed)[:1], jnp.int32),)
+
+    def _run_fwd(n, n_pad, packed, seed):
+        nb = n_pad // (_SUB * lanes)
+        in_specs = [chan_spec(5), chan_spec(5), chan_spec(T), chan_spec(T),
+                    row_spec()]
+        args = packed
+        if host:
+            in_specs += [chan_spec(2 * s_nll), chan_spec(2 * s_kl)]
+        else:
+            in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+            args = _seed_arg(seed) + packed
+        nll, kl = pl.pallas_call(
+            partial(_elbo_fwd_kernel, C=C, s_nll=s_nll, s_kl=s_kl,
+                    host_noise=host),
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=[row_spec(), row_spec()],
+            out_shape=[jax.ShapeDtypeStruct((nb, _SUB, lanes), jnp.float32)] * 2,
+            interpret=interp,
+        )(*args)
+        return nll.reshape(n_pad)[:n], kl.reshape(n_pad)[:n]
+
+    def _run_bwd(n, n_pad, packed, seed, ct_n, ct_k):
+        nb = n_pad // (_SUB * lanes)
+        in_specs = [chan_spec(5), chan_spec(5), chan_spec(T), chan_spec(T),
+                    row_spec()]
+        args = packed
+        if host:
+            in_specs += [chan_spec(2 * s_nll), chan_spec(2 * s_kl)]
+        else:
+            in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+            args = _seed_arg(seed) + packed
+        in_specs += [row_spec(), row_spec()]
+        args = args + (_pack_rows(ct_n, n_pad, lanes),
+                       _pack_rows(ct_k, n_pad, lanes))
+        dq, dp, dsig, dy = pl.pallas_call(
+            partial(_elbo_bwd_kernel, C=C, s_nll=s_nll, s_kl=s_kl,
+                    host_noise=host),
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=[chan_spec(5), chan_spec(5), chan_spec(T),
+                       chan_spec(T)],
+            out_shape=[
+                jax.ShapeDtypeStruct((nb, 5, _SUB, lanes), jnp.float32),
+                jax.ShapeDtypeStruct((nb, 5, _SUB, lanes), jnp.float32),
+                jax.ShapeDtypeStruct((nb, T, _SUB, lanes), jnp.float32),
+                jax.ShapeDtypeStruct((nb, T, _SUB, lanes), jnp.float32),
+            ],
+            interpret=interp,
+        )(*args)
+
+        def unpack(x, c):
+            return x.transpose(0, 2, 3, 1).reshape(n_pad, c)[:n]
+
+        return (unpack(dq, 5), unpack(dp, 5), unpack(dy, T),
+                unpack(dsig, T))
+
+    if host:
+        @jax.custom_vjp
+        def rows(q, p, y, sigma, mask, z_nll, z_kl):
+            n, n_pad, packed = _packed(q, p, y, sigma, mask, z_nll, z_kl)
+            return _run_fwd(n, n_pad, packed, None)
+
+        def rows_fwd(q, p, y, sigma, mask, z_nll, z_kl):
+            n, n_pad, packed = _packed(q, p, y, sigma, mask, z_nll, z_kl)
+            return _run_fwd(n, n_pad, packed, None), (n, n_pad, packed)
+
+        def rows_bwd(res, cts):
+            n, n_pad, packed = res
+            dq, dp, dy, dsig = _run_bwd(n, n_pad, packed, None, *cts)
+            zeros = jnp.zeros((n,), jnp.float32)
+            return (dq, dp, dy, dsig, zeros,
+                    jnp.zeros((s_nll, n, 2), jnp.float32),
+                    jnp.zeros((s_kl, n, 2), jnp.float32))
+    else:
+        @jax.custom_vjp
+        def rows(q, p, y, sigma, mask, seed):
+            n, n_pad, packed = _packed(q, p, y, sigma, mask)
+            return _run_fwd(n, n_pad, packed, seed)
+
+        def rows_fwd(q, p, y, sigma, mask, seed):
+            n, n_pad, packed = _packed(q, p, y, sigma, mask)
+            return _run_fwd(n, n_pad, packed, seed), (n, n_pad, packed, seed)
+
+        def rows_bwd(res, cts):
+            n, n_pad, packed, seed = res
+            dq, dp, dy, dsig = _run_bwd(n, n_pad, packed, seed, *cts)
+            return (dq, dp, dy, dsig, jnp.zeros((n,), jnp.float32),
+                    np.zeros(jnp.shape(seed), dtype=jax.dtypes.float0))
+
+    rows.defvjp(rows_fwd, rows_bwd)
+    return rows

@@ -68,12 +68,14 @@ def inv_gamma_log_prob(x, alpha, beta):
 
 def synthetic_data_loss(key, dist: LogitMVN, cfg: ModelConfig, scan: ScanParams,
                         y_true, y_pred, *, use_r2p_loss: bool,
-                        inv_gamma_alpha: float, inv_gamma_beta: float):
+                        inv_gamma_alpha: float, inv_gamma_beta: float,
+                        return_mean: bool = True):
     """Pretraining loss on synthetic voxels (reference: model.py:449-514).
 
     y_true: (..., 3) physical [oef, dbv, r2p]; y_pred: (..., 4|5[+4]) raw
     head outputs (+4 exp'd hyperprior channels when cfg.infer_inv_gamma).
-    Returns a scalar mean loss.
+    Returns a scalar mean loss (``return_mean=False``: the flat (N,)
+    per-voxel rows, for weighted/sharded reductions).
     """
     if cfg.infer_inv_gamma:
         # The encoder appends 4 exp'd hyperprior channels (reference
@@ -100,7 +102,19 @@ def synthetic_data_loss(key, dist: LogitMVN, cfg: ModelConfig, scan: ScanParams,
         r2p_log_std = jnp.log(jnp.std(r2p, axis=0))
         loss = loss + dist.gaussian_nll(y_true[:, 2], r2p_mean, r2p_log_std)
 
-    if (inv_gamma_alpha * inv_gamma_beta > 0.0) or cfg.infer_inv_gamma:
+    # The inverse-gamma prior gate is a TRACE-TIME decision (reference
+    # model.py:492: `if inv_gamma_alpha > 0`). Traced alpha/beta (the
+    # population-vmapped sweep path, sweep.population_pretrain) cannot
+    # answer the comparison -- there the caller guarantees every trial
+    # in the batch has the prior ON, so traced hyperparams imply True.
+    if cfg.infer_inv_gamma:
+        ig_on = True
+    else:
+        try:
+            ig_on = bool(inv_gamma_alpha * inv_gamma_beta > 0.0)
+        except jax.errors.TracerBoolConversionError:
+            ig_on = True
+    if ig_on:
         _, oef_ls, _, dbv_ls, offd = dist.unpack(y_pred, cfg.use_mvg)
         if cfg.use_mvg:
             oef_var = jnp.exp(oef_ls) ** 2
@@ -121,7 +135,7 @@ def synthetic_data_loss(key, dist: LogitMVN, cfg: ModelConfig, scan: ScanParams,
                                                          inv_gamma_beta)
         loss = loss - prior_loss
 
-    return jnp.mean(loss)
+    return jnp.mean(loss) if return_mean else loss
 
 
 def fine_tune_nll(cfg: ModelConfig, se_idx: int, y_true, y_pred, sigma,

@@ -20,6 +20,7 @@ from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..config import QBoldConfig
@@ -58,18 +59,34 @@ def posterior_mse_metrics(key, tuner: FineTuner, q, y_true, no_samples: int = 20
     }
 
 
-def _pretrain_loss(params, key, batch, tuner: FineTuner, cfg: QBoldConfig):
+def _pretrain_loss(params, key, batch, tuner: FineTuner, cfg: QBoldConfig,
+                   live=None, axis_name=None):
+    """``live``/``axis_name``: pad-and-mask support for sharded streams
+    whose global batch does not divide the mesh -- ``live`` flags the
+    device's real volumes (dead slots weigh zero), and the mean is taken
+    over the psum'd live-voxel count so per-device losses SUM to the
+    exact global mean (callers then psum loss and grads)."""
     x, y = batch["x"], batch["y"]
     key, k_drop = jax.random.split(key)
     out1, _, _ = tuner.encode(
         params, x,
         dropout_key=k_drop if cfg.model.dropout_rate > 0.0 else None)
-    return losses.synthetic_data_loss(
+    rows_or_mean = losses.synthetic_data_loss(
         key, tuner.dist, cfg.model, cfg.scan, y, out1,
         use_r2p_loss=cfg.train.use_r2p_loss,
         inv_gamma_alpha=cfg.train.inv_gamma_alpha,
         inv_gamma_beta=cfg.train.inv_gamma_beta,
+        return_mean=live is None,
     )
+    if live is None:
+        return rows_or_mean
+    b = x.shape[0]
+    n_per_vol = rows_or_mean.shape[0] // b
+    num = jnp.sum(jnp.sum(rows_or_mean.reshape(b, n_per_vol), axis=1) * live)
+    den = jnp.sum(live) * n_per_vol
+    if axis_name is not None:
+        den = jax.lax.psum(den, axis_name)
+    return num / den
 
 
 def make_pretrain_step(tuner: FineTuner, cfg: QBoldConfig,
@@ -160,19 +177,16 @@ def make_finetune_epoch_on_device(tuner: FineTuner, cfg: QBoldConfig,
     return jax.jit(epoch, donate_argnums=_finetune_donate(tuner, cfg))
 
 
-def _warn_uneven_batch(what: str, requested: int, n_dev: int,
-                       b_local: int) -> None:
-    """The sharded paths use a static per-device batch; when the
-    configured global batch does not divide the mesh the EFFECTIVE
-    global batch changes (e.g. the reference-parity 38 becomes 4*8=32 on
-    8 devices) -- warn rather than silently deviate from the published
-    configuration."""
-    if b_local * n_dev != requested:
-        import warnings
-        warnings.warn(
-            f"{what}: configured batch {requested} does not divide the "
-            f"{n_dev}-device mesh; using {b_local}/device = effective "
-            f"global batch {b_local * n_dev}", stacklevel=3)
+def _device_crop_counts(b_global: int, n_dev: int):
+    """(b_local, counts): every device samples ``b_local = ceil(b/n)``
+    crop SLOTS (static shape, same SPMD program) but only its first
+    ``counts[d] = b//n + (d < b%n)`` are live -- counts sum to exactly
+    ``b_global``, so the published global batch (38, reference
+    train.py:68) is preserved on ANY mesh size via pad-and-mask instead
+    of being silently rounded to a multiple of the mesh."""
+    b_local = -(-b_global // n_dev)
+    return b_local, (b_global // n_dev, b_global % n_dev)
+
 
 def make_finetune_epoch_sharded(tuner: FineTuner, cfg: QBoldConfig,
                                 optimizer: optax.GradientTransformation,
@@ -183,16 +197,17 @@ def make_finetune_epoch_sharded(tuner: FineTuner, cfg: QBoldConfig,
     Everything (params, optimiser state, the volume stack, priors) is
     replicated -- the stack is a few MB and the model ~10k params, so
     replication is free and the only collective needed is the gradient
-    reduction. Each device folds its mesh position into the step key,
-    samples its own ``b_local = ft_batch_size / n_devices`` crops locally
-    (sample_crop_batch), and computes its loss/grads; grads and metrics
-    are ``pmean``-reduced over ICI, every device applies the identical
-    update, and params stay replicated bit-exactly. Semantics: the global
-    step is a ``b_local * n_devices``-crop batch whose gradient weights
-    each device's masked mean equally (exactly the single-device gradient
-    when per-device mask counts agree; the standard DP estimator
-    otherwise). Replaces the host-stacked mesh pipeline the round-1
-    trainer fell back to (~0.8 GB/epoch at published sizes).
+    reduction. Each device folds its mesh position into the step key and
+    samples ``ceil(ft_batch_size / n_devices)`` crop slots locally
+    (sample_crop_batch), of which only its _device_crop_counts share is
+    live (dead slots get a zeroed mask) -- the global step is therefore
+    EXACTLY the published ft_batch_size crops on any mesh size. Each
+    device's loss is rescaled to its mask share of the global masked
+    mean (_finetune_terms axis_name), grads and metrics are
+    ``psum``-reduced over ICI (summing exact global gradients), every
+    device applies the identical update, and params stay replicated
+    bit-exactly. Replaces the round-2 behaviour that silently changed
+    batch 38 into 4*8=32 on 8 devices.
 
     Returns jitted (state, key, volumes, priors) -> (state, metrics),
     with state/volumes/priors device_put replicated over ``mesh``.
@@ -203,28 +218,36 @@ def make_finetune_epoch_sharded(tuner: FineTuner, cfg: QBoldConfig,
     from ..parallel.mesh import DATA_AXIS
 
     n_dev = mesh.devices.size
-    b_local = max(1, cfg.train.ft_batch_size // n_dev)
-    _warn_uneven_batch("finetune epoch (sharded)", cfg.train.ft_batch_size,
-                       n_dev, b_local)
+    b_local, (c_base, c_rem) = _device_crop_counts(
+        cfg.train.ft_batch_size, n_dev)
 
     def loss_fn(params, key, batch):
-        return _finetune_terms(params, key, batch, tuner, cfg)
+        return _finetune_terms(params, key, batch, tuner, cfg,
+                               axis_name=DATA_AXIS)
 
     def local_epoch(state: TrainState, key, volumes, priors):
         # Per-device stream: fold the mesh position into the epoch key so
         # devices draw disjoint crops (and disjoint ELBO sample noise).
-        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        d = jax.lax.axis_index(DATA_AXIS)
+        live = (jnp.arange(b_local) < c_base + (d < c_rem)).astype(
+            jnp.float32)
+        key = jax.random.fold_in(key, d)
         keys = jax.random.split(key, n_steps)
 
         def body(state, k):
             k_crop, k_step = jax.random.split(k)
             batch = sample_crop_batch(k_crop, volumes, priors, b_local,
                                       cfg.train.crop_size)
+            batch = dict(batch,
+                         mask=batch["mask"] * live[:, None, None, None, None])
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, k_step, batch)
-            grads = jax.lax.pmean(grads, DATA_AXIS)
+            grads = jax.lax.psum(grads, DATA_AXIS)
+            # every aux entry is a global-sum contribution after the
+            # axis_name rescaling (sigma carries a 1/n_dev factor), so
+            # one psum recovers the exact global metrics
             aux["loss"] = loss
-            aux = jax.lax.pmean(aux, DATA_AXIS)
+            aux = jax.lax.psum(aux, DATA_AXIS)
             updates, opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
             params = optax.apply_updates(state.params, updates)
@@ -274,16 +297,22 @@ def stream_synthetic_batch(key, cfg: QBoldConfig, batch_size: int,
 
 def _stream_step_body(state: TrainState, key, tuner: FineTuner,
                       cfg: QBoldConfig, optimizer, batch_size: int,
-                      vol_shape, axis_name=None):
+                      vol_shape, axis_name=None, live=None):
     """Shared body of the streaming pretrain step: draw a fresh on-device
-    synthetic batch, grad, (optionally pmean over a mesh axis), update."""
+    synthetic batch, grad, (optionally psum-reduce over a mesh axis),
+    update. ``live`` marks the device's real volumes when the global
+    batch does not divide the mesh (pad-and-mask; counts across devices
+    sum to the exact configured batch)."""
     k_batch, k_loss = jax.random.split(key)
     batch = stream_synthetic_batch(k_batch, cfg, batch_size, vol_shape)
     loss, grads = jax.value_and_grad(_pretrain_loss)(
-        state.params, k_loss, batch, tuner, cfg)
+        state.params, k_loss, batch, tuner, cfg, live, axis_name)
     if axis_name is not None:
-        grads = jax.lax.pmean(grads, axis_name)
-        loss = jax.lax.pmean(loss, axis_name)
+        # per-device losses are global-sum contributions (live-weighted
+        # over the psum'd voxel count) -> psum recovers the exact global
+        # mean and its gradient
+        grads = jax.lax.psum(grads, axis_name)
+        loss = jax.lax.psum(loss, axis_name)
     updates, opt_state = optimizer.update(grads, state.opt_state,
                                           state.params)
     params = optax.apply_updates(state.params, updates)
@@ -337,23 +366,26 @@ def make_pretrain_stream_epoch(tuner: FineTuner, cfg: QBoldConfig,
     """
     b_local = cfg.train.pt_batch_size
     axis_name = None
+    c_base = c_rem = 0
     if mesh is not None:
         from ..parallel.mesh import DATA_AXIS
         axis_name = DATA_AXIS
-        b_local = max(1, cfg.train.pt_batch_size // mesh.devices.size)
-        _warn_uneven_batch("pretrain stream epoch (sharded)",
-                           cfg.train.pt_batch_size, mesh.devices.size,
-                           b_local)
+        b_local, (c_base, c_rem) = _device_crop_counts(
+            cfg.train.pt_batch_size, mesh.devices.size)
 
     def epoch(state: TrainState, key):
+        live = None
         if axis_name is not None:
-            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+            d = jax.lax.axis_index(axis_name)
+            live = (jnp.arange(b_local) < c_base + (d < c_rem)).astype(
+                jnp.float32)
+            key = jax.random.fold_in(key, d)
         keys = jax.random.split(key, n_steps)
 
         def body(state, k):
             return _stream_step_body(state, k, tuner, cfg, optimizer,
                                      b_local, vol_shape,
-                                     axis_name=axis_name)
+                                     axis_name=axis_name, live=live)
 
         return jax.lax.scan(body, state, keys)
 
@@ -392,14 +424,17 @@ def make_pretrain_stream_step_sharded(tuner: FineTuner, cfg: QBoldConfig,
     from ..parallel.mesh import DATA_AXIS
 
     n_dev = mesh.devices.size
-    b_local = max(1, cfg.train.pt_batch_size // n_dev)
-    _warn_uneven_batch("pretrain stream step (sharded)",
-                       cfg.train.pt_batch_size, n_dev, b_local)
+    b_local, (c_base, c_rem) = _device_crop_counts(
+        cfg.train.pt_batch_size, n_dev)
 
     def local_step(state: TrainState, key):
-        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        d = jax.lax.axis_index(DATA_AXIS)
+        live = (jnp.arange(b_local) < c_base + (d < c_rem)).astype(
+            jnp.float32)
+        key = jax.random.fold_in(key, d)
         return _stream_step_body(state, key, tuner, cfg, optimizer,
-                                 b_local, vol_shape, axis_name=DATA_AXIS)
+                                 b_local, vol_shape, axis_name=DATA_AXIS,
+                                 live=live)
 
     fn = shard_map(local_step, mesh=mesh, in_specs=(P(), P()),
                    out_specs=(P(), P()), check_vma=False)
@@ -459,15 +494,129 @@ def _fused_nll_fn(tuner: FineTuner, cfg: QBoldConfig):
         interpret=mode == "interpret")
 
 
+def _fused_elbo_fn(tuner: FineTuner, cfg: QBoldConfig, s_nll: int,
+                   s_kl: int):
+    """The fully fused Pallas ELBO op (sample + decode + NLL + KL,
+    ops/pallas_elbo.py) when enabled and applicable, as (fn, host_noise),
+    else None. Resolved at trace/build time like _fused_nll_fn.
+
+    'on'/'host'/'interpret'/'host-interpret' are FORCE semantics: an
+    uncovered configuration errors loudly rather than falling back."""
+    mode = str(cfg.train.fused_elbo).strip().lower()
+    mode = {"true": "on", "false": "off", "1": "on", "0": "off"}.get(mode,
+                                                                     mode)
+    if mode not in ("auto", "on", "off", "host", "interpret",
+                    "host-interpret"):
+        raise ValueError(
+            f"fused_elbo must be auto|on|off|host|interpret|host-interpret,"
+            f" got {cfg.train.fused_elbo!r}")
+    if mode == "off":
+        return None
+    if mode == "auto" and jax.default_backend() not in ("tpu", "axon"):
+        return None
+    from ..ops import pallas_elbo
+
+    if not pallas_elbo.fused_elbo_available(cfg.model, tuner.scan,
+                                            tuner.full_model,
+                                            tuner.use_blood):
+        if mode != "auto":
+            raise ValueError(
+                "fused_elbo was forced on but the configuration is not "
+                "covered by the kernel (needs the full SDR model, "
+                "heteroscedastic noise, an MVG posterior, and an interior "
+                "spin-echo window for multi-image normalisation)")
+        return None
+    host = mode in ("host", "host-interpret")
+    fn = pallas_elbo.make_fused_elbo(
+        cfg.model, tuner.scan, use_blood=tuner.use_blood,
+        s_nll=s_nll, s_kl=s_kl, noise="host" if host else "device",
+        interpret=mode in ("interpret", "host-interpret"))
+    return fn, host
+
+
 def _finetune_terms(params, key, batch, tuner: FineTuner, cfg: QBoldConfig,
                     no_samples: Optional[int] = None, kl_samples: int = 70,
-                    train: bool = True):
+                    train: bool = True, axis_name: Optional[str] = None):
     """Shared forward + the three loss terms (nll, kl, smoothness).
 
     ``train``: dropout active (the ELBO validation pass uses model.predict
-    semantics upstream, i.e. dropout off -- reference train.py:338)."""
+    semantics upstream, i.e. dropout off -- reference train.py:338).
+
+    ``axis_name``: inside shard_map, rescale every (masked-mean) term by
+    ``sum(mask_local) / psum(sum(mask))`` so that per-device totals SUM
+    to the exact global masked mean -- the mechanism behind exact
+    pad-and-mask data parallelism (a device's dead padding crops carry
+    zero mask and drop out of numerator and denominator alike). Callers
+    must then reduce loss/grads/aux with ``psum``, NOT ``pmean``.
+    NB: the diagonal-posterior population-prior hyperprior cost
+    (losses.kl_loss prior_cost, scaled by the LOCAL batch size) is the
+    one term this rescaling does not reproduce exactly under padding;
+    the published MVG configuration does not use it."""
     images, mask = batch["images"], batch["mask"]
     k_sample, k_kl = jax.random.split(key)
+
+    def _globalise(aux_and_total):
+        """Rescale local masked means into global-sum contributions."""
+        total, aux = aux_and_total
+        if axis_name is None:
+            return total, aux
+        m_local = jnp.sum(mask)
+        m_total = jax.lax.psum(m_local, axis_name)
+        scale = m_local / m_total
+        aux = dict(aux)
+        for k in ("nll", "kl", "smoothness"):
+            aux[k] = aux[k] * scale
+        # sigma is a plain (unmasked) monitoring mean: average it over
+        # devices instead of mask-weighting
+        n_dev = jax.lax.psum(jnp.ones(()), axis_name)
+        aux["sigma"] = aux["sigma"] / n_dev
+        return total * scale, aux
+
+    s = no_samples if no_samples is not None else cfg.model.no_samples
+    elbo = _fused_elbo_fn(tuner, cfg, s, kl_samples)
+    if elbo is not None:
+        # Fully fused path (SURVEY.md §7.8's end state): ONE Pallas op
+        # draws the posterior samples, decodes the physics, accumulates
+        # the NLL AND runs the S_kl-sample KL loop with q/prior resident
+        # in VMEM -- no S-fold HBM broadcasts, no separate KL pass
+        # (~10 ms of the round-2 26 ms step sat in exactly these seams,
+        # benchmarks/RESULTS.md).
+        fused_fn, host_noise = elbo
+        k_draw, k_drop = jax.random.split(k_sample)
+        _, q, sigma = tuner.encode(
+            params, images,
+            dropout_key=k_drop if (train and cfg.model.dropout_rate > 0.0)
+            else None)
+        prior = (tuner.prior_params(params, q)
+                 if cfg.model.use_population_prior else batch["priors"])
+        t = tuner.scan.n_taus
+        n = q.size // q.shape[-1]
+        qf = q.reshape(-1, 5)
+        pf = prior.reshape(-1, 5)
+        yf = images.reshape(-1, t)
+        sf = sigma.reshape(-1, t)
+        mf = mask.reshape(-1)
+        if host_noise:
+            # Same key-split structure as the jnp path (sample_many /
+            # mvg_kl_samples), so values and gradients are bit-compatible
+            # with fused_elbo='off' given the same step key.
+            z_nll = jax.vmap(lambda k: jax.random.normal(k, (n, 2)))(
+                jax.random.split(k_draw, s))
+            z_kl = jax.vmap(lambda k: jax.random.normal(k, (n, 2)))(
+                jax.random.split(k_kl, kl_samples))
+            nll_rows, kl_rows = fused_fn(qf, pf, yf, sf, mf, z_nll, z_kl)
+        else:
+            seed = jax.random.randint(k_draw, (), 0, np.int32(2**31 - 1))
+            nll_rows, kl_rows = fused_fn(qf, pf, yf, sf, mf, seed)
+        denom = jnp.sum(mf)
+        nll = jnp.sum(nll_rows) / (s * denom)
+        kl = jnp.sum(kl_rows) / denom
+        smooth = losses.smoothness_loss(tuner.dist, q, mask)
+        aux = {"nll": nll, "kl": kl, "smoothness": smooth,
+               "sigma": jnp.mean(sigma)}
+        total = (nll + kl * cfg.train.kl_weight
+                 + smooth * cfg.train.smoothness_weight)
+        return _globalise((total, aux))
 
     fused = _fused_nll_fn(tuner, cfg)
     if fused is not None:
@@ -515,16 +664,18 @@ def _finetune_terms(params, key, batch, tuner: FineTuner, cfg: QBoldConfig,
            "sigma": jnp.mean(sigma)}
     total = (nll + kl * cfg.train.kl_weight
              + smooth * cfg.train.smoothness_weight)
-    return total, aux
+    return _globalise((total, aux))
 
 
 
 def _finetune_donate(tuner: FineTuner, cfg: QBoldConfig) -> tuple:
-    """Donation interacts badly with the fused decode+NLL custom call:
-    input-output aliasing around the opaque Pallas op costs the compiled
-    step ~7 ms at the published workload (measured A/B on chip,
+    """Donation interacts badly with the fused Pallas custom calls:
+    input-output aliasing around the opaque op costs the compiled step
+    ~7 ms at the published workload (measured A/B on chip,
     benchmarks/RESULTS.md), while donating the ~0.4 MB params/opt-state
     saves nothing material -- so fused steps do not donate."""
+    if _fused_elbo_fn(tuner, cfg, cfg.model.no_samples, 70) is not None:
+        return ()
     return () if _fused_nll_fn(tuner, cfg) is not None else (0,)
 
 def make_finetune_step(tuner: FineTuner, cfg: QBoldConfig,

@@ -50,7 +50,7 @@ from .steps import (TrainState, make_finetune_epoch_on_device,
                     make_pretrain_eval, make_pretrain_step,
                     make_pretrain_stream_epoch)
 
-__all__ = ["WeightStatus", "Trainer"]
+__all__ = ["WeightStatus", "Trainer", "CheckpointMismatchError"]
 
 
 class WeightStatus(enum.Enum):
@@ -64,7 +64,34 @@ class NaNLossError(RuntimeError):
     pass
 
 
-def _save_state(path: str, state: TrainState) -> None:
+class CheckpointMismatchError(RuntimeError):
+    """Raised when a checkpoint's recorded schema / config fingerprint /
+    steps-per-epoch disagrees with the current configuration -- a clear
+    error instead of an opaque flax from_state_dict shape failure (or a
+    silent mis-restore when shapes happen to match)."""
+
+
+_CKPT_SCHEMA = 1
+
+
+def _config_fingerprint(cfg: QBoldConfig) -> np.uint64:
+    """Stable 64-bit fingerprint of everything that determines the
+    meaning/shape of the checkpointed pytrees: the model architecture
+    and the scan (tau grid -> channel counts) configs."""
+    import dataclasses
+    import hashlib
+    import json
+
+    blob = json.dumps({"model": dataclasses.asdict(cfg.model),
+                       "scan": dataclasses.asdict(cfg.scan)},
+                      sort_keys=True)
+    return np.uint64(int.from_bytes(
+        hashlib.sha256(blob.encode()).digest()[:8], "big"))
+
+
+def _save_state(path: str, state: TrainState,
+                cfg: Optional[QBoldConfig] = None,
+                steps_per_epoch: int = 0) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
         "params": state.params,
@@ -74,6 +101,14 @@ def _save_state(path: str, state: TrainState) -> None:
     }
     state_dict = serialization.to_state_dict(
         jax.tree_util.tree_map(np.asarray, payload))
+    # metadata rides OUTSIDE the state-dict template so old readers /
+    # the template restore below are unaffected
+    state_dict["__meta__"] = {
+        "schema": np.int32(_CKPT_SCHEMA),
+        "fingerprint": (_config_fingerprint(cfg) if cfg is not None
+                        else np.uint64(0)),
+        "steps_per_epoch": np.int32(steps_per_epoch),
+    }
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(state_dict))
 
@@ -134,12 +169,42 @@ class Trainer:
     def _init_params(self):
         n_taus = self.cfg.scan.n_taus
         sample = jnp.zeros((1, 4, 4, 2, n_taus), jnp.float32)
-        return self.tuner.init(self._next_key(), sample)
+        # ONE compiled program: eager flax init costs dozens of
+        # per-op roundtrips through the remote TPU tunnel (minutes of
+        # wall clock on resume paths that only need a template)
+        return jax.jit(self.tuner.init)(self._next_key(), sample)
 
-    def _load_state(self, path: str, swa: bool, optimizer) -> TrainState:
+    def _load_state(self, path: str, swa: bool, optimizer,
+                    expect_steps_per_epoch: Optional[int] = None
+                    ) -> TrainState:
         template = self._template_state(swa, optimizer)
         with open(path, "rb") as f:
             raw = serialization.msgpack_restore(f.read())
+        meta = raw.pop("__meta__", None)
+        if meta is not None:
+            if int(meta["schema"]) > _CKPT_SCHEMA:
+                raise CheckpointMismatchError(
+                    f"checkpoint {path} has schema {int(meta['schema'])}, "
+                    f"this build reads <= {_CKPT_SCHEMA} -- upgrade the "
+                    f"framework to restore it")
+            have = np.uint64(meta["fingerprint"])
+            want = _config_fingerprint(self.cfg)
+            if int(have) not in (0, int(want)):
+                raise CheckpointMismatchError(
+                    f"checkpoint {path} was trained with model/scan config "
+                    f"fingerprint {int(have):#018x}, the current config "
+                    f"fingerprints {int(want):#018x} -- the architecture "
+                    f"or tau protocol changed since it was written "
+                    f"(adjust the config, or retrain)")
+            saved_spe = int(meta["steps_per_epoch"])
+            if (expect_steps_per_epoch is not None and saved_spe > 0
+                    and saved_spe != expect_steps_per_epoch):
+                raise CheckpointMismatchError(
+                    f"mid-phase checkpoint {path} was written with "
+                    f"{saved_spe} steps/epoch but the config now says "
+                    f"{expect_steps_per_epoch} -- the resume position "
+                    f"(step // steps_per_epoch) would be wrong; refusing "
+                    f"to resume (delete the .partial to restart the phase)")
         payload = {
             "params": template.params,
             "opt_state": template.opt_state,
@@ -190,15 +255,17 @@ class Trainer:
         if self.cfg.train.checkpoint_every_epochs <= 0 or \
                 not os.path.isfile(partial):
             return None, 0
-        state = self._load_state(partial, swa=swa, optimizer=optimizer)
+        state = self._load_state(partial, swa=swa, optimizer=optimizer,
+                                 expect_steps_per_epoch=steps_per_epoch)
         start_epoch = int(state.step) // max(1, steps_per_epoch)
         return state, start_epoch
 
     def _phase_checkpoint(self, final_path: str, state: TrainState,
-                          epoch: int) -> None:
+                          epoch: int, steps_per_epoch: int = 0) -> None:
         k = self.cfg.train.checkpoint_every_epochs
         if k > 0 and (epoch + 1) % k == 0:
-            _save_state(self._partial_path(final_path), state)
+            _save_state(self._partial_path(final_path), state,
+                        cfg=self.cfg, steps_per_epoch=steps_per_epoch)
 
     def _phase_done(self, final_path: str) -> None:
         partial = self._partial_path(final_path)
@@ -364,7 +431,8 @@ class Trainer:
             # diverged state must never reach the .partial file, or every
             # resume would reload it and re-crash.
             self._log("pretrain", epoch, metrics)
-            self._phase_checkpoint(self.pt_path, state, epoch)
+            self._phase_checkpoint(self.pt_path, state, epoch,
+                                   steps_per_epoch)
 
         # SWA adoption is opt-in (cfg.train.swa_adopt): the reference
         # builds the tfa SWA wrapper but never calls assign_average_vars
@@ -376,7 +444,7 @@ class Trainer:
 
         self.state = state
         self.status = WeightStatus.PRE_TRAINED
-        _save_state(self.pt_path, state)
+        _save_state(self.pt_path, state, cfg=self.cfg)
         self._phase_done(self.pt_path)
         return state
 
@@ -483,11 +551,12 @@ class Trainer:
                         metrics[k] = jnp.mean(jnp.stack([v[k] for v in vals]))
             # checkpoint only AFTER the NaN tripwire (see pretrain)
             self._log("finetune", epoch, metrics)
-            self._phase_checkpoint(self.final_path, state, epoch)
+            self._phase_checkpoint(self.final_path, state, epoch,
+                                   cfg.train.ft_steps_per_epoch)
 
         self.state = state
         self.status = WeightStatus.FULL_TRAINED
-        _save_state(self.final_path, state)
+        _save_state(self.final_path, state, cfg=self.cfg)
         self._phase_done(self.final_path)
         return state
 

@@ -170,3 +170,65 @@ def test_extras_ignored_when_config_disables_them(converted, tmp_path):
               ("variable_1", "Variable", np.zeros(1, np.float32))]
     out = extras_from_legacy(extras, CFG)  # CFG: no pop prior, hetero on
     assert out == {}
+
+
+def test_imported_checkpoint_save_predictions_parity(converted, tmp_path, rng):
+    """End-to-end migration gate (round-2 verdict #8): an imported
+    reference checkpoint driven through OUR full export path
+    (save_predictions) must produce posterior-mean maps that agree with
+    the REFERENCE's own summarization math (model.py:318-343
+    calculate_means: correlated logit-normal sampling + sigmoid-range
+    transform, 200-draw means) evaluated on the reference encoder's own
+    q -- within Monte-Carlo tolerance."""
+    from qbold_vi_tpu.config import QBoldConfig
+    from qbold_vi_tpu.infer import save_predictions
+    from qbold_vi_tpu.models.vi import FineTuner
+
+    ref, params = converted
+    s, x, y, z = 1, 6, 6, 3
+    data = (np.abs(rng.normal(size=(s, x, y, z, SCAN.n_taus + 1)))
+            .astype(np.float32) * 50 + 100)
+    data[..., -1] = (rng.uniform(size=data.shape[:-1]) > 0.2)
+
+    qcfg = QBoldConfig(scan=SCAN, model=CFG)
+    tuner = FineTuner(CFG, SCAN)
+    key = jax.random.PRNGKey(0)
+    maps = save_predictions(tuner, qcfg, params, data,
+                            str(tmp_path / "pred"), key)
+
+    # --- reference summarization math, numpy, on the REFERENCE q ------
+    masked = data[..., :-1] * data[..., -1:]
+    q_ref = np.asarray(ref(masked)[0])           # outer model, head 1
+    mu0 = q_ref[..., 0]
+    ls0 = np.tanh(q_ref[..., 1]) * 3.0 - 1.0     # transform_std
+    mu1 = q_ref[..., 2]
+    ls1 = np.tanh(q_ref[..., 3]) * 3.0 - 1.0
+    od = np.tanh(q_ref[..., 4]) * np.exp(-2.0)   # transform_offdiag
+
+    nprng = np.random.default_rng(7)
+    n_mc = 20000
+    z0 = nprng.standard_normal((n_mc,) + mu0.shape).astype(np.float64)
+    z1 = nprng.standard_normal((n_mc,) + mu0.shape).astype(np.float64)
+    l0 = mu0 + z0 * np.exp(ls0)
+    l1 = mu1 + z0 * od + z1 * np.exp(ls1)        # correlated MVG draw
+    sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+    oef_s = sig(l0) * CFG.oef_range + CFG.min_oef
+    dbv_s = sig(l1) * CFG.dbv_range + CFG.min_dbv
+    dwc = SCAN.dw_coeff * SCAN.hct
+    oracle = {
+        "oef": oef_s.mean(0), "dbv": dbv_s.mean(0),
+        "r2p": (dwc * oef_s * dbv_s).mean(0),
+    }
+    stds = {"oef": oef_s.std(0), "dbv": dbv_s.std(0),
+            "r2p": (dwc * oef_s * dbv_s).std(0)}
+
+    # our maps use 200 draws: tolerate 8 MC standard errors per voxel
+    for name in ("oef", "dbv", "r2p"):
+        ours = maps[name][..., 0]
+        tol = 8.0 * stds[name] / np.sqrt(200) + 1e-4
+        assert np.all(np.abs(ours - oracle[name]) < tol), (
+            name, np.abs(ours - oracle[name]).max(), tol.mean())
+    # artifacts written
+    import os
+    for suffix in ("_oef", "_dbv", "_r2p", "_logstds"):
+        assert os.path.isfile(str(tmp_path / f"pred{suffix}.nii.gz"))

@@ -146,6 +146,155 @@ def test_padding_handles_non_block_sizes(rng):
     assert np.all(np.isfinite(np.asarray(means)))
 
 
+@tpu_only
+def test_decode_kernel_chip_exact(rng):
+    """CHIP-exactness for the fused decode+NLL kernel: it is PRNG-free,
+    so the real Mosaic compile must reproduce the jnp rows to fp32
+    tolerance -- closing the gap between 'interpreter-exact'
+    (tests/test_pallas_decode.py) and 'chip-exact' (round-2 verdict
+    weak #2)."""
+    from qbold_vi_tpu.config import ModelConfig
+    from qbold_vi_tpu.ops import physics
+    from qbold_vi_tpu.ops.pallas_decode import make_fused_decode_nll
+    from qbold_vi_tpu.train import losses
+
+    cfg = ModelConfig(use_mvg=True, student_t_df=200.0,
+                      multi_image_normalisation=False,
+                      predict_log_data=False)      # published optimal
+    fused = make_fused_decode_nll(cfg, SCAN, use_blood=True)
+    n = 4096
+    oef = jnp.asarray(rng.uniform(0.1, 0.7, size=n).astype(np.float32))
+    dbv = jnp.asarray(rng.uniform(0.005, 0.18, size=n).astype(np.float32))
+    y = jnp.asarray((np.abs(rng.normal(size=(n, SCAN.n_taus))) * 0.4 + 0.4
+                     ).astype(np.float32))
+    sigma = jnp.asarray((np.abs(rng.normal(size=(n, SCAN.n_taus))) * 0.05
+                         + 0.02).astype(np.float32))
+    mask = jnp.asarray((rng.uniform(size=n) > 0.25).astype(np.float32))
+
+    rows = np.asarray(fused(oef, dbv, y, sigma, mask))
+    pred = physics.ase_signal(oef, dbv, SCAN, full_model=True,
+                              include_blood=True)
+    ref = np.asarray(losses.fine_tune_nll(
+        cfg, SCAN.se_idx, y, pred, sigma, mask[:, None],
+        return_mean=False))[:, 0]
+    np.testing.assert_allclose(rows, ref, rtol=2e-4, atol=2e-4)
+
+    # gradient path on chip: finite and matching AD of the jnp loss
+    def f_loss(o, d, s):
+        return jnp.sum(fused(o, d, y, s, mask)) / jnp.sum(mask)
+
+    def j_loss(o, d, s):
+        p = physics.ase_signal(o, d, SCAN, full_model=True,
+                               include_blood=True)
+        return losses.fine_tune_nll(cfg, SCAN.se_idx, y, p, s,
+                                    mask[:, None])
+
+    gf = jax.grad(f_loss, argnums=(0, 1, 2))(oef, dbv, sigma)
+    gj = jax.grad(j_loss, argnums=(0, 1, 2))(oef, dbv, sigma)
+    for a, b in zip(gf, gj):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+@tpu_only
+def test_elbo_kernel_chip_host_noise_exact(rng):
+    """CHIP-exactness for the fused ELBO kernel in host-noise mode: with
+    the jnp path's own normals injected, the native Mosaic compile must
+    match dist.mvg_kl_samples + decode NLL rows to fp32 tolerance."""
+    from qbold_vi_tpu.config import ModelConfig
+    from qbold_vi_tpu.ops import physics
+    from qbold_vi_tpu.ops.pallas_elbo import make_fused_elbo
+    from qbold_vi_tpu.train import losses
+
+    cfg = ModelConfig(use_mvg=True, student_t_df=200.0,
+                      multi_image_normalisation=False,
+                      predict_log_data=False)
+    n, s_nll, s_kl = 2048, 2, 16
+    q = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32) * 0.5)
+    p = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32) * 0.5)
+    y = jnp.asarray((np.abs(rng.normal(size=(n, SCAN.n_taus))) * 0.4 + 0.4
+                     ).astype(np.float32))
+    sigma = jnp.full((n, SCAN.n_taus), 0.08, jnp.float32)
+    mask = jnp.asarray((rng.uniform(size=n) > 0.25).astype(np.float32))
+    k_nll, k_kl = jax.random.split(jax.random.PRNGKey(3))
+    z_nll = jax.vmap(lambda k: jax.random.normal(k, (n, 2)))(
+        jax.random.split(k_nll, s_nll))
+    z_kl = jax.vmap(lambda k: jax.random.normal(k, (n, 2)))(
+        jax.random.split(k_kl, s_kl))
+
+    fused = make_fused_elbo(cfg, SCAN, s_nll=s_nll, s_kl=s_kl,
+                            noise="host")
+    nll_rows, kl_rows = fused(q, p, y, sigma, mask, z_nll, z_kl)
+
+    kl_ref = np.asarray(DIST.mvg_kl_samples(k_kl, q, p, no_samples=s_kl))
+    kl_ref = np.where(np.asarray(mask) > 0, kl_ref, 0.0)
+    np.testing.assert_allclose(np.asarray(kl_rows), kl_ref,
+                               rtol=2e-4, atol=2e-4)
+
+    # NLL rows: decode each injected draw through the jnp physics
+    samples = jax.vmap(lambda z: DIST.forward_transform(jnp.stack([
+        q[:, 0] + z[:, 0] * jnp.exp(DIST.transform_std(q[:, 1])),
+        q[:, 2] + z[:, 0] * DIST.transform_offdiag(q[:, 4])
+        + z[:, 1] * jnp.exp(DIST.transform_std(q[:, 3]))], -1)))(z_nll)
+    ref_rows = 0.0
+    for s in range(s_nll):
+        pred = physics.ase_signal(samples[s, :, 0], samples[s, :, 1], SCAN,
+                                  full_model=True, include_blood=True)
+        ref_rows = ref_rows + np.asarray(losses.fine_tune_nll(
+            cfg, SCAN.se_idx, y, pred, sigma, mask[:, None],
+            return_mean=False))[:, 0]
+    np.testing.assert_allclose(np.asarray(nll_rows), ref_rows,
+                               rtol=2e-4, atol=2e-4)
+
+
+@tpu_only
+def test_elbo_kernel_device_noise_statistical(rng):
+    """The production on-chip-PRNG ELBO path: KL rows must converge to
+    the closed-form KL within MC error, and the NLL rows' seed-mean must
+    agree with the jnp sampled path's mean (different RNG streams ->
+    compare within MC tolerance, per SURVEY.md's RNG-parity note)."""
+    from qbold_vi_tpu.config import ModelConfig
+    from qbold_vi_tpu.ops.pallas_elbo import make_fused_elbo
+
+    cfg = ModelConfig(use_mvg=True, student_t_df=200.0,
+                      multi_image_normalisation=False,
+                      predict_log_data=False)
+    n, s_kl = 1024, 512
+    q = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32) * 0.4)
+    p = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32) * 0.4)
+    y = jnp.asarray((np.abs(rng.normal(size=(n, SCAN.n_taus))) * 0.4 + 0.4
+                     ).astype(np.float32))
+    sigma = jnp.full((n, SCAN.n_taus), 0.08, jnp.float32)
+    mask = jnp.ones((n,), jnp.float32)
+
+    fused = make_fused_elbo(cfg, SCAN, s_nll=1, s_kl=s_kl, noise="device")
+    _, kl_rows = fused(q, p, y, sigma, mask, jnp.int32(11))
+    closed = np.asarray(DIST.mvg_kl_closed_form(q, p))
+    err = np.abs(np.asarray(kl_rows) - closed)
+    tol = 8.0 * (np.abs(closed) + 1.0) / np.sqrt(s_kl) + 0.05
+    assert np.all(err < tol), err.max()
+
+    # seed-averaged NLL row mean vs the jnp stochastic decode mean
+    from qbold_vi_tpu.ops import physics
+    from qbold_vi_tpu.train import losses as L
+
+    kern_means = np.mean([np.asarray(
+        fused(q, p, y, sigma, mask, jnp.int32(100 + i))[0]).sum()
+        for i in range(16)])
+    jnp_vals = []
+    for i in range(16):
+        s = DIST.sample(jax.random.PRNGKey(i), q, True)
+        pred = physics.ase_signal(s[..., 0], s[..., 1], SCAN,
+                                  full_model=True, include_blood=True)
+        jnp_vals.append(np.asarray(L.fine_tune_nll(
+            cfg, SCAN.se_idx, y, pred, sigma, mask[:, None],
+            return_mean=False)).sum())
+    jnp_mean = np.mean(jnp_vals)
+    spread = np.std(jnp_vals) + 1e-3
+    assert abs(kern_means - jnp_mean) < 8.0 * spread, \
+        (kern_means, jnp_mean, spread)
+
+
 @pytest.mark.skipif(
     jax.default_backend() in ("tpu", "axon"),
     reason="Mosaic interpreter mode is not usable through the remote "
