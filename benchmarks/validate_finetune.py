@@ -56,6 +56,10 @@ def main():
                     choices=["float32", "bfloat16"],
                     help="encoder trunk compute dtype (bf16 A/B for the "
                          "training-quality validation, VERDICT r1 #4)")
+    ap.add_argument("--fused-elbo", default="auto",
+                    help="fused_elbo mode for the A/B (auto|on|off|host)")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="override cfg.train.seed (quality-variance A/Bs)")
     args = ap.parse_args()
 
     import dataclasses
@@ -72,7 +76,9 @@ def main():
                                   compute_dtype=args.compute_dtype),
         train=dataclasses.replace(
             OPTIMAL.train, pt_on_device_synth=True, no_pt_epochs=30,
-            no_ft_epochs=args.ft_epochs, save_directory=args.outdir),
+            no_ft_epochs=args.ft_epochs, save_directory=args.outdir,
+            fused_elbo=args.fused_elbo,
+            **({"seed": args.seed} if args.seed is not None else {})),
         scan=dataclasses.replace(OPTIMAL.scan, simulate_noise=True),
     )
     data, oef_true, dbv_true, mask = make_subjects(cfg.scan)
@@ -91,6 +97,29 @@ def main():
 
     maps = posterior_maps(tr.tuner, tr.state.params, data,
                           jax.random.PRNGKey(9), use_first_op=False)
+
+    # full fine-tuned export (posterior + likelihood/KL/residual maps,
+    # reference model.py:805-847): round 2 measured 56.6 s host-looped;
+    # the streamed fori_loop path should land in seconds
+    from qbold_vi_tpu.infer import save_predictions
+
+    k = 5 if cfg.model.use_mvg else 4
+    from qbold_vi_tpu.train import data as data_pipe
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def enc(images):
+        return tr.tuner.encode(tr.state.params, images)
+
+    priors = data_pipe.predict_priors(enc, np.float32(data), k)
+    t0 = time.time()
+    save_predictions(tr.tuner, cfg, tr.state.params, data,
+                     args.outdir + "/pred", jax.random.PRNGKey(10),
+                     use_first_op=False, fine_tuned=True, priors=priors)
+    print(f"fine-tuned 7-map export ({data.shape[0]} subjects): "
+          f"{time.time() - t0:.1f}s")
+
     m = mask > 0
     oef_err = np.abs(maps["oef"][..., 0] - oef_true)[m].mean()
     dbv_err = np.abs(maps["dbv"][..., 0] - dbv_true)[m].mean()

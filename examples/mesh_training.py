@@ -3,7 +3,8 @@
 Runs the full two-phase pipeline data-parallel over every available
 device -- streaming synthetic pretraining (each device generates its own
 sub-batch on device), shard_map fine-tune epochs (per-device crop
-sampling, pmean'd grads), and sharded full-brain posterior export.
+sampling, exact pad-and-mask global batches, psum-summed grads), and
+sharded full-brain posterior export.
 Works identically on an 8-virtual-device CPU mesh (set below for
 machines without multi-chip hardware) and a real TPU pod slice; on a
 pod slice, call parallel.initialize_distributed(...) first.

@@ -154,15 +154,17 @@ def _elbo_fwd_kernel(*refs, C, s_nll, s_kl, host_noise):
         return 0.5 * ((wp0 * wp0 + wp1 * wp1) - (wq0 * wq0 + wq1 * wq1))
 
     if host_noise:
-        kl_acc = jnp.zeros_like(q_mu0)
-        for s in range(s_kl):
-            kl_acc = kl_acc + kl_term(zk_ref[0, 2 * s], zk_ref[0, 2 * s + 1])
+        # fori_loop with DYNAMIC loads of the injected normals: a
+        # Python-unrolled 70-iteration loop made the Mosaic compile of
+        # the host kernels impractically slow (>9 min remote)
+        def body(s, acc):
+            return acc + kl_term(zk_ref[0, 2 * s], zk_ref[0, 2 * s + 1])
     else:
         def body(_, acc):
             z0, z1 = _box_muller(q_mu0.shape)
             return acc + kl_term(z0, z1)
 
-        kl_acc = jax.lax.fori_loop(0, s_kl, body, jnp.zeros_like(q_mu0))
+    kl_acc = jax.lax.fori_loop(0, s_kl, body, jnp.zeros_like(q_mu0))
 
     kl = kl_acc * (1.0 / float(s_kl)) + ((p_ls0 + p_ls1)
                                          - (q_ls0 + q_ls1))
@@ -249,15 +251,14 @@ def _elbo_bwd_kernel(*refs, C, s_nll, s_kl, host_noise):
 
     acc0 = (zero,) * 10
     if host_noise:
-        acc = acc0
-        for s in range(s_kl):
-            acc = kl_grads(zk_ref[0, 2 * s], zk_ref[0, 2 * s + 1], acc)
+        def body(s, acc):
+            return kl_grads(zk_ref[0, 2 * s], zk_ref[0, 2 * s + 1], acc)
     else:
         def body(_, acc):
             z0, z1 = _box_muller(q_mu0.shape)
             return kl_grads(z0, z1, acc)
 
-        acc = jax.lax.fori_loop(0, s_kl, body, acc0)
+    acc = jax.lax.fori_loop(0, s_kl, body, acc0)
 
     inv_n = 1.0 / float(s_kl)
     (k_qm0, k_qls0, k_qm1, k_qls1, k_qod,
