@@ -169,8 +169,12 @@ def test_pallas_matches_jnp_on_chip(rng):
     m_p, v_p = quad_posterior_summaries(params, mvg=True, dw_coeff=DWC)
     np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_j),
                                rtol=1e-4, atol=1e-5)
+    # Variances subtract E[x^2] - E[x]^2 in fp32; Mosaic's fused
+    # multiply ordering differs from XLA's, so the cancellation leaves
+    # ~1e-4-absolute noise on near-zero variances (measured max 6e-5
+    # over 27k entries on v5e).
     np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_j),
-                               rtol=2e-3, atol=1e-5)
+                               rtol=2e-3, atol=1e-4)
 
 
 def test_posterior_maps_method_integration(rng):
