@@ -32,7 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["mc_posterior_summaries", "mc_kl_map"]
+__all__ = ["mc_posterior_summaries", "mc_kl_map",
+           "pack_params_tiled", "unpack_summaries_tiled"]
 
 _SUB = 8             # sublanes
 # lanes per grid step -> 8*1024 = 8192 voxels/block. Swept on v5e
@@ -40,6 +41,30 @@ _SUB = 8             # sublanes
 # 2048 -> 16.1 ms.
 _LANES = 1024
 _TWO_PI = 2.0 * math.pi
+
+
+def pack_params_tiled(params, lanes: int):
+    """(pt, n_pad, grid): (N, 4|5) raw posterior params -> the
+    (5, 8, n_pad/8) sublane-tiled layout the summary kernels consume
+    (diag inputs zero-pad the off-diagonal channel; the voxel axis is
+    zero-padded to a whole number of (8, lanes) tiles). Shared by the MC
+    and quadrature summarize kernels -- which are gated against each
+    other, so their voxel layouts must never drift apart."""
+    n, k = params.shape
+    blk = _SUB * lanes
+    n_pad = ((n + blk - 1) // blk) * blk
+    pt = jnp.zeros((5, n_pad), params.dtype)
+    pt = pt.at[:k, :n].set(params.T)
+    pt = pt.reshape(5, _SUB, n_pad // _SUB)
+    return pt, n_pad, (n_pad // _SUB) // lanes
+
+
+def unpack_summaries_tiled(mean_t, var_t, n: int, n_pad: int):
+    """Inverse of pack_params_tiled for the (3, 8, n_pad/8) outputs:
+    -> (means (N, 3), vars (N, 3))."""
+    mean = mean_t.reshape(3, n_pad)[:, :n].T
+    var = var_t.reshape(3, n_pad)[:, :n].T
+    return mean, var
 
 
 def _box_muller(shape):
@@ -245,14 +270,7 @@ def mc_posterior_summaries(params: jax.Array, seed: jax.Array, *,
         # the plain iid estimator instead of silently dropping a sample.
         antithetic = False
     n = params.shape[0]
-    k = params.shape[-1]
-    blk = _SUB * lanes
-    n_pad = ((n + blk - 1) // blk) * blk
-    pt = jnp.zeros((5, n_pad), params.dtype)
-    pt = pt.at[:k, :n].set(params.T)
-    pt = pt.reshape(5, _SUB, n_pad // _SUB)
-
-    grid = (n_pad // _SUB) // lanes
+    pt, n_pad, grid = pack_params_tiled(params, lanes)
     kernel = partial(_summarize_kernel, no_samples=no_samples, mvg=mvg,
                      oef_range=oef_range, min_oef=min_oef,
                      dbv_range=dbv_range, min_dbv=min_dbv, dw_coeff=dw_coeff,
@@ -280,6 +298,4 @@ def mc_posterior_summaries(params: jax.Array, seed: jax.Array, *,
         # runs them on CPU (slowly -- test use only).
         interpret=pltpu.InterpretParams() if interpret else False,
     )(jnp.asarray([seed], jnp.int32), pt)
-    mean = mean_t.reshape(3, n_pad)[:, :n].T
-    var = var_t.reshape(3, n_pad)[:, :n].T
-    return mean, var
+    return unpack_summaries_tiled(mean_t, var_t, n, n_pad)

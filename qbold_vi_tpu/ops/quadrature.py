@@ -69,6 +69,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Tiling and the pack/unpack voxel layout are shared with the MC kernel --
+# pallas_summarize.pack_params_tiled is the single owner of the layout
+# both kernels are gated against.
+from .pallas_summarize import (_LANES, _SUB, pack_params_tiled,
+                               unpack_summaries_tiled)
+
 __all__ = ["posterior_summaries_quadrature", "quad_posterior_summaries",
            "QH", "QL", "SPLIT_THRESHOLD"]
 
@@ -402,8 +408,6 @@ def posterior_summaries_quadrature(params: jax.Array, *, mvg: bool = True,
 # Pallas TPU kernel
 # ---------------------------------------------------------------------------
 
-_SUB = 8
-_LANES = 1024       # same tiling sweep as the MC kernel (pallas_summarize)
 
 
 def _quad_kernel(params_ref, mean_ref, var_ref, *, mvg: bool,
@@ -447,14 +451,8 @@ def quad_posterior_summaries(params: jax.Array, *, mvg: bool = True,
     posterior_summaries_quadrature (tests/test_quadrature.py), including
     on the real Mosaic compile.
     """
-    n, k = params.shape
-    blk = _SUB * lanes
-    n_pad = ((n + blk - 1) // blk) * blk
-    pt = jnp.zeros((5, n_pad), params.dtype)
-    pt = pt.at[:k, :n].set(params.T)
-    pt = pt.reshape(5, _SUB, n_pad // _SUB)
-
-    grid = (n_pad // _SUB) // lanes
+    n = params.shape[0]
+    pt, n_pad, grid = pack_params_tiled(params, lanes)
     kernel = partial(_quad_kernel, mvg=mvg, oef_range=oef_range,
                      min_oef=min_oef, dbv_range=dbv_range, min_dbv=min_dbv,
                      dw_coeff=dw_coeff)
@@ -477,6 +475,4 @@ def quad_posterior_summaries(params: jax.Array, *, mvg: bool = True,
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(pt)
-    mean = mean_t.reshape(3, n_pad)[:, :n].T
-    var = var_t.reshape(3, n_pad)[:, :n].T
-    return mean, var
+    return unpack_summaries_tiled(mean_t, var_t, n, n_pad)

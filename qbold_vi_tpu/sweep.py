@@ -132,8 +132,6 @@ def _population_group(cfg: QBoldConfig, trial_ovs: Sequence[dict],
     import optax
 
     from .models.vi import FineTuner
-    from .synth import create_synthetic_dataset_host
-    from .train import data as data_pipe
     from .train import optim as toptim
     from .train.losses import synthetic_data_loss
     from .train.steps import posterior_mse_metrics, stream_synthetic_batch
@@ -156,25 +154,21 @@ def _population_group(cfg: QBoldConfig, trial_ovs: Sequence[dict],
             "population batch mixes trials with and without the "
             "inverse-gamma prior (a trace-time gate) -- sweep either an "
             "all-positive inv_gamma range or none")
-    # when the prior is off for the whole batch, the loss must see
-    # STATIC zeros (traced hyperparams force the gate on, losses.py)
+    # the gate is trace-time: the whole batch is either on or off, and
+    # trial_loss states it explicitly (losses.synthetic_data_loss's
+    # inv_gamma_on -- traced alpha/beta cannot answer the comparison)
     ig_off = not (bool(np.all(ig_prod > 0)) or cfg.model.infer_inv_gamma)
 
     tuner = FineTuner(cfg.model, cfg.scan, full_model=tr.full_model,
                       use_blood=tr.use_blood)
 
-    # the SAME fixed validation fold every serial trial ranks on
-    # (train/trainer.py build_pretrain_data)
-    import dataclasses
-    data_key = jax.random.fold_in(jax.random.PRNGKey(tr.seed), 0x5EED)
-    val_synth = dataclasses.replace(cfg.synth,
-                                    sample_size=min(cfg.synth.sample_size,
-                                                    160))
-    vx, vy = create_synthetic_dataset_host(
-        data_key, cfg.scan, val_synth, full_model=tr.full_model,
-        use_blood=tr.use_blood)
-    (_, _), (vx, vy) = data_pipe.split_synthetic(vx, vy)
-    n_val = min(len(vx), 4096 // int(np.prod(vx.shape[1:4])) + 1)
+    # the SAME fixed validation fold every serial trial ranks on --
+    # shared with Trainer.build_pretrain_data via trainer.pretrain_val_fold
+    # (a drifted copy here would silently make population-mode rankings
+    # incomparable with serial/_default_run ones)
+    from .train.trainer import pretrain_val_fold, val_batch_count
+    vx, vy = pretrain_val_fold(cfg)
+    n_val = val_batch_count(len(vx), int(np.prod(vx.shape[1:4])))
     val_batch = {"x": jnp.asarray(vx[:n_val]), "y": jnp.asarray(vy[:n_val])}
 
     vol = int(np.prod(vol_shape))
@@ -185,14 +179,20 @@ def _population_group(cfg: QBoldConfig, trial_ovs: Sequence[dict],
     adam = optax.scale_by_adam(eps=1e-7)
     sample = jnp.zeros((1, 2, 2, 1, cfg.scan.n_taus), jnp.float32)
 
-    def trial_loss(params, key, batch, ia_t, ib_t):
+    def trial_loss(params, key, batch, ia_t, ib_t, train=True):
         if ig_off:
             ia_t, ib_t = 0.0, 0.0
-        out1, _, _ = tuner.encode(params, batch["x"])
+        # mirror steps._pretrain_loss: dropout active while training,
+        # off for the shared validation ranking pass
+        key, k_drop = jax.random.split(key)
+        out1, _, _ = tuner.encode(
+            params, batch["x"],
+            dropout_key=k_drop if (train and cfg.model.dropout_rate > 0.0)
+            else None)
         return synthetic_data_loss(
             key, tuner.dist, cfg.model, cfg.scan, batch["y"], out1,
             use_r2p_loss=tr.use_r2p_loss, inv_gamma_alpha=ia_t,
-            inv_gamma_beta=ib_t)
+            inv_gamma_beta=ib_t, inv_gamma_on=not ig_off)
 
     def one_step(carry, key, lr_t, wd_t, ia_t, ib_t):
         params, opt_state, swa = carry
@@ -231,7 +231,7 @@ def _population_group(cfg: QBoldConfig, trial_ovs: Sequence[dict],
             params = jax.tree_util.tree_map(pick, swa.average, params)
         # shared validation under the trial's own hyperparameters
         val_loss = trial_loss(params, jax.random.PRNGKey(0), val_batch,
-                              ia_t, ib_t)
+                              ia_t, ib_t, train=False)
         out1, _, _ = tuner.encode(params, val_batch["x"])
         if cfg.model.infer_inv_gamma:
             out1 = out1[..., : out1.shape[-1] // 2]

@@ -38,6 +38,19 @@ __all__ = [
 _HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
 
 
+def _safe_mask_sum(mask):
+    """Masked-mean denominator that is exact for any live mask and 1.0
+    for an all-dead mask. Every masked numerator here is mask-weighted
+    (identically zero when the mask is), so this turns the 0/0 a
+    zero-live device would hit under pad-and-mask sharding
+    (steps._device_crop_counts pads dead crop slots with zeroed masks;
+    a mesh larger than ft_batch_size leaves whole devices dead) into an
+    exact 0 contribution -- in the value AND the gradient (no 1/0
+    factors survive in the VJP)."""
+    den = jnp.sum(mask)
+    return jnp.where(den > 0, den, 1.0)
+
+
 def student_t_nll(residual, sigma, df: float):
     """-log p of a Student-t(df, 0, sigma) (reference: model.py:557-559)."""
     log_norm = (
@@ -69,13 +82,20 @@ def inv_gamma_log_prob(x, alpha, beta):
 def synthetic_data_loss(key, dist: LogitMVN, cfg: ModelConfig, scan: ScanParams,
                         y_true, y_pred, *, use_r2p_loss: bool,
                         inv_gamma_alpha: float, inv_gamma_beta: float,
-                        return_mean: bool = True):
+                        return_mean: bool = True,
+                        inv_gamma_on: "bool | None" = None):
     """Pretraining loss on synthetic voxels (reference: model.py:449-514).
 
     y_true: (..., 3) physical [oef, dbv, r2p]; y_pred: (..., 4|5[+4]) raw
     head outputs (+4 exp'd hyperprior channels when cfg.infer_inv_gamma).
     Returns a scalar mean loss (``return_mean=False``: the flat (N,)
     per-voxel rows, for weighted/sharded reductions).
+
+    ``inv_gamma_on``: explicit trace-time gate for the inverse-gamma
+    prior term (the reference decides it with a host-side comparison,
+    model.py:492). Callers that TRACE alpha/beta (the vmapped population
+    sweep) MUST pass it -- inferring it from concrete values only works
+    off-trace, and evaluating the prior at alpha=beta=0 is NaN.
     """
     if cfg.infer_inv_gamma:
         # The encoder appends 4 exp'd hyperprior channels (reference
@@ -103,17 +123,22 @@ def synthetic_data_loss(key, dist: LogitMVN, cfg: ModelConfig, scan: ScanParams,
         loss = loss + dist.gaussian_nll(y_true[:, 2], r2p_mean, r2p_log_std)
 
     # The inverse-gamma prior gate is a TRACE-TIME decision (reference
-    # model.py:492: `if inv_gamma_alpha > 0`). Traced alpha/beta (the
-    # population-vmapped sweep path, sweep.population_pretrain) cannot
-    # answer the comparison -- there the caller guarantees every trial
-    # in the batch has the prior ON, so traced hyperparams imply True.
+    # model.py:492: `if inv_gamma_alpha > 0`). Concrete alpha/beta answer
+    # it directly; traced hyperparams (the population-vmapped sweep) must
+    # state the gate explicitly via ``inv_gamma_on``.
     if cfg.infer_inv_gamma:
         ig_on = True
+    elif inv_gamma_on is not None:
+        ig_on = bool(inv_gamma_on)
     else:
         try:
             ig_on = bool(inv_gamma_alpha * inv_gamma_beta > 0.0)
-        except jax.errors.TracerBoolConversionError:
-            ig_on = True
+        except jax.errors.TracerBoolConversionError as e:
+            raise ValueError(
+                "inv_gamma_alpha/beta are traced values: the inverse-gamma "
+                "prior gate cannot be inferred under trace -- pass "
+                "inv_gamma_on=True/False explicitly (and keep every trial "
+                "in a vmapped batch on the same side of the gate)") from e
     if ig_on:
         _, oef_ls, _, dbv_ls, offd = dist.unpack(y_pred, cfg.use_mvg)
         if cfg.use_mvg:
@@ -168,12 +193,13 @@ def fine_tune_nll(cfg: ModelConfig, se_idx: int, y_true, y_pred, sigma,
         nll = gaussian_nll_full(residual, sigma)
     nll = jnp.sum(nll, -1, keepdims=True) * mask
     if return_mean:
-        return jnp.sum(nll) / jnp.sum(mask)
+        return jnp.sum(nll) / _safe_mask_sum(mask)
     return nll
 
 
 def kl_loss(key, dist: LogitMVN, cfg: ModelConfig, prior, pred, mask, *,
-            return_mean: bool = True, no_samples: int = 70):
+            return_mean: bool = True, no_samples: int = 70,
+            n_crops=None):
     """KL(q || p) dispatch (reference: model.py:654-724).
 
     Three paths, selected exactly as the reference does:
@@ -188,6 +214,12 @@ def kl_loss(key, dist: LogitMVN, cfg: ModelConfig, prior, pred, mask, *,
     prior: (..., 5|4 [*mog]) raw prior params (per-voxel maps or a
     broadcast population prior); pred: (..., 5|4) raw posterior params;
     mask: (..., 1).
+
+    ``n_crops``: the batch-size factor on the hyperprior cost (the
+    reference scales it by the batch dimension, model.py:716). Defaults
+    to ``pred.shape[0]``; pad-and-mask sharded callers pass their LIVE
+    crop count so dead padding slots do not inflate the term and the
+    psum'd total reproduces the single-device value exactly.
     """
     prior_cost = 0.0
     if cfg.use_mvg:
@@ -223,11 +255,12 @@ def kl_loss(key, dist: LogitMVN, cfg: ModelConfig, prior, pred, mask, *,
             ig = lambda v: inv_gamma_log_prob(v, 1.0, 2.0)
             prior_cost = -ig(jnp.exp(2.0 * jnp.mean(p_dbv_ls)))
             prior_cost = prior_cost - ig(jnp.exp(2.0 * jnp.mean(p_oef_ls)))
-            prior_cost = prior_cost * pred.shape[0]
+            prior_cost = prior_cost * (pred.shape[0] if n_crops is None
+                                       else n_crops)
 
     kl_op = jnp.where(mask > 0, kl_op, 0.0)
     if return_mean:
-        return (jnp.sum(kl_op) + prior_cost) / jnp.sum(mask)
+        return (jnp.sum(kl_op) + prior_cost) / _safe_mask_sum(mask)
     return kl_op
 
 
@@ -251,4 +284,4 @@ def smoothness_loss(dist: LogitMVN, pred, mask):
     dy = jnp.where(my, dy, 0.0)
 
     total = jnp.sum(jnp.abs(dx)) + jnp.sum(jnp.abs(dy))
-    return total / jnp.sum(mask)
+    return total / _safe_mask_sum(mask)

@@ -60,17 +60,22 @@ def posterior_mse_metrics(key, tuner: FineTuner, q, y_true, no_samples: int = 20
 
 
 def _pretrain_loss(params, key, batch, tuner: FineTuner, cfg: QBoldConfig,
-                   live=None, axis_name=None):
+                   live=None, axis_name=None, train: bool = True):
     """``live``/``axis_name``: pad-and-mask support for sharded streams
     whose global batch does not divide the mesh -- ``live`` flags the
     device's real volumes (dead slots weigh zero), and the mean is taken
     over the psum'd live-voxel count so per-device losses SUM to the
-    exact global mean (callers then psum loss and grads)."""
+    exact global mean (callers then psum loss and grads).
+
+    ``train``: dropout active. Validation passes train=False (Keras
+    ``fit(validation_data=...)`` evaluates with training=False upstream,
+    so the reference's val_loss never sees dropout)."""
     x, y = batch["x"], batch["y"]
     key, k_drop = jax.random.split(key)
     out1, _, _ = tuner.encode(
         params, x,
-        dropout_key=k_drop if cfg.model.dropout_rate > 0.0 else None)
+        dropout_key=k_drop if (train and cfg.model.dropout_rate > 0.0)
+        else None)
     rows_or_mean = losses.synthetic_data_loss(
         key, tuner.dist, cfg.model, cfg.scan, y, out1,
         use_r2p_loss=cfg.train.use_r2p_loss,
@@ -238,7 +243,7 @@ def make_finetune_epoch_sharded(tuner: FineTuner, cfg: QBoldConfig,
             k_crop, k_step = jax.random.split(k)
             batch = sample_crop_batch(k_crop, volumes, priors, b_local,
                                       cfg.train.crop_size)
-            batch = dict(batch,
+            batch = dict(batch, live=live,
                          mask=batch["mask"] * live[:, None, None, None, None])
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, k_step, batch)
@@ -446,7 +451,7 @@ def make_pretrain_eval(tuner: FineTuner, cfg: QBoldConfig):
 
     def evaluate(params, key, batch):
         k1, k2 = jax.random.split(key)
-        loss = _pretrain_loss(params, k1, batch, tuner, cfg)
+        loss = _pretrain_loss(params, k1, batch, tuner, cfg, train=False)
         out1, _, _ = tuner.encoder.apply({"params": params["encoder"]}, batch["x"])
         if cfg.model.infer_inv_gamma:
             out1 = out1[..., : out1.shape[-1] // 2]
@@ -548,11 +553,13 @@ def _finetune_terms(params, key, batch, tuner: FineTuner, cfg: QBoldConfig,
     pad-and-mask data parallelism (a device's dead padding crops carry
     zero mask and drop out of numerator and denominator alike). Callers
     must then reduce loss/grads/aux with ``psum``, NOT ``pmean``.
-    NB: the diagonal-posterior population-prior hyperprior cost
-    (losses.kl_loss prior_cost, scaled by the LOCAL batch size) is the
-    one term this rescaling does not reproduce exactly under padding;
-    the published MVG configuration does not use it."""
+    Sharded callers put their live-crop flags in ``batch['live']`` so
+    the diagonal-posterior population-prior hyperprior cost (scaled by
+    the reference's batch dimension, model.py:716) counts live crops
+    only -- with it, every term is exact under padding."""
     images, mask = batch["images"], batch["mask"]
+    n_crops = (jnp.sum(batch["live"]) if "live" in batch
+               else images.shape[0])
     k_sample, k_kl = jax.random.split(key)
 
     def _globalise(aux_and_total):
@@ -608,7 +615,10 @@ def _finetune_terms(params, key, batch, tuner: FineTuner, cfg: QBoldConfig,
         else:
             seed = jax.random.randint(k_draw, (), 0, np.int32(2**31 - 1))
             nll_rows, kl_rows = fused_fn(qf, pf, yf, sf, mf, seed)
+        # Safe denominator: a zero-live device under pad-and-mask
+        # sharding must contribute exact 0, not 0/0 (losses._safe_mask_sum).
         denom = jnp.sum(mf)
+        denom = jnp.where(denom > 0, denom, 1.0)
         nll = jnp.sum(nll_rows) / (s * denom)
         kl = jnp.sum(kl_rows) / denom
         smooth = losses.smoothness_loss(tuner.dist, q, mask)
@@ -637,7 +647,8 @@ def _finetune_terms(params, key, batch, tuner: FineTuner, cfg: QBoldConfig,
         mb = jnp.broadcast_to(mask, (s,) + mask.shape).reshape(-1)
         rows = fused(samples[..., 0].reshape(-1),
                      samples[..., 1].reshape(-1), yb, sb, mb)
-        nll = jnp.sum(rows) / jnp.sum(mb)
+        mb_sum = jnp.sum(mb)
+        nll = jnp.sum(rows) / jnp.where(mb_sum > 0, mb_sum, 1.0)
     else:
         out = tuner.apply(params, k_sample, images, no_samples=no_samples,
                           train=train)
@@ -658,7 +669,7 @@ def _finetune_terms(params, key, batch, tuner: FineTuner, cfg: QBoldConfig,
     else:
         prior = batch["priors"]
     kl = losses.kl_loss(k_kl, tuner.dist, cfg.model, prior, q, mask,
-                        no_samples=kl_samples)
+                        no_samples=kl_samples, n_crops=n_crops)
     smooth = losses.smoothness_loss(tuner.dist, q, mask)
     aux = {"nll": nll, "kl": kl, "smoothness": smooth,
            "sigma": jnp.mean(sigma)}

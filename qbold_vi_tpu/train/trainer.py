@@ -50,7 +50,37 @@ from .steps import (TrainState, make_finetune_epoch_on_device,
                     make_pretrain_eval, make_pretrain_step,
                     make_pretrain_stream_epoch)
 
-__all__ = ["WeightStatus", "Trainer", "CheckpointMismatchError"]
+__all__ = ["WeightStatus", "Trainer", "CheckpointMismatchError",
+           "pretrain_val_fold", "val_batch_count"]
+
+
+def pretrain_val_fold(cfg: QBoldConfig):
+    """(vx, vy): the FIXED held-out synthetic validation fold.
+
+    Derived from a fold of the config seed (never a rolling key chain)
+    and clipped to a small host-generated set, so a fresh run, a
+    mid-phase resume, an external evaluation, and a vmapped population
+    sweep trial (sweep._population_group) all rank on the SAME set.
+    This is the single source of truth -- Trainer.build_pretrain_data
+    (streaming branch) and the sweep both call it."""
+    import dataclasses
+
+    data_key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed),
+                                  0x5EED)
+    val_synth = dataclasses.replace(
+        cfg.synth, sample_size=min(cfg.synth.sample_size, 160))
+    x, y = create_synthetic_dataset_host(
+        data_key, cfg.scan, val_synth,
+        full_model=cfg.train.full_model,
+        use_blood=cfg.train.use_blood)
+    (_, _), val = data_pipe.split_synthetic(x, y)
+    return val
+
+
+def val_batch_count(n_volumes: int, vol_voxels: int) -> int:
+    """Per-epoch eval batch bound (~4k voxels), shared by
+    Trainer._clip_val_batch and the population sweep."""
+    return min(n_volumes, 4096 // vol_voxels + 1)
 
 
 class WeightStatus(enum.Enum):
@@ -309,8 +339,6 @@ class Trainer:
         SAME validation set -- otherwise resumed sweep trials would be
         ranked on a different set than fresh ones.
         """
-        import dataclasses
-
         cfg = self.cfg
         data_key = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed),
                                       0x5EED)
@@ -320,14 +348,7 @@ class Trainer:
             # fresh batches on device. Host-CPU generation: a fixed set
             # through the accelerator backend costs a ~190 s remote
             # compile on tunneled TPUs for seconds of compute (synth.py).
-            val_synth = dataclasses.replace(
-                cfg.synth, sample_size=min(cfg.synth.sample_size, 160))
-            x, y = create_synthetic_dataset_host(
-                data_key, cfg.scan, val_synth,
-                full_model=cfg.train.full_model,
-                use_blood=cfg.train.use_blood)
-            (_, _), val = data_pipe.split_synthetic(x, y)
-            return None, val
+            return None, pretrain_val_fold(cfg)
         if synthetic is None:
             x, y = create_synthetic_dataset_host(
                 data_key, cfg.scan, cfg.synth,
@@ -341,7 +362,7 @@ class Trainer:
     def _clip_val_batch(self, vx, vy) -> dict:
         """Bound the per-epoch eval batch (~4k voxels) and place it for
         the mesh (shard when divisible, replicate otherwise)."""
-        n_val = min(len(vx), 4096 // int(np.prod(vx.shape[1:4])) + 1)
+        n_val = val_batch_count(len(vx), int(np.prod(vx.shape[1:4])))
         if self.mesh is not None:
             n_dev = self.mesh.devices.size
             n_val = max(n_val // n_dev * n_dev, min(len(vx), n_dev))

@@ -84,7 +84,14 @@ def test_matches_fp64_oracle_saturated(rng):
     R2' cross moments (third-order od-Taylor covariance expansion,
     worst case 3.2e-6 at dwc=1 over the full envelope) keep a generous
     range-scaled gate -- orders below the MC-200 estimator's own
-    standard error at the same voxels."""
+    standard error at the same voxels.
+
+    The OEF/DBV gate is a few fp32 ulps wider on the real chip: the
+    TPU's exp/tanh/erf implementations differ from the host libm by
+    ~2 ulp, which the saturated step+Laguerre branch amplifies to
+    ~1.3e-5 absolute (vs <=5e-6 with host transcendentals) -- still
+    ~3.5 orders below MC-200's standard error."""
+    atol = 2e-5 if jax.default_backend() in ("tpu", "axon") else 5e-6
     raw = np.stack(np.meshgrid(
         np.float32([-4.0, -0.5, 3.0]), np.float32([-3.0, 0.5, 3.0]),
         np.float32([-2.0, 4.0]), np.float32([-3.0, 3.0]),
@@ -93,8 +100,8 @@ def test_matches_fp64_oracle_saturated(rng):
         p, mvg=True, dw_coeff=DWC))(jnp.asarray(raw))
     for i in range(raw.shape[0]):
         om, ov = _oracle(raw[i].astype(np.float64))
-        np.testing.assert_allclose(np.asarray(m)[i][:2], om[:2], atol=5e-6)
-        np.testing.assert_allclose(np.asarray(v)[i][:2], ov[:2], atol=5e-6)
+        np.testing.assert_allclose(np.asarray(m)[i][:2], om[:2], atol=atol)
+        np.testing.assert_allclose(np.asarray(v)[i][:2], ov[:2], atol=atol)
         # r2p: grid-corner tolerance, scaled to the r2p range
         r_scale = DWC * 0.84 * 0.201
         assert abs(np.asarray(m)[i][2] - om[2]) < 2e-3 * r_scale + 1e-5

@@ -307,12 +307,19 @@ class TestShardedEpochParity:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=1e-6)
 
-    def test_sharded_epoch_uneven_batch_exact(self, tmp_path, rng):
+    @pytest.mark.parametrize("b_global", [11, 3])
+    def test_sharded_epoch_uneven_batch_exact(self, tmp_path, rng, b_global):
         """A global batch that does NOT divide the mesh (11 on 8 devices)
         is preserved exactly: per-device live counts [2,2,2,1,1,1,1,1]
         sum to 11, dead slots carry zero mask, and the updated params
         equal a single-device simulation of the same 11-crop global
-        masked mean (the round-2 verdict's divisibility fix)."""
+        masked mean (the round-2 verdict's divisibility fix).
+
+        b_global=3 < n_devices leaves five devices with ZERO live crops
+        -- the regression case for the 0/0 masked means a dead device
+        used to hit (losses._safe_mask_sum): the epoch must stay finite
+        AND exactly equal to the simulation, not psum NaN into every
+        device's gradients."""
         import dataclasses
 
         from qbold_vi_tpu.train.steps import (_device_crop_counts,
@@ -323,13 +330,16 @@ class TestShardedEpochParity:
         cfg, tuner, vols, priors, params, opt = self._setup(
             tmp_path, rng, n_steps)
         cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train, ft_batch_size=11))
+            cfg, train=dataclasses.replace(cfg.train,
+                                           ft_batch_size=b_global))
         mesh = make_mesh()
         n_dev = mesh.devices.size
-        b_local, (c_base, c_rem) = _device_crop_counts(11, n_dev)
-        assert b_local * n_dev >= 11 > (b_local - 1) * n_dev
+        b_local, (c_base, c_rem) = _device_crop_counts(b_global, n_dev)
+        assert b_local * n_dev >= b_global > (b_local - 1) * n_dev
         counts = [c_base + (d < c_rem) for d in range(n_dev)]
-        assert sum(counts) == 11
+        assert sum(counts) == b_global
+        if b_global < n_dev:
+            assert 0 in counts          # the zero-live-device case is real
         key = jax.random.PRNGKey(5)
 
         epoch = steps.make_finetune_epoch_sharded(tuner, cfg, opt, n_steps,
@@ -391,6 +401,12 @@ class TestShardedEpochParity:
                              jnp.zeros([], jnp.int32)),
             jnp.asarray(vols), jnp.asarray(priors))
 
+        # assert_allclose treats NaN == NaN as equal: finiteness must be
+        # checked explicitly or a NaN-poisoned epoch would "match" a
+        # NaN-poisoned simulation
+        assert np.all(np.isfinite(np.asarray(m_sh["loss"])))
+        for a in jax.tree_util.tree_leaves(st.params):
+            assert np.all(np.isfinite(np.asarray(a)))
         np.testing.assert_allclose(np.asarray(m_sh["loss"]),
                                    np.asarray(sim_losses), rtol=2e-5,
                                    atol=1e-4)
