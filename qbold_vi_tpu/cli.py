@@ -73,24 +73,14 @@ def cmd_train(args) -> int:
               file=sys.stderr)
         return 0
 
-    def load(name):
-        p = os.path.join(d, name)
-        return np.load(p) if os.path.isfile(p) else None
-
-    parts = [x for x in (load("ASE_scan.npy"), load("ASE_INF.npy"),
-                         load("ASE_SUP.npy")) if x is not None]
-    if not parts:
+    from .train.data import load_real_directory
+    real = load_real_directory(d)
+    if real["train"] is None:
         print("no ASE training volumes found; pretraining only",
               file=sys.stderr)
         return 0
-    train_data = np.concatenate(parts, axis=0)
-
-    hyperv = load("hyperv_ase.npy")
-    baseline = load("baseline_ase.npy")
-    study = None
-    if hyperv is not None and baseline is not None:
-        # GM-mask variants for validation (reference train.py:215-226)
-        study = np.concatenate([hyperv[..., :-1], baseline[..., :-1]], axis=0)
+    train_data = real["train"]
+    hyperv, baseline, study = real["hyperv"], real["baseline"], real["study"]
 
     import jax
     from . import infer
@@ -341,9 +331,23 @@ def cmd_sweep(args) -> int:
     workflow, wandb_sweep.py + train.py:482-488): wandb proposes the
     configs, trials run here, val_elbo reports back."""
     cfg = _load_cfg(args)
+    # The reference's sweep program is the full two-phase train.py
+    # (sweep_prior.yaml:1): when the config points at real ASE volumes,
+    # trials pretrain + fine-tune and rank on the real-data val_elbo;
+    # otherwise the pretrain-only synthetic objective ranks them.
+    from .sweep import _default_run, default_objective
+    objective = default_objective(cfg)
+    run_fn = None if objective is _default_run else objective
+    print(f"sweep objective: "
+          f"{'two-phase (real-data val_elbo)' if run_fn else 'pretrain (synthetic val loss)'}",
+          file=sys.stderr)
+    if run_fn is not None and args.parallel_trials > 1:
+        print("two-phase objective runs trials serially; "
+              "--parallel-trials ignored", file=sys.stderr)
     if getattr(args, "agent", None):
         from .sweep import run_wandb_agent
-        n = run_wandb_agent(args.agent, cfg, count=args.trials or None)
+        n = run_wandb_agent(args.agent, cfg, count=args.trials or None,
+                            run_fn=run_fn)
         print(json.dumps({"agent": args.agent, "trials_run": n}))
         return 0
     if args.space:
@@ -365,17 +369,17 @@ def cmd_sweep(args) -> int:
             method = args.method
         if method == "bayes":
             results = bayes_search(cfg, space, n_trials=args.trials,
-                                   metric=metric,
+                                   metric=metric, run_fn=run_fn,
                                    maximize=goal == "maximize",
                                    parallel_trials=args.parallel_trials)
         else:
             results = random_search(cfg, space, n_trials=args.trials,
-                                    metric=metric,
+                                    metric=metric, run_fn=run_fn,
                                     parallel_trials=args.parallel_trials)
     else:
         from .sweep import run_grid_sweep
         results = run_grid_sweep(cfg, layers=args.layers, units=args.units,
-                                 seeds=args.seeds)
+                                 seeds=args.seeds, run_fn=run_fn)
     print(json.dumps(results, default=str, indent=1))
     return 0
 

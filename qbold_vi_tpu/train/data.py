@@ -34,8 +34,44 @@ __all__ = [
     "split_synthetic",
     "synthetic_batches",
     "predict_priors",
+    "load_real_directory",
     "RealCropSampler",
 ]
+
+
+def load_real_directory(d: str) -> dict:
+    """Load the reference's real-data directory layout
+    (reference: train.py:208-238).
+
+    ``d`` holds ``ASE_scan.npy`` / ``ASE_INF.npy`` / ``ASE_SUP.npy``
+    (training volumes, trailing brain-mask channel) plus optionally
+    ``hyperv_ase.npy`` / ``baseline_ase.npy`` study sets carrying TWO
+    trailing channels (GM mask, brain mask -- train.py:215-226).
+
+    Returns ``{"train", "study", "hyperv", "baseline"}``:
+    ``train`` is the concatenation of the ASE sets (None when none
+    exist); ``study`` is the held-out hyperv+baseline concatenation with
+    the brain mask dropped so the GM mask becomes the mask channel,
+    exactly the set the reference's ELBO validation callback evaluates
+    (train.py:223-226, 325-359); ``hyperv``/``baseline`` are the raw
+    arrays (both mask channels) for the per-study exports.
+    """
+    import os
+
+    def load(name):
+        p = os.path.join(d, name)
+        return np.load(p) if os.path.isfile(p) else None
+
+    parts = [x for x in (load("ASE_scan.npy"), load("ASE_INF.npy"),
+                         load("ASE_SUP.npy")) if x is not None]
+    train = np.concatenate(parts, axis=0) if parts else None
+    hyperv, baseline = load("hyperv_ase.npy"), load("baseline_ase.npy")
+    study = None
+    if hyperv is not None and baseline is not None:
+        study = np.concatenate([hyperv[..., :-1], baseline[..., :-1]],
+                               axis=0)
+    return {"train": train, "study": study,
+            "hyperv": hyperv, "baseline": baseline}
 
 
 def blank_crop(data: np.ndarray) -> np.ndarray:

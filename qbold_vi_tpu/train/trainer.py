@@ -172,6 +172,11 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self.status = WeightStatus.NOT_TRAINED
         self.save_dir = cfg.train.save_directory
+        # last fine-tune epoch's logged metrics (incl. the ELBO
+        # validation keys when study data was given) -- what a wandb
+        # sweep would see as the run's final summary values
+        self.last_finetune_metrics: dict = {}
+        self._ft_eval_sampler = None
         self._maybe_resume()
 
     # ---- checkpointing -----------------------------------------------------------
@@ -509,11 +514,7 @@ class Trainer:
         sampler = self.prepare_real(train_data)
         eval_sampler = None
         if study_data is not None:
-            sd = np.float32(study_data)
-            k = 5 if cfg.model.use_mvg else 4
-            priors = data_pipe.predict_priors(self._encode_fn(), sd, k)
-            eval_sampler = data_pipe.RealCropSampler(
-                sd, priors, 76, rng=np.random.default_rng(0))
+            eval_sampler = self._study_eval_sampler(study_data)
 
         optimizer = make_finetune_optimizer(cfg.train)
         state, start_epoch = self._phase_start(
@@ -560,18 +561,11 @@ class Trainer:
             metrics = {"loss": loss_val,
                        "epoch_time_s": time.time() - t0}
             if eval_sampler is not None:
-                vals = []
-                for i, vb in enumerate(eval_sampler.eval_batches(
-                        cfg.train.eval_batch_size)):
-                    if i >= 4:  # 4 batches, reference train.py:333
-                        break
-                    vb = self._put_eval_batch(vb)
-                    vals.append(eval_fn(state.params, self._next_key(), vb))
-                if vals:
-                    for k in vals[0]:
-                        metrics[k] = jnp.mean(jnp.stack([v[k] for v in vals]))
+                metrics.update(self._elbo_eval(eval_fn, eval_sampler,
+                                               state.params))
             # checkpoint only AFTER the NaN tripwire (see pretrain)
             self._log("finetune", epoch, metrics)
+            self.last_finetune_metrics = dict(metrics)
             self._phase_checkpoint(self.final_path, state, epoch,
                                    cfg.train.ft_steps_per_epoch)
 
@@ -580,6 +574,61 @@ class Trainer:
         _save_state(self.final_path, state, cfg=self.cfg)
         self._phase_done(self.final_path)
         return state
+
+    # ---- ELBO validation (reference train.py:325-359) -------------------------------
+
+    def _study_eval_sampler(self, study_data: np.ndarray):
+        """Held-out study crops with per-voxel priors from the CURRENT
+        encoder (called before fine-tuning starts, so these are the
+        pretrained-model priors the reference callback evaluates against,
+        train.py:26-31,223-238)."""
+        sd = np.float32(study_data)
+        k = 5 if self.cfg.model.use_mvg else 4
+        priors = data_pipe.predict_priors(self._encode_fn(), sd, k)
+        self._ft_eval_sampler = data_pipe.RealCropSampler(
+            sd, priors, 76, rng=np.random.default_rng(0))
+        return self._ft_eval_sampler
+
+    def _elbo_eval(self, eval_fn, eval_sampler, params,
+                   batches: int = 4) -> dict:
+        """Mean val_nll/val_kl/val_smoothness/val_elbo over up to
+        ``batches`` study batches (reference train.py:333: 4 batches)."""
+        vals = []
+        for i, vb in enumerate(eval_sampler.eval_batches(
+                self.cfg.train.eval_batch_size)):
+            if i >= batches:
+                break
+            vb = self._put_eval_batch(vb)
+            vals.append(eval_fn(params, self._next_key(), vb))
+        if not vals:
+            return {}
+        return {k: jnp.mean(jnp.stack([v[k] for v in vals]))
+                for k in vals[0]}
+
+    def finetune_val_metrics(self, study_data: Optional[np.ndarray] = None,
+                             batches: int = 4) -> dict:
+        """One authoritative ELBO validation pass on held-out study data
+        with the current weights -- the reference sweep's ranking metric
+        (``val_elbo``; sweep_prior.yaml:3-5 minimises what the ELBO
+        callback logs, train.py:325-359).
+
+        Reuses the sampler built when ``finetune(study_data=...)`` ran in
+        this process (priors from the PRETRAINED encoder, exactly what
+        the per-epoch callback saw); otherwise ``study_data`` must be
+        given and priors come from the current encoder (documented
+        deviation -- only reachable when fine-tuning was resumed from a
+        finished checkpoint, where the reference would re-run nothing and
+        report nothing at all)."""
+        if self.state is None:
+            raise RuntimeError("no trained weights to evaluate")
+        sampler = self._ft_eval_sampler
+        if sampler is None:
+            if study_data is None:
+                raise ValueError("no stored eval sampler: pass study_data")
+            sampler = self._study_eval_sampler(study_data)
+        eval_fn = make_finetune_eval(self.tuner, self.cfg)
+        return self._elbo_eval(eval_fn, sampler, self.state.params,
+                               batches=batches)
 
     # ---- population statistics -----------------------------------------------------
 

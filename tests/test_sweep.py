@@ -328,3 +328,105 @@ class TestWandbAgent:
             run_wandb_agent("id", cfg, count=1, run_fn=boom,
                             wandb_module=fake)
         assert fake.runs[0].finished   # run.finish() ran in the finally
+
+
+class TestFullRunObjective:
+    """The reference's sweep PROGRAM is the full two-phase train.py
+    (sweep_prior.yaml:1) ranking on the real-data ELBO callback's
+    val_elbo (train.py:325-359) -- full_run reproduces that, and the
+    CLI/agent auto-select it whenever the config points at real ASE
+    volumes."""
+
+    def _fake_data_dir(self, tmp_path, rng, n_taus):
+        d = tmp_path / "data"
+        d.mkdir()
+        # training volumes: trailing brain-mask channel; large enough in
+        # x/y that blank_crop keeps 6x10 voxels (margins 34, 20)
+        vols = np.abs(rng.normal(size=(3, 40, 30, 2, n_taus + 1))
+                      ).astype(np.float32) * 50 + 100
+        vols[..., -1] = 1.0
+        np.save(d / "ASE_scan.npy", vols)
+        # study sets: TWO trailing channels (gm, brain) like the
+        # reference's hyperv/baseline arrays (train.py:215-226)
+        study = np.abs(rng.normal(size=(2, 12, 12, 2, n_taus + 2))
+                       ).astype(np.float32) * 50 + 100
+        study[..., -2:] = 1.0
+        np.save(d / "hyperv_ase.npy", study)
+        np.save(d / "baseline_ase.npy", study + 1.0)
+        return str(d)
+
+    def _tiny_cfg(self, tmp_path, data_dir):
+        return QBoldConfig(
+            scan=ScanParams(simulate_noise=False),
+            synth=SynthParams(sample_size=40),
+            model=ModelConfig(no_units=4, no_intermediate_layers=1,
+                              student_t_df=200.0, use_mvg=True,
+                              predict_log_data=False),
+            train=TrainConfig(no_pt_epochs=1, no_ft_epochs=1,
+                              pt_batch_size=8, ft_batch_size=2,
+                              ft_steps_per_epoch=2, crop_size=6,
+                              save_directory=str(tmp_path / "runs"),
+                              data_directory=data_dir,
+                              swa_start=1, swa_period=1),
+        )
+
+    def test_objective_auto_selection(self, tmp_path):
+        from qbold_vi_tpu.sweep import default_objective, full_run
+
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        cfg = QBoldConfig(train=TrainConfig(data_directory=str(empty)))
+        assert default_objective(cfg) is _default_run
+        np.save(empty / "ASE_scan.npy", np.zeros((1, 2, 2, 1, 12)))
+        assert default_objective(cfg) is full_run
+
+    def test_full_run_trains_both_phases_and_ranks(self, tmp_path):
+        from qbold_vi_tpu.sweep import full_run
+
+        rng = np.random.default_rng(0)
+        d = self._fake_data_dir(tmp_path, rng,
+                                ScanParams(simulate_noise=False).n_taus)
+        cfg = self._tiny_cfg(tmp_path, d)
+        results = random_search(
+            cfg, {"gate_offset": ("choice", [-3.0, -1.0])},
+            n_trials=2, run_fn=full_run, seed=0)
+        assert len(results) == 2
+        for r in results:
+            assert r["status"] == "FULL_TRAINED"
+            # the ranking metric comes from the REAL-data ELBO pass
+            for k in ("val_elbo", "val_nll", "val_kl"):
+                assert np.isfinite(r[k]), (k, r)
+        # sorted best-first on val_elbo
+        assert results[0]["val_elbo"] <= results[1]["val_elbo"]
+        # both phases left their checkpoints behind
+        import os
+        t0 = os.path.join(str(tmp_path / "runs"), "trial0")
+        assert os.path.isfile(os.path.join(t0, "pt_model.msgpack"))
+        assert os.path.isfile(os.path.join(t0, "final_model.msgpack"))
+
+    def test_full_run_without_study_sets_falls_back(self, tmp_path):
+        from qbold_vi_tpu.sweep import full_run
+
+        rng = np.random.default_rng(1)
+        scan = ScanParams(simulate_noise=False)
+        d = tmp_path / "data"
+        d.mkdir()
+        vols = np.abs(rng.normal(size=(3, 40, 30, 2, scan.n_taus + 1))
+                      ).astype(np.float32) * 50 + 100
+        vols[..., -1] = 1.0
+        np.save(d / "ASE_scan.npy", vols)
+        cfg = self._tiny_cfg(tmp_path, str(d))
+        with pytest.warns(UserWarning, match="study sets"):
+            out = full_run(cfg)
+        assert out["status"] == "FULL_TRAINED"
+        assert np.isfinite(out["val_elbo"])      # final train loss stand-in
+        assert out["val_elbo"] == out["train_loss"]
+
+    def test_full_run_requires_training_volumes(self, tmp_path):
+        from qbold_vi_tpu.sweep import full_run
+
+        empty = tmp_path / "none"
+        empty.mkdir()
+        cfg = self._tiny_cfg(tmp_path, str(empty))
+        with pytest.raises(FileNotFoundError, match="ASE training volumes"):
+            full_run(cfg)
