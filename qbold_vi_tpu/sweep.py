@@ -300,11 +300,11 @@ def _default_run(cfg: QBoldConfig) -> dict:
     out: dict = {"status": trainer.status.name}
     if trainer.state is not None:
         # One authoritative evaluation on the SAME held-out set every
-        # trial uses (Trainer.pretrain_val_metrics derives it from a
-        # fixed fold of the seed), whether the trial trained fresh or
-        # resumed from an existing checkpoint directory -- resumed and
-        # fresh trials must be ranked on the same basis.
-        m = trainer.pretrain_val_metrics()
+        # trial uses -- the fixed seed-fold set (fold=True), whatever
+        # the trial's training mode (fresh, resumed, streaming, host
+        # dataset, or a vmapped population member): rankings are only
+        # meaningful when every trial is scored on the same data.
+        m = trainer.pretrain_val_metrics(fold=True)
         _stdout_logger("sweep-eval", 0, m)
         out.update(m)
     if "val_loss" in out:
@@ -323,11 +323,13 @@ def full_run(cfg: QBoldConfig) -> dict:
     (train/data.load_real_directory: ASE_scan/INF/SUP + optional
     hyperv/baseline study sets). Without study sets the ELBO callback
     has nothing to evaluate (the reference would report no val_elbo at
-    all); here the final epoch's training loss stands in so the sweep
-    still ranks, under the honest key ``train_loss`` mirrored to
-    ``val_elbo`` with a warning.
+    all); here the same ELBO pass runs over the (blank-cropped)
+    TRAINING volumes instead -- reported under honest ``train_*`` keys
+    with ``val_elbo`` mirrored so the sweep still ranks, with a warning.
+    Every trial therefore ALWAYS carries a finite ranking metric (a
+    metric-less trial would silently sort last, which reads as "ranked"
+    when it is not).
     """
-    import os
     import warnings
 
     from .train import data as data_pipe
@@ -350,12 +352,14 @@ def full_run(cfg: QBoldConfig) -> dict:
     else:
         warnings.warn(
             "no hyperv_ase.npy/baseline_ase.npy study sets: ranking on "
-            "the final fine-tune TRAINING loss instead of val_elbo",
-            stacklevel=2)
-        loss = trainer.last_finetune_metrics.get("loss")
-        if loss is not None:
-            out["train_loss"] = float(loss)
-            out["val_elbo"] = float(loss)
+            "the ELBO over the TRAINING volumes (train_* keys, mirrored "
+            "to val_elbo)", stacklevel=2)
+        m = trainer.finetune_val_metrics(
+            data_pipe.blank_crop(real["train"]))
+        _stdout_logger("sweep-eval", 0, m)
+        out.update({k.replace("val_", "train_"): float(v)
+                    for k, v in m.items()})
+        out["val_elbo"] = out["train_elbo"]
     return out
 
 

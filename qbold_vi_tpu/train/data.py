@@ -178,6 +178,15 @@ class RealCropSampler:
 
     def eval_batches(self, batch: int = 3) -> Iterator[dict]:
         n_full = self.data.shape[0] // batch
+        if n_full == 0:
+            # fewer subjects than one batch: evaluate what exists
+            # (mirrors synthetic_batches; an empty iterator would
+            # silently drop the ELBO validation -- and with it a sweep
+            # trial's ranking metric -- on small study sets)
+            parts = [self._window(s, 0, 0)
+                     for s in range(self.data.shape[0])]
+            yield {k: np.stack([p[k] for p in parts]) for k in parts[0]}
+            return
         for i in range(n_full):
             parts = [self._window(s, 0, 0)
                      for s in range(i * batch, (i + 1) * batch)]

@@ -616,9 +616,8 @@ def _finetune_terms(params, key, batch, tuner: FineTuner, cfg: QBoldConfig,
             seed = jax.random.randint(k_draw, (), 0, np.int32(2**31 - 1))
             nll_rows, kl_rows = fused_fn(qf, pf, yf, sf, mf, seed)
         # Safe denominator: a zero-live device under pad-and-mask
-        # sharding must contribute exact 0, not 0/0 (losses._safe_mask_sum).
-        denom = jnp.sum(mf)
-        denom = jnp.where(denom > 0, denom, 1.0)
+        # sharding must contribute exact 0, not 0/0.
+        denom = losses._safe_mask_sum(mf)
         nll = jnp.sum(nll_rows) / (s * denom)
         kl = jnp.sum(kl_rows) / denom
         smooth = losses.smoothness_loss(tuner.dist, q, mask)
@@ -647,8 +646,7 @@ def _finetune_terms(params, key, batch, tuner: FineTuner, cfg: QBoldConfig,
         mb = jnp.broadcast_to(mask, (s,) + mask.shape).reshape(-1)
         rows = fused(samples[..., 0].reshape(-1),
                      samples[..., 1].reshape(-1), yb, sb, mb)
-        mb_sum = jnp.sum(mb)
-        nll = jnp.sum(rows) / jnp.where(mb_sum > 0, mb_sum, 1.0)
+        nll = jnp.sum(rows) / losses._safe_mask_sum(mb)
     else:
         out = tuner.apply(params, k_sample, images, no_samples=no_samples,
                           train=train)

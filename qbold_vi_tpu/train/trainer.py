@@ -177,6 +177,7 @@ class Trainer:
         # sweep would see as the run's final summary values
         self.last_finetune_metrics: dict = {}
         self._ft_eval_sampler = None
+        self._ft_eval_fn = None
         self._maybe_resume()
 
     # ---- checkpointing -----------------------------------------------------------
@@ -373,13 +374,25 @@ class Trainer:
             n_val = max(n_val // n_dev * n_dev, min(len(vx), n_dev))
         return self._put_eval_batch({"x": vx[:n_val], "y": vy[:n_val]})
 
-    def pretrain_val_metrics(self, synthetic: Optional[tuple] = None) -> dict:
+    def pretrain_val_metrics(self, synthetic: Optional[tuple] = None, *,
+                             fold: bool = False) -> dict:
         """Held-out synthetic validation metrics for the CURRENT state --
         the same eval (same set, same clipping) pretrain() runs per
-        epoch; usable on a resumed/loaded state without retraining."""
+        epoch; usable on a resumed/loaded state without retraining.
+
+        ``fold=True`` evaluates on the FIXED seed-fold validation set
+        (pretrain_val_fold) regardless of training mode. Sweep trials
+        rank on this: the per-epoch validation set differs between the
+        streaming and host-dataset pretrain modes (the fold vs the 90/10
+        split of the full synthetic set), so without it a serial trial
+        and a vmapped population trial would be ranked on different
+        data."""
         if self.state is None:
             raise RuntimeError("no trained state to evaluate")
-        _, (vx, vy) = self.build_pretrain_data(synthetic)
+        if fold and synthetic is None:
+            vx, vy = pretrain_val_fold(self.cfg)
+        else:
+            _, (vx, vy) = self.build_pretrain_data(synthetic)
         eval_fn = make_pretrain_eval(self.tuner, self.cfg)
         m = eval_fn(self.state.params, jax.random.PRNGKey(0),
                     self._clip_val_batch(vx, vy))
@@ -531,7 +544,7 @@ class Trainer:
         if self.mesh is not None:
             state = pmesh.replicate(self.mesh, state)
 
-        eval_fn = make_finetune_eval(self.tuner, cfg)
+        eval_fn = self._finetune_eval_fn()
         # Volumes + priors stay resident on device (uploaded once, a few
         # MB); crops are dynamic_slices inside the epoch scan -- no
         # per-epoch host transfer on either path. Under a mesh each device
@@ -576,6 +589,15 @@ class Trainer:
         return state
 
     # ---- ELBO validation (reference train.py:325-359) -------------------------------
+
+    def _finetune_eval_fn(self):
+        """One jitted ELBO-eval program per Trainer: rebuilding it per
+        call would re-trace and re-compile the identical program (remote
+        TPU compiles run minutes and the client-side compile cache does
+        not engage through the tunnel)."""
+        if self._ft_eval_fn is None:
+            self._ft_eval_fn = make_finetune_eval(self.tuner, self.cfg)
+        return self._ft_eval_fn
 
     def _study_eval_sampler(self, study_data: np.ndarray):
         """Held-out study crops with per-voxel priors from the CURRENT
@@ -626,9 +648,8 @@ class Trainer:
             if study_data is None:
                 raise ValueError("no stored eval sampler: pass study_data")
             sampler = self._study_eval_sampler(study_data)
-        eval_fn = make_finetune_eval(self.tuner, self.cfg)
-        return self._elbo_eval(eval_fn, sampler, self.state.params,
-                               batches=batches)
+        return self._elbo_eval(self._finetune_eval_fn(), sampler,
+                               self.state.params, batches=batches)
 
     # ---- population statistics -----------------------------------------------------
 

@@ -419,8 +419,37 @@ class TestFullRunObjective:
         with pytest.warns(UserWarning, match="study sets"):
             out = full_run(cfg)
         assert out["status"] == "FULL_TRAINED"
-        assert np.isfinite(out["val_elbo"])      # final train loss stand-in
-        assert out["val_elbo"] == out["train_loss"]
+        # the same ELBO pass over the TRAINING volumes stands in, under
+        # honest train_* keys mirrored to the ranking key
+        assert np.isfinite(out["val_elbo"])
+        assert out["val_elbo"] == out["train_elbo"]
+        assert np.isfinite(out["train_nll"])
+
+    def test_full_run_study_smaller_than_eval_batch(self, tmp_path):
+        """A study set with fewer subjects than eval_batch_size must
+        still produce a ranking metric: RealCropSampler.eval_batches
+        yields the partial batch instead of nothing (a metric-less trial
+        silently sorts last, which reads as ranked when it is not)."""
+        from qbold_vi_tpu.sweep import full_run
+
+        rng = np.random.default_rng(2)
+        scan = ScanParams(simulate_noise=False)
+        d = tmp_path / "data"
+        d.mkdir()
+        vols = np.abs(rng.normal(size=(3, 40, 30, 2, scan.n_taus + 1))
+                      ).astype(np.float32) * 50 + 100
+        vols[..., -1] = 1.0
+        np.save(d / "ASE_scan.npy", vols)
+        # ONE subject per study set -> 2 study subjects < batch 3
+        study = np.abs(rng.normal(size=(1, 12, 12, 2, scan.n_taus + 2))
+                       ).astype(np.float32) * 50 + 100
+        study[..., -2:] = 1.0
+        np.save(d / "hyperv_ase.npy", study)
+        np.save(d / "baseline_ase.npy", study + 1.0)
+        out = full_run(self._tiny_cfg(tmp_path, str(d)))
+        assert out["status"] == "FULL_TRAINED"
+        for k in ("val_elbo", "val_nll", "val_kl"):
+            assert np.isfinite(out[k]), (k, out)
 
     def test_full_run_requires_training_volumes(self, tmp_path):
         from qbold_vi_tpu.sweep import full_run
