@@ -210,11 +210,29 @@ def cmd_infer(args) -> int:
         print("no checkpoint found in save_directory", file=sys.stderr)
         return 1
     data = np.load(args.data)
+    fine_tuned = trainer.status is WeightStatus.FULL_TRAINED
+    # The KL map evaluates against per-voxel priors predicted by the
+    # PRETRAINED encoder (reference train.py:26-31); recover them from
+    # the pt checkpoint next to the final one when no population prior
+    # carries them in-model (save_predictions warns and skips _kl if
+    # neither exists).
+    priors = None
+    if fine_tuned and not cfg.model.use_population_prior:
+        pt_params = trainer.pretrained_params()
+        if pt_params is not None:
+            from .train import data as data_pipe
+            tuner = trainer.tuner
+
+            @jax.jit
+            def encode(images):
+                return tuner.encode(pt_params, images)
+
+            priors = data_pipe.predict_priors(
+                encode, data, 5 if cfg.model.use_mvg else 4)
     infer.save_predictions(
         trainer.tuner, cfg, trainer.state.params, data, args.output,
         jax.random.PRNGKey(7), transform_directory=args.transform_directory,
-        use_first_op=trainer.status is not WeightStatus.FULL_TRAINED,
-        fine_tuned=trainer.status is WeightStatus.FULL_TRAINED,
+        use_first_op=not fine_tuned, fine_tuned=fine_tuned, priors=priors,
         method=args.method)
     return 0
 

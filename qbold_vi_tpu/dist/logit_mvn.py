@@ -294,6 +294,12 @@ class LogitMVN:
         same dropped constant as gaussian_nll)."""
         oef_mu, oef_ls, dbv_mu, dbv_ls, _ = self.unpack(params, mvg=False)
         x = self.backwards_transform(observations[..., 0:2], include_logit=False)
+        # Same support clip as the MVG path: an observation exactly at a
+        # range bound (e.g. synth oef_start == min_oef puts the clipped-
+        # normal atom at x=0) would otherwise logit to +-inf and poison
+        # the whole loss/gradient with NaN.
+        eps = 1e-6
+        x = _clip_preserve_gradient(x, eps, 1.0 - eps)
         lx = logit(x)
         nll = self.gaussian_nll(lx[..., 0], oef_mu, oef_ls)
         nll = nll + self.gaussian_nll(lx[..., 1], dbv_mu, dbv_ls)

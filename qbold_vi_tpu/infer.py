@@ -44,18 +44,9 @@ def _summarize(tuner: FineTuner, params, key, images,
     estimator everywhere, ~5 orders better in the trained regime, no
     PRNG); "mc" keeps the reference's streaming MC estimator."""
     cfg = tuner.cfg
-    q1, q2, _ = tuner.encode(params, images)
-    q = q1 if use_first_op else q2
-    if use_first_op and cfg.infer_inv_gamma:
-        q = q[..., :-4]
-
+    q, raw_log_stds = _encode_q(tuner, params, images,
+                                use_first_op=use_first_op)
     dist = tuner.dist
-    raw_log_stds = [dist.transform_std(q[..., 1:2]),
-                    dist.transform_std(q[..., 3:4])]
-    if cfg.use_mvg:
-        raw_log_stds.append(dist.transform_offdiag(q[..., 4:5]))
-    raw_log_stds = jnp.concatenate(raw_log_stds, -1)
-
     dw_coeff = tuner.scan.dw_coeff * tuner.scan.hct
     if method == "quadrature":
         from .ops.quadrature import posterior_summaries_quadrature
@@ -88,6 +79,19 @@ def _encode_q(tuner: FineTuner, params, images, use_first_op: bool = True):
     return q, jnp.concatenate(raw_log_stds, -1)
 
 
+def _pad_chunk(block: np.ndarray, chunk: int):
+    """Zero-pad a ragged final subject chunk to the compiled chunk shape
+    (padded subjects carry an all-zero mask). A second shape would
+    re-trace and re-compile the whole encode/summarize program -- remote
+    TPU compiles cost minutes, the pad costs one dead pass."""
+    block = np.float32(block)
+    n = block.shape[0]
+    if n == chunk:
+        return block, n
+    pad = np.zeros((chunk - n,) + block.shape[1:], block.dtype)
+    return np.concatenate([block, pad], axis=0), n
+
+
 def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
                    no_samples: int = 200, use_first_op: bool = True,
                    chunk: int = 2, use_pallas: bool | None = None,
@@ -113,7 +117,8 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
 
     outs = []
     for i in range(0, data.shape[0], chunk):
-        block = jnp.asarray(data[i:i + chunk])
+        raw, n_blk = _pad_chunk(data[i:i + chunk], chunk)
+        block = jnp.asarray(raw)
         masked = block[..., :-1] * block[..., -1:]
         key, k = jax.random.split(key)
         if use_pallas:
@@ -148,7 +153,8 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
             out = _summarize(tuner, params, k, masked,
                              no_samples=no_samples,
                              use_first_op=use_first_op, method=method)
-        outs.append(jax.tree_util.tree_map(np.asarray, out))
+        outs.append(jax.tree_util.tree_map(
+            lambda x: np.asarray(x)[:n_blk], out))
     cat = {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
     means = cat["means"]
     return {
@@ -158,10 +164,12 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
 
 
 @partial(jax.jit, static_argnames=("tuner", "cfg", "no_samples",
-                                   "kl_samples", "use_pallas_kl"))
+                                   "kl_samples", "use_pallas_kl",
+                                   "with_kl"))
 def _elbo_maps_one(tuner: FineTuner, cfg: QBoldConfig, params, key,
                    images, mask, priors, no_samples: int = 100,
-                   kl_samples: int = 100, use_pallas_kl: bool = False):
+                   kl_samples: int = 100, use_pallas_kl: bool = False,
+                   with_kl: bool = True):
     """Per-voxel likelihood / KL maps from the fine-tuned model
     (reference: model.py:805-847), fused on device.
 
@@ -205,7 +213,11 @@ def _elbo_maps_one(tuner: FineTuner, cfg: QBoldConfig, params, key,
     mean_pred = pred_sum / no_samples
     if cfg.model.use_population_prior:
         priors = tuner.prior_params(params, q)
-    if use_pallas_kl and cfg.model.use_mvg:
+    if not with_kl:
+        # No prior maps available (and no population prior): the KL map
+        # is undefined -- skip it rather than trace kl_loss over None
+        kl_map = None
+    elif use_pallas_kl and cfg.model.use_mvg:
         # fused MC-KL kernel (ops/pallas_summarize.py): on-chip PRNG,
         # one HBM pass over (q, prior) per voxel
         from .ops.pallas_summarize import mc_kl_map
@@ -230,7 +242,10 @@ def _elbo_maps_one(tuner: FineTuner, cfg: QBoldConfig, params, key,
         p_ref = jnp.mean(mean_pred[..., se:se + 1], -1, keepdims=True)
     residual = jnp.mean(jnp.abs(images / (t_ref + eps)
                                 - mean_pred / (p_ref + eps)), -1, keepdims=True)
-    return {"likelihood": nll_map, "kl": kl_map, "residual": residual}
+    out = {"likelihood": nll_map, "residual": residual}
+    if kl_map is not None:
+        out["kl"] = kl_map
+    return out
 
 
 def posterior_maps_sharded(tuner: FineTuner, params, data: np.ndarray, key,
@@ -320,21 +335,31 @@ def elbo_maps(tuner: FineTuner, cfg: QBoldConfig, params, data: np.ndarray,
               priors: Optional[np.ndarray], key, no_samples: int = 100,
               chunk: int = 1, use_pallas_kl: bool | None = None) -> dict:
     """Chunked likelihood/KL/residual maps over subjects. On TPU backends
-    (and MVG posteriors) the KL map runs in the fused Pallas kernel."""
+    (and MVG posteriors) the KL map runs in the fused Pallas kernel.
+
+    The KL map needs a prior per voxel: ``priors`` (predicted by the
+    PRETRAINED encoder, reference train.py:26-31) or the model's own
+    population prior. With neither, the "kl" key is omitted (the
+    reference cannot hit this state -- its fine-tuner always evaluates
+    against the dataset priors)."""
     if use_pallas_kl is None:
         use_pallas_kl = jax.default_backend() in ("tpu", "axon")
+    with_kl = priors is not None or cfg.model.use_population_prior
     outs = []
     for i in range(0, data.shape[0], chunk):
-        block = jnp.asarray(data[i:i + chunk])
+        raw, n_blk = _pad_chunk(data[i:i + chunk], chunk)
+        block = jnp.asarray(raw)
         mask = block[..., -1:]
         images = block[..., :-1] * mask
-        p = jnp.asarray(priors[i:i + chunk]) if priors is not None else None
+        p = None
+        if priors is not None:
+            p = jnp.asarray(_pad_chunk(priors[i:i + chunk], chunk)[0])
         key, k = jax.random.split(key)
         outs.append(jax.tree_util.tree_map(
-            np.asarray,
+            lambda x: np.asarray(x)[:n_blk],
             _elbo_maps_one(tuner, cfg, params, k, images, mask, p,
                            no_samples=no_samples,
-                           use_pallas_kl=use_pallas_kl)))
+                           use_pallas_kl=use_pallas_kl, with_kl=with_kl)))
     return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
 
 
@@ -367,17 +392,35 @@ def save_predictions(tuner: FineTuner, cfg: QBoldConfig, params,
                               use_first_op=use_first_op, method=method)
 
     if fine_tuned:
+        if priors is None and not cfg.model.use_population_prior:
+            import warnings
+            warnings.warn(
+                "fine-tuned export without priors or a population prior: "
+                "the _kl map needs the pretrained-encoder priors "
+                "(reference train.py:26-31) -- pass priors= (e.g. from "
+                "Trainer.pretrained_params); exporting _likelihood/"
+                "_residual only", stacklevel=2)
         extra = elbo_maps(tuner, cfg, params, data, priors, k2)
         maps.update(extra)
         nifti.save_im_data(extra["likelihood"], filename + "_likelihood",
                            transform_directory)
-        nifti.save_im_data(extra["kl"], filename + "_kl", transform_directory)
+        if "kl" in extra:
+            nifti.save_im_data(extra["kl"], filename + "_kl",
+                               transform_directory)
         nifti.save_im_data(extra["residual"], filename + "_residual",
                            transform_directory)
 
     if transform_directory and fsl.have_fsl():
-        fsl.warp_maps_to_mni(maps["oef"], maps["dbv"], maps["r2p"],
-                             filename, transform_directory)
+        if nifti.have_nibabel():
+            fsl.warp_maps_to_mni(maps["oef"], maps["dbv"], maps["r2p"],
+                                 filename, transform_directory)
+        else:
+            import warnings
+            warnings.warn(
+                "transform_directory given but nibabel is unavailable: "
+                "skipping the MNI-space export (the built-in NIfTI "
+                "fallback cannot carry the affines applywarp needs)",
+                stacklevel=2)
 
     nifti.save_im_data(maps["oef"], filename + "_oef", transform_directory)
     nifti.save_im_data(maps["dbv"], filename + "_dbv", transform_directory)

@@ -47,6 +47,16 @@ def warp_maps_to_mni(oef: np.ndarray, dbv: np.ndarray, r2p: np.ndarray,
     """
     from . import nifti
 
+    if not nifti.have_nibabel():
+        # The built-in NIfTI writer carries identity affines; applywarp
+        # would run on them and produce silently mis-oriented MNI maps,
+        # and the merged read-back needs real headers. Refuse up front
+        # (before any FSL command runs) rather than fail mid-export.
+        raise RuntimeError(
+            "MNI-space export requires nibabel (the built-in NIfTI "
+            "fallback cannot carry the affine/orientation metadata "
+            "applywarp needs)")
+
     ref_image = os.path.join(transform_directory, "MNI152_T1_2mm.nii.gz")
     merged = filename + "_merged.nii.gz"
     mni_parts = []

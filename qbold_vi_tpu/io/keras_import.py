@@ -272,10 +272,22 @@ def load_reference_h5(h5_path: str, cfg, scan,
     Tries the direct legacy-HDF5 parser first (the format the
     reference's TF2.x wrote; needs only h5py); falls back to rebuilding
     the reference encoder and loading through Keras (covers Keras-3
-    formats; encoder weights only)."""
+    formats; encoder weights ONLY -- the Keras path cannot recover the
+    fine-tuner extras, so the fallback is taken loudly, never silently:
+    a final_model.h5 whose legacy parse fails for an incidental reason
+    would otherwise come back without pop_prior/log_sigma and die later
+    with an unrelated-looking KeyError)."""
+    import warnings
+
     try:
         return params_from_legacy_h5(h5_path, cfg)
-    except Exception:
+    except Exception as e:
+        warnings.warn(
+            f"legacy-HDF5 parse of {h5_path!r} failed "
+            f"({type(e).__name__}: {e}); falling back to the Keras "
+            f"loader, which recovers ENCODER weights only (any "
+            f"population-prior / trainable-sigma extras in the file are "
+            f"dropped and will be freshly initialised)", stacklevel=2)
         model = build_reference_encoder(cfg, scan, reference_dir)
         model.load_weights(h5_path)
         return params_from_reference_encoder(model, cfg)

@@ -84,7 +84,21 @@ def _read_nifti1(path: str) -> np.ndarray:
     dtype = _DTYPES[code]
     n = int(np.prod(shape))
     data = np.frombuffer(raw, dtype=dtype, count=n, offset=int(vox_offset))
-    return data.reshape(shape, order="F").copy()
+    data = data.reshape(shape, order="F")
+    # Apply the header's affine scaling exactly like nibabel's
+    # get_fdata: scanner exports commonly store int16 with
+    # scl_slope/inter set, and returning the raw integers would be
+    # silently ~1/slope x wrong (slope 0 means "no scaling" per spec)
+    (scl_slope,) = struct.unpack_from("<f", raw, 112)
+    (scl_inter,) = struct.unpack_from("<f", raw, 116)
+    if not np.isfinite(scl_slope):
+        scl_slope = 1.0
+    if not np.isfinite(scl_inter):
+        scl_inter = 0.0
+    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
+        return (data.astype(np.float64)
+                * (scl_slope if scl_slope != 0.0 else 1.0) + scl_inter)
+    return data.copy()
 
 
 def load_nifti(path: str) -> np.ndarray:

@@ -49,7 +49,10 @@ def sample_population_params(key: jax.Array, synth: SynthParams):
     k_ou, k_on, k_du, k_dn = jax.random.split(key, 4)
     n = synth.sample_size
     n_uni = round(n * synth.uniform_prop)
-    n_norm = round(n * (1.0 - synth.uniform_prop))
+    # complement, NOT a second round(): two banker's-rounded halves can
+    # sum to n-1 (e.g. n=101, prop=0.5), silently shrinking the dataset
+    # and diverging from create_synthetic_dataset_host's counts
+    n_norm = n - n_uni
 
     oef_u = jax.random.uniform(k_ou, (n_uni,), minval=synth.oef_start,
                                maxval=synth.oef_end)

@@ -254,6 +254,19 @@ class Trainer:
         return TrainState(restored["params"], restored["opt_state"], swa_state,
                           jnp.asarray(restored["step"]))
 
+    def pretrained_params(self):
+        """Params of the PRETRAINED checkpoint when one exists on disk
+        (even after fine-tuning finished) -- the encoder the reference
+        predicts per-voxel priors with (train.py:26-31); None when no
+        pt checkpoint was kept."""
+        if self.status is WeightStatus.PRE_TRAINED:
+            return self.state.params
+        if not os.path.isfile(self.pt_path):
+            return None
+        opt = make_pretrain_optimizer(self.cfg.train)
+        return self._load_state(self.pt_path, swa=self.cfg.train.use_swa,
+                                optimizer=opt).params
+
     def _maybe_resume(self) -> None:
         """Auto-load the most advanced checkpoint
         (reference: qbold_build_model.py:45-56)."""

@@ -165,3 +165,52 @@ def test_baseline_cli_streamlined_protocol_and_mni_export(tmp_path,
     rc = main(["baseline", dpath, "-o", str(tmp_path / "wls2"),
                "--set", "tau_start=-0.028", "--set", "tau_step=0.004"])
     assert rc == 0
+
+
+def test_infer_fine_tuned_without_pop_prior_exports_kl(tmp_path):
+    """The optimal preset has use_mvg=True, use_population_prior=False:
+    the standalone infer CLI on a FULL_TRAINED checkpoint used to crash
+    tracing kl_loss over priors=None. It now recovers the per-voxel
+    priors from the pt checkpoint kept next to the final one (reference
+    train.py:26-31 semantics) and exports the _kl map."""
+    import dataclasses
+
+    import jax
+
+    from qbold_vi_tpu.config import (ModelConfig, QBoldConfig, ScanParams,
+                                     SynthParams, TrainConfig)
+    from qbold_vi_tpu.train.trainer import Trainer
+
+    save = str(tmp_path / "run")
+    cfg = QBoldConfig(
+        scan=ScanParams(simulate_noise=False),
+        synth=SynthParams(sample_size=40),
+        model=ModelConfig(no_units=4, no_intermediate_layers=1,
+                          use_mvg=True, student_t_df=200.0,
+                          predict_log_data=False),
+        train=TrainConfig(no_pt_epochs=1, no_ft_epochs=1, pt_batch_size=8,
+                          ft_batch_size=2, ft_steps_per_epoch=2,
+                          crop_size=6, save_directory=save,
+                          swa_start=1, swa_period=1),
+    )
+    assert not cfg.model.use_population_prior
+    t = Trainer(cfg)
+    t.pretrain()
+    rng = np.random.default_rng(3)
+    real = np.abs(rng.normal(size=(2, 8, 8, 2, cfg.scan.n_taus + 1))
+                  ).astype(np.float32) * 50 + 100
+    real[..., -1] = 1.0
+    t.finetune(real)
+
+    dpath = str(tmp_path / "subj.npy")
+    np.save(dpath, real[:1])
+    out = str(tmp_path / "maps")
+    rc = main(["infer", dpath, "--output", out,
+               "--set", f"save_directory={save}",
+               "--set", "no_units=4", "--set", "no_intermediate_layers=1",
+               "--set", "simulate_noise=False", "--set", "use_mvg=True",
+               "--set", "student_t_df=200.0",
+               "--set", "predict_log_data=False"])
+    assert rc == 0
+    for suffix in ("_oef", "_kl", "_likelihood", "_residual"):
+        assert os.path.isfile(out + suffix + ".nii.gz"), suffix

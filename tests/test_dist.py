@@ -312,3 +312,24 @@ class TestStreamedKL:
         # and inside a grad-of-jit (the training-step usage)
         g = jax.jit(jax.grad(lambda qq: jnp.sum(f(qq, p))))(q)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestSupportBoundary:
+    def test_diagonal_log_prob_finite_at_range_bounds(self):
+        """Observations exactly at the OEF/DBV support bounds (e.g. the
+        clipped-normal atom when oef_start == min_oef) must not logit to
+        +-inf: the diagonal path now clips like the MVG path."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from qbold_vi_tpu.dist import LogitMVN
+
+        d = LogitMVN()
+        obs = jnp.asarray([[d.min_oef, d.min_dbv],
+                           [d.min_oef + d.oef_range,
+                            d.min_dbv + d.dbv_range]], jnp.float32)
+        params = jnp.zeros((2, 4), jnp.float32)
+        nll = d.logit_gaussian_log_prob(obs, params)
+        assert np.all(np.isfinite(np.asarray(nll)))
+        mvg = d.logit_gaussian_mvg_log_prob(obs, jnp.zeros((2, 5)))
+        assert np.all(np.isfinite(np.asarray(mvg)))

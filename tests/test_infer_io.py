@@ -175,3 +175,95 @@ class TestPreprocessNumerics:
         np.testing.assert_allclose(out[0, 0, :, 0], [0.5, 2.5])
         assert np.all(out[..., 11] == 1.0)
         assert np.all(out[..., 12] == 0.0)
+
+class TestReviewRegressions:
+    def test_elbo_maps_without_priors_omits_kl(self, rng):
+        """priors=None with no population prior used to trace
+        kl_loss(None) -> TypeError; now the kl map is omitted and the
+        rest of the export works."""
+        tuner, params, data, key = _setup(rng, s=1)
+        maps = elbo_maps(tuner, CFG, params, data, None, key, no_samples=4)
+        assert set(maps) == {"likelihood", "residual"}
+        for v in maps.values():
+            assert np.all(np.isfinite(v))
+
+    def test_fine_tuned_export_without_priors_warns_and_skips_kl(
+            self, rng, tmp_path):
+        tuner, params, data, key = _setup(rng, s=1)
+        base = str(tmp_path / "nopriors")
+        with pytest.warns(UserWarning, match="_kl map"):
+            save_predictions(tuner, CFG, params, data, base, key,
+                             fine_tuned=True, priors=None)
+        assert os.path.isfile(base + "_likelihood.nii.gz")
+        assert os.path.isfile(base + "_residual.nii.gz")
+        assert not os.path.isfile(base + "_kl.nii.gz")
+
+    def test_posterior_maps_ragged_chunk_matches(self, rng):
+        """A subject count that does not divide the chunk is zero-padded
+        to the compiled shape (one program, no ragged recompile) and the
+        padded rows are sliced off -- maps identical to chunk=1."""
+        tuner, params, data, key = _setup(rng, s=3)
+        a = posterior_maps(tuner, params, data, key, chunk=2)
+        b = posterior_maps(tuner, params, data, key, chunk=1)
+        for k in a:
+            assert a[k].shape[0] == 3
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-7)
+
+    def test_elbo_maps_ragged_chunk_matches(self, rng):
+        """Zero-padding the ragged final chunk must not contaminate the
+        real subjects: identical key chain and compiled shapes as a
+        manually pre-padded stack, so the sliced maps are bit-equal."""
+        tuner, params, data, key = _setup(rng, s=3)
+        priors = rng.normal(size=data.shape[:-1] + (5,)
+                            ).astype(np.float32) * 0.3
+        a = elbo_maps(tuner, CFG, params, data, priors, key,
+                      no_samples=4, chunk=2)
+        data_p = np.concatenate(
+            [data, np.zeros((1,) + data.shape[1:], data.dtype)], 0)
+        priors_p = np.concatenate(
+            [priors, np.zeros((1,) + priors.shape[1:], priors.dtype)], 0)
+        b = elbo_maps(tuner, CFG, params, data_p, priors_p, key,
+                      no_samples=4, chunk=2)
+        for k in a:
+            assert a[k].shape[0] == 3
+            assert np.all(np.isfinite(a[k]))
+            np.testing.assert_array_equal(a[k], b[k][:3])
+
+    def test_nifti_fallback_applies_scl_scaling(self, tmp_path):
+        """Scanner exports commonly store int16 with scl_slope/inter;
+        the built-in reader must apply them like nibabel's get_fdata."""
+        import struct
+
+        from qbold_vi_tpu.io import nifti
+
+        raw = np.arange(24, dtype=np.int16).reshape(4, 3, 2)
+        p = str(tmp_path / "scaled.nii")
+        nifti._write_nifti1(raw, p)
+        with open(p, "rb") as f:
+            buf = bytearray(f.read())
+        struct.pack_into("<f", buf, 112, 0.012)   # scl_slope
+        struct.pack_into("<f", buf, 116, -1.5)    # scl_inter
+        with open(p, "wb") as f:
+            f.write(bytes(buf))
+        back = nifti._read_nifti1(p)
+        np.testing.assert_allclose(back, raw.astype(np.float64) * 0.012 - 1.5,
+                                   rtol=1e-6)
+        # slope 0 means "no scaling" per the NIfTI-1 spec
+        struct.pack_into("<f", buf, 112, 0.0)
+        struct.pack_into("<f", buf, 116, 0.0)
+        with open(p, "wb") as f:
+            f.write(bytes(buf))
+        np.testing.assert_array_equal(nifti._read_nifti1(p), raw)
+
+    def test_warp_maps_to_mni_refuses_without_nibabel(self, tmp_path):
+        """applywarp on identity-affine fallback files would produce
+        silently mis-oriented MNI maps: refuse up front (this
+        environment has no nibabel, so the guard is hit directly)."""
+        from qbold_vi_tpu.io import fsl, nifti
+
+        if nifti.have_nibabel():
+            pytest.skip("nibabel present; guard not reachable")
+        m = np.zeros((1, 4, 4, 2, 1), np.float32)
+        with pytest.raises(RuntimeError, match="nibabel"):
+            fsl.warp_maps_to_mni(m, m, m, str(tmp_path / "x"),
+                                 str(tmp_path))

@@ -152,3 +152,21 @@ class TestHostDataset:
         x, y = create_synthetic_dataset_host(jax.random.PRNGKey(3), scan, sp)
         expect = np.asarray(physics.ase_signal(y[:, 0], y[:, 1], scan))
         np.testing.assert_allclose(x, expect, rtol=1e-6, atol=1e-7)
+
+
+class TestPopulationCounts:
+    def test_mixture_counts_sum_to_sample_size(self):
+        """Two independent round() calls summed to n-1 for half-integer
+        splits (banker's rounding); n_norm is now the complement, and
+        device/host dataset sizes agree for any (n, uniform_prop)."""
+        import jax
+
+        from qbold_vi_tpu.config import SynthParams
+        from qbold_vi_tpu.synth import sample_population_params
+
+        for n, prop in ((101, 0.5), (40, 0.5), (7, 0.3), (100, 0.665)):
+            oefs, dbvs = sample_population_params(
+                jax.random.PRNGKey(0),
+                SynthParams(sample_size=n, uniform_prop=prop))
+            assert oefs.shape == (n,), (n, prop)
+            assert dbvs.shape == (n,), (n, prop)
