@@ -65,8 +65,14 @@ class ScanParams:
 
     @property
     def se_idx(self) -> int:
-        """Index of the spin-echo (tau==0) image (reference: model.py:95)."""
-        return int(abs(self.tau_start / self.tau_step))
+        """Index of the spin-echo (tau==0) image (reference: model.py:95).
+
+        Rounded, not truncated: the reference's int() truncation is
+        exact for its own grids (0.016/0.008) but text-parsed grids can
+        carry fp error (e.g. 0.009/0.003 -> 2.9999...), and truncation
+        would silently normalise every consumer (normalise_data, the
+        NLL reference window, the fused kernels) by a nonzero-tau image."""
+        return int(round(abs(self.tau_start / self.tau_step)))
 
     @property
     def dw_coeff(self) -> float:

@@ -95,7 +95,8 @@ def _pad_chunk(block: np.ndarray, chunk: int):
 def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
                    no_samples: int = 200, use_first_op: bool = True,
                    chunk: int = 2, use_pallas: bool | None = None,
-                   method: str = "quadrature") -> dict:
+                   method: str = "quadrature",
+                   antithetic: bool = True) -> dict:
     """Posterior mean/std maps for (S, X, Y, Z, n_taus+1) masked volumes.
 
     ``method="quadrature"`` (default) evaluates the posterior
@@ -108,6 +109,13 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
     ops/pallas_summarize.py); elsewhere the jnp paths are used. All
     four are gated against each other in tests/test_quadrature.py and
     tests/test_pallas.py.
+
+    ``antithetic`` (Pallas "mc" only): the kernel default pairs each
+    draw with its negation -- unbiased, lower variance, ~33% fewer
+    transcendentals, but a DIFFERENT sampling distribution than the
+    reference's plain-iid draws; pass False for an estimator whose
+    sampling distribution matches the reference's (the documented RNG
+    stance compares distributions, never streams).
 
     Returns numpy maps: oef, dbv, r2p (each (S,X,Y,Z,1)), stds
     (S,X,Y,Z,3), raw_log_stds (S,X,Y,Z,2|3).
@@ -143,7 +151,7 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
                     no_samples=no_samples, mvg=cfg.use_mvg,
                     oef_range=cfg.oef_range, min_oef=cfg.min_oef,
                     dbv_range=cfg.dbv_range, min_dbv=cfg.min_dbv,
-                    dw_coeff=dwc)
+                    dw_coeff=dwc, antithetic=antithetic)
             out = {
                 "means": means.reshape(q.shape[:-1] + (3,)),
                 "stds": variances.reshape(q.shape[:-1] + (3,)),
@@ -252,7 +260,8 @@ def posterior_maps_sharded(tuner: FineTuner, params, data: np.ndarray, key,
                            mesh, no_samples: int = 200,
                            use_first_op: bool = True,
                            use_pallas: bool | None = None,
-                           method: str = "quadrature") -> dict:
+                           method: str = "quadrature",
+                           antithetic: bool = True) -> dict:
     """Mesh-parallel full-brain inference: volumes shard over the
     ``data`` axis (leading/subject dim), params replicate, each device
     summarizes its shard (the Pallas kernel runs per-device inside
@@ -304,7 +313,7 @@ def posterior_maps_sharded(tuner: FineTuner, params, data: np.ndarray, key,
                     no_samples=no_samples, mvg=cfg.use_mvg,
                     oef_range=cfg.oef_range, min_oef=cfg.min_oef,
                     dbv_range=cfg.dbv_range, min_dbv=cfg.min_dbv,
-                    dw_coeff=dwc)
+                    dw_coeff=dwc, antithetic=antithetic)
             return {"means": means.reshape(q.shape[:-1] + (3,)),
                     "stds": variances.reshape(q.shape[:-1] + (3,)),
                     "raw_log_stds": raw_log_stds}

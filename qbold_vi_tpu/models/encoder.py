@@ -101,6 +101,11 @@ class GatedResBlock(nn.Module):
             if cfg.dropout_rate > 0.0:
                 h = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(h)
             if cfg.use_layer_norm:
+                # flax GroupNorm(num_groups=1) normalises over ALL
+                # non-batch axes (spatial + channels) -- exactly what the
+                # reference's tfa.GroupNormalization(groups=1, axis=-1)
+                # does (model.py:139). Deliberate: per-voxel LayerNorm
+                # would NOT be parity (statistics here pool the crop).
                 h = nn.GroupNorm(num_groups=1)(h)
             return h
 

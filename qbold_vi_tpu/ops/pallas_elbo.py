@@ -53,6 +53,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModelConfig, ScanParams
+from ..dist.logit_mvn import _whiten
 from .pallas_decode import (_SUB, _consts, _nll_row, _nll_row_grads,
                             _pack_rows, _pack_taus, fused_available)
 from .pallas_summarize import _box_muller
@@ -99,14 +100,12 @@ def _unpack_q(ref):
 
 
 def _whiten_tiles(l0, l1, mu0, ls0, mu1, ls1, od):
-    """(r0, w0, w1, itl, ibr, ibl) of the Cholesky whitening (mirrors
-    dist/logit_mvn.py::_whiten on kernel tiles)."""
-    itl = jnp.exp(-ls0)
-    ibr = jnp.exp(-ls1)
-    ibl = -jnp.exp(-ls0 - ls1) * od
-    r0 = l0 - mu0
-    w0 = r0 * itl
-    w1 = (l1 - mu1) * ibr + r0 * ibl
+    """Kernel-tile adapter over dist/logit_mvn.py::_whiten -- the SINGLE
+    owner of the Cholesky-whitening algebra (pure jnp, runs inside
+    Pallas): drops r1, reorders to the kernel's
+    (r0, w0, w1, itl, ibr, ibl)."""
+    r0, _r1, w0, w1, itl, ibr, ibl = _whiten(l0, l1, mu0, ls0, mu1,
+                                             ls1, od)
     return r0, w0, w1, itl, ibr, ibl
 
 

@@ -173,13 +173,10 @@ def _kl_kernel(seed_ref, q_ref, p_ref, kl_ref, *, no_samples: int,
     p_mu1 = p_ref[2]
     p_ls1 = jnp.tanh(p_ref[3]) * 3.0 - 1.0
     p_od = jnp.tanh(p_ref[4]) * math.exp(-2.0) if mvg else 0.0
-    # inverse Cholesky of p (lower triangular [[e^a,0],[c,e^b]])
-    p_itl = jnp.exp(-p_ls0)
-    p_ibr = jnp.exp(-p_ls1)
-    p_ibl = -p_od * jnp.exp(-p_ls0 - p_ls1)
-    q_itl = jnp.exp(-q_ls0)
-    q_ibr = jnp.exp(-q_ls1)
-    q_ibl = -q_od * jnp.exp(-q_ls0 - q_ls1)
+
+    # Cholesky whitening shared with dist/logit_mvn.py (the single
+    # owner of that algebra; pure jnp, runs inside Pallas)
+    from ..dist.logit_mvn import _whiten
 
     bound = math.log((1.0 - 1e-6) / 1e-6)
 
@@ -192,12 +189,10 @@ def _kl_kernel(seed_ref, q_ref, p_ref, kl_ref, *, no_samples: int,
             l1 = q_mu1 + z1 * q_std1
         l0 = jnp.clip(l0, -bound, bound)
         l1 = jnp.clip(l1, -bound, bound)
-        r0q, r1q = l0 - q_mu0, l1 - q_mu1
-        w0q = r0q * q_itl
-        w1q = r1q * q_ibr + r0q * q_ibl
-        r0p, r1p = l0 - p_mu0, l1 - p_mu1
-        w0p = r0p * p_itl
-        w1p = r1p * p_ibr + r0p * p_ibl
+        *_, w0q, w1q, _, _, _ = _whiten(l0, l1, q_mu0, q_ls0, q_mu1,
+                                        q_ls1, q_od)
+        *_, w0p, w1p, _, _, _ = _whiten(l0, l1, p_mu0, p_ls0, p_mu1,
+                                        p_ls1, p_od)
         return acc + 0.5 * ((w0p * w0p + w1p * w1p)
                             - (w0q * w0q + w1q * w1q))
 

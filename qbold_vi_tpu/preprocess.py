@@ -254,16 +254,27 @@ def prepare_data(directory: str, orig_filebasename: str, *,
             os.remove(tar_file)
         tar = tarfile.open(tar_file, "x:gz")
 
-    for idx, im_filename in enumerate(results):
+    for im_filename in results:
         image_data = prepare_image(im_filename)
+        if shape is None:
+            shape = image_data.shape
+        if shape != image_data.shape:
+            # Skip the subject from EVERY artifact, not just the stack:
+            # tarring its warp / merging its GM mask anyway would shift
+            # nonlin<i>/gm indices off the .npy subject axis and pair
+            # subjects with the wrong registration downstream (the MNI
+            # export reads nonlin<i> for npy subject i).
+            import warnings
+            warnings.warn(
+                f"{im_filename}: shape {image_data.shape} != first "
+                f"subject's {shape}; subject EXCLUDED from the stacked "
+                f".npy, warps and GM merge", stacklevel=2)
+            continue
         if include_warp:
             nonlin, gm_im = register_to_t1(im_filename)
             gm_paths.append(gm_im)
-            tar.add(nonlin, arcname=f"nonlin{idx}.nii.gz")
-        if shape is None:
-            shape = image_data.shape
-        if shape == image_data.shape:
-            data.append(average_slices(image_data, average_n_slices))
+            tar.add(nonlin, arcname=f"nonlin{len(data)}.nii.gz")
+        data.append(average_slices(image_data, average_n_slices))
     if tar is not None:
         tar.close()
         if gm_paths:

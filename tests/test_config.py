@@ -29,6 +29,15 @@ class TestScanParams:
         assert s.n_taus == 24
         assert s.se_idx == 7
 
+    def test_se_idx_rounds_fp_ratio(self):
+        """Text-parsed grids carry fp error: 0.009/0.003 = 2.9999...;
+        truncation gave se_idx=2 (a nonzero-tau image) and silently
+        mis-normalised every consumer. se_idx must index tau==0."""
+        for start, step in ((-0.009, 0.003), (-0.018, 0.006),
+                            (-0.075, 0.025), (-0.016, 0.008)):
+            s = ScanParams(tau_start=start, tau_step=step)
+            assert abs(s.taus()[s.se_idx]) < 1e-7, (start, step, s.se_idx)
+
     def test_dw_coeff(self):
         s = ScanParams()
         expect = (4.0 / 3.0) * math.pi * s.gamma * s.b0 * s.dchi

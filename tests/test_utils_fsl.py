@@ -225,3 +225,56 @@ class TestRegistrationChain:
         with pytest.raises(FileNotFoundError):
             preprocess.average_fieldmaps(str(d / "VDM"), "B",
                                          str(d / "shift"))
+
+
+class TestPrepareDataSubjectSkip:
+    def test_shape_mismatch_excluded_from_every_artifact(
+            self, monkeypatch, tmp_path):
+        """A shape-mismatched subject used to be dropped from the
+        stacked .npy but still tarred its warp as nonlin<glob-idx> and
+        merged its GM mask -- pairing npy subject i with the WRONG
+        nonlin<i>/gm volume downstream. It must now be excluded from
+        all three, with warp indices following the stacked order."""
+        import tarfile
+
+        from qbold_vi_tpu import preprocess
+
+        base = tmp_path / "study"
+        base.mkdir()
+        shapes = {"s1": (4, 4, 2, 3), "s2": (6, 6, 2, 3), "s3": (4, 4, 2, 3)}
+        for name in shapes:
+            d = tmp_path / f"study{name}"
+            d.mkdir()
+            (d / "ase.nii.gz").write_bytes(b"")
+
+        def fake_prepare_image(path, **kw):
+            sub = [k for k in shapes if f"study{k}/" in path][0]
+            return np.zeros(shapes[sub], np.float32)
+
+        nonlin = tmp_path / "nonlin_src.nii.gz"
+        nonlin.write_bytes(b"warp")
+        calls = {"gm": None}
+
+        def fake_register(path, **kw):
+            return str(nonlin), path + "_gm"
+
+        def fake_fslmerge(out, paths):
+            calls["gm"] = list(paths)
+
+        monkeypatch.setattr(preprocess, "prepare_image", fake_prepare_image)
+        monkeypatch.setattr(preprocess, "register_to_t1", fake_register)
+        from qbold_vi_tpu.io import fsl as fsl_mod
+        monkeypatch.setattr(fsl_mod, "fslmerge", fake_fslmerge)
+
+        with pytest.warns(UserWarning, match="EXCLUDED"):
+            stacked = preprocess.prepare_data(
+                str(tmp_path / "study"), "ase", include_warp=True)
+        # s2 (mismatched) dropped from the stack...
+        assert stacked.shape[0] == 2
+        # ...and from the warp tar: exactly nonlin0/nonlin1 (stack order)
+        with tarfile.open(str(tmp_path / "study" / "warp_infoase.tar.gz")) as t:
+            names = sorted(t.getnames())
+        assert names == ["nonlin0.nii.gz", "nonlin1.nii.gz"]
+        # ...and from the GM merge (2 paths, s1 and s3)
+        assert calls["gm"] is not None and len(calls["gm"]) == 2
+        assert not any("s2" in p for p in calls["gm"])
