@@ -71,7 +71,11 @@ def main() -> None:
     n_voxels = int(np.prod(data.shape[:-1]))
 
     key = jax.random.PRNGKey(0)
-    params = tuner.init(key, jnp.asarray(data[:1, :8, :8, :1]))
+    # jit the init: eager flax init costs a tunnel roundtrip PER OP on
+    # the remote backend (minutes of invisible wall clock against the
+    # bench budget); one compiled program instead
+    note("initialising model (jitted)...")
+    params = jax.jit(tuner.init)(key, jnp.asarray(data[:1, :8, :8, :1]))
 
     images = jax.device_put(jnp.asarray(data))
 

@@ -393,6 +393,7 @@ def cmd_sweep(args) -> int:
         else:
             results = random_search(cfg, space, n_trials=args.trials,
                                     metric=metric, run_fn=run_fn,
+                                    maximize=goal == "maximize",
                                     parallel_trials=args.parallel_trials)
     else:
         from .sweep import run_grid_sweep

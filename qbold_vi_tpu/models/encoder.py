@@ -43,7 +43,10 @@ def normalise_data(data: jax.Array, se_idx: int, multi_image: bool) -> jax.Array
     by the mean of the spin-echo(-adjacent) images, log."""
     data = jnp.clip(data, 1e-2, 1e8)
     if multi_image:
-        ref = jnp.mean(data[..., se_idx - 1:se_idx + 2], axis=-1, keepdims=True)
+        # clamp at the grid edge: se_idx == 0 would slice [-1:2] ->
+        # empty -> NaN (same guard as losses.fine_tune_nll)
+        ref = jnp.mean(data[..., max(se_idx - 1, 0):se_idx + 2],
+                       axis=-1, keepdims=True)
     else:
         ref = data[..., se_idx:se_idx + 1]
     return jnp.log(data / ref)

@@ -219,9 +219,13 @@ def _population_group(cfg: QBoldConfig, trial_ovs: Sequence[dict],
                                                      ia_t, ib_t)
         updates, opt_state = adam.update(grads, opt_state)
         # tfa-AdamW semantics with PER-TRIAL lr / decoupled wd (the
-        # traced form of optim.scheduled_adamw's constant schedules)
+        # traced form of optim.scheduled_adamw's constant schedules),
+        # decay masked to the encoder like the serial pretrain optimiser
+        # (optim._encoder_only: phase-1 never trains pop_prior/log_sigma)
+        wd_mask = toptim._encoder_only(params)
         updates = jax.tree_util.tree_map(
-            lambda u, p: -lr_t * u - wd_t * p, updates, params)
+            lambda u, p, m: -lr_t * u - (wd_t * p if m else 0.0),
+            updates, params, wd_mask)
         params = optax.apply_updates(params, updates)
         if swa is not None:
             swa = toptim.swa_update(swa, params, tr.swa_start, tr.swa_period)
@@ -245,14 +249,20 @@ def _population_group(cfg: QBoldConfig, trial_ovs: Sequence[dict],
                 return jnp.where(adopt, avg, p)
 
             params = jax.tree_util.tree_map(pick, swa.average, params)
-        # shared validation under the trial's own hyperparameters
-        val_loss = trial_loss(params, jax.random.PRNGKey(0), val_batch,
-                              ia_t, ib_t, train=False)
+        # shared validation under the trial's own hyperparameters --
+        # SAME key structure as steps.make_pretrain_eval's
+        # split(PRNGKey(0)) so stochastic loss terms (the 10-sample R2'
+        # NLL) draw identical normals: identical params must score the
+        # same val_elbo in population and serial runs
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        val_loss = trial_loss(params, k1, val_batch, ia_t, ib_t,
+                              train=False)
         out1, _, _ = tuner.encode(params, val_batch["x"])
         if cfg.model.infer_inv_gamma:
-            out1 = out1[..., : out1.shape[-1] // 2]
-        mets = posterior_mse_metrics(jax.random.PRNGKey(1), tuner, out1,
-                                     val_batch["y"])
+            out1 = out1[..., :-4]   # drop the 4 exp'd hyperprior
+            # channels (losses.py:103); `// 2` was only right for
+            # the diagonal head (4+4), not MVG (5+4)
+        mets = posterior_mse_metrics(k2, tuner, out1, val_batch["y"])
         mets = dict(mets, val_loss=val_loss, loss=losses_t[-1])
         return mets
 
@@ -454,21 +464,52 @@ def _draw(rng: np.random.Generator, spec: tuple):
 
 def _run_trial(cfg: QBoldConfig, overrides: dict, trial: int,
                run_fn: Callable[[QBoldConfig], dict]) -> dict:
+    """One sweep trial. A trial that raises (NaN tripwire, OOM, bad
+    hyperparameters) must not abort the sweep and discard every
+    completed result -- it is recorded as failed and ranks last
+    (metric-less trials are excluded from the TPE model)."""
     overrides = dict(overrides)
     overrides["save_directory"] = f"{cfg.train.save_directory}/trial{trial}"
     run_cfg = apply_flat_overrides(cfg, overrides)
-    out = run_fn(run_cfg)
+    try:
+        out = run_fn(run_cfg)
+    except Exception as e:                    # noqa: BLE001 - see docstring
+        import sys
+        print(f"[sweep] trial {trial} FAILED ({type(e).__name__}: {e}); "
+              f"ranking last", file=sys.stderr)
+        out = {"status": "failed", "error": f"{type(e).__name__}: {e}"}
     out.update(trial=trial, overrides=overrides)
     return out
+
+
+def _sort_results(results: list, metric: str, maximize: bool) -> None:
+    """Best-first in-place sort: non-finite / missing / non-numeric
+    metrics rank LAST (a bare sort would let a NaN break the total
+    order and list a diverged trial first)."""
+
+    def sort_key(r):
+        y = r.get(metric, float("inf"))
+        try:
+            y = float(y)
+        except (TypeError, ValueError):
+            return float("inf")
+        if not np.isfinite(y):
+            return float("inf")
+        return -y if maximize else y
+
+    results.sort(key=sort_key)
 
 
 def random_search(cfg: QBoldConfig, space: dict, n_trials: int,
                   run_fn: Optional[Callable[[QBoldConfig], dict]] = None,
                   metric: str = "val_elbo", seed: int = 0,
+                  maximize: bool = False,
                   parallel_trials: int = 1) -> list:
     """Uniform random search over the space grammar above (the baseline
     the Bayesian sweep is compared against; also accepts the reference's
-    wandb parameter dicts via _normalise_space).
+    wandb parameter dicts via _normalise_space). Results sorted
+    best-first on ``metric`` (``maximize`` flips the direction);
+    failed / non-finite trials rank last.
 
     ``parallel_trials > 1`` (default objective only): trials execute in
     vmapped populations of that size on ONE device
@@ -484,13 +525,13 @@ def random_search(cfg: QBoldConfig, space: dict, n_trials: int,
             for j, out in enumerate(population_pretrain(cfg, batch)):
                 out.update(trial=lo + j, overrides=batch[j])
                 results.append(out)
-        results.sort(key=lambda r: r.get(metric, float("inf")))
+        _sort_results(results, metric, maximize)
         return results
     run_fn = run_fn or _default_run
     results = []
     for trial, overrides in enumerate(all_ovs):
         results.append(_run_trial(cfg, overrides, trial, run_fn))
-    results.sort(key=lambda r: r.get(metric, float("inf")))
+    _sort_results(results, metric, maximize)
     return results
 
 
@@ -619,15 +660,5 @@ def bayes_search(cfg: QBoldConfig, space: dict, n_trials: int,
             overrides = propose(trial)
             record(_run_trial(cfg, overrides, trial, run_fn), overrides)
 
-    def sort_key(r):
-        y = r.get(metric, float("inf"))
-        try:
-            y = float(y)
-        except (TypeError, ValueError):
-            return float("inf")
-        if not np.isfinite(y):
-            return float("inf")
-        return -y if maximize else y
-
-    results.sort(key=sort_key)
+    _sort_results(results, metric, maximize)
     return results

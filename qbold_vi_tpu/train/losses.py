@@ -174,8 +174,13 @@ def fine_tune_nll(cfg: ModelConfig, se_idx: int, y_true, y_pred, sigma,
     """
     eps = 1e-3
     if cfg.multi_image_normalisation:
-        t_ref = jnp.mean(y_true[..., se_idx - 1:se_idx + 2], -1, keepdims=True)
-        p_ref = jnp.mean(y_pred[..., se_idx - 1:se_idx + 2], -1, keepdims=True)
+        # clamp the 3-image window at the grid edge: se_idx == 0 would
+        # slice [-1:2] -> EMPTY -> NaN means (reachable via `transfer`
+        # to a tau grid starting at 0; the reference never runs such
+        # grids and would hit the same empty slice)
+        lo = max(se_idx - 1, 0)
+        t_ref = jnp.mean(y_true[..., lo:se_idx + 2], -1, keepdims=True)
+        p_ref = jnp.mean(y_pred[..., lo:se_idx + 2], -1, keepdims=True)
     else:
         t_ref = y_true[..., se_idx:se_idx + 1]
         p_ref = y_pred[..., se_idx:se_idx + 1]

@@ -49,8 +49,15 @@ def linear_decay_schedule(init_value: float, total_steps: int,
     return schedule
 
 
-def _add_scheduled_weight_decay(wd_schedule: Callable) -> optax.GradientTransformation:
-    """update += -wd(step) * param  (tfa-AdamW-style decoupled decay)."""
+def _add_scheduled_weight_decay(wd_schedule: Callable,
+                                wd_mask: Optional[Callable] = None
+                                ) -> optax.GradientTransformation:
+    """update += -wd(step) * param  (tfa-AdamW-style decoupled decay).
+
+    ``wd_mask(params) -> bool pytree``: decay only the True leaves.
+    Decay acts WITHOUT a gradient, so leaves a phase never trains (the
+    reference's phase-1 model simply does not contain them) must be
+    masked out or they shrink toward zero across the phase."""
 
     def init_fn(params):
         del params
@@ -60,8 +67,13 @@ def _add_scheduled_weight_decay(wd_schedule: Callable) -> optax.GradientTransfor
         if params is None:
             raise ValueError("scheduled weight decay requires params")
         wd = wd_schedule(state.count)
-        updates = jax.tree_util.tree_map(
-            lambda u, p: u - wd * p, updates, params)
+        if wd_mask is None:
+            updates = jax.tree_util.tree_map(
+                lambda u, p: u - wd * p, updates, params)
+        else:
+            updates = jax.tree_util.tree_map(
+                lambda u, p, m: u - wd * p if m else u,
+                updates, params, wd_mask(params))
         return updates, optax.ScaleByScheduleState(count=state.count + 1)
 
     return optax.GradientTransformation(init_fn, update_fn)
@@ -69,7 +81,9 @@ def _add_scheduled_weight_decay(wd_schedule: Callable) -> optax.GradientTransfor
 
 def scheduled_adamw(lr_schedule: Callable, wd_schedule: Optional[Callable],
                     b1: float = 0.9, b2: float = 0.999,
-                    eps: float = 1e-7) -> optax.GradientTransformation:
+                    eps: float = 1e-7,
+                    wd_mask: Optional[Callable] = None
+                    ) -> optax.GradientTransformation:
     """Adam with decoupled, independently-scheduled weight decay
     (tfa.optimizers.AdamW semantics; eps matches Keras' 1e-7 default)."""
     parts = [
@@ -77,8 +91,20 @@ def scheduled_adamw(lr_schedule: Callable, wd_schedule: Optional[Callable],
         optax.scale_by_schedule(lambda s: -lr_schedule(s)),
     ]
     if wd_schedule is not None:
-        parts.append(_add_scheduled_weight_decay(wd_schedule))
+        parts.append(_add_scheduled_weight_decay(wd_schedule, wd_mask))
     return optax.chain(*parts)
+
+
+def _encoder_only(params):
+    """Decay mask for pretraining: True on the encoder subtree only.
+    The reference's phase-1 Keras model contains ONLY encoder weights
+    (the pop_prior/log_sigma VariableLayers are created by
+    build_fine_tuner afterwards, model.py:252-281), so its tfa.AdamW
+    never decays them; an unmasked decay here would shrink the prior
+    initialisation / noise scale by (1-wd)^steps with no gradient ever
+    touching them."""
+    return {k: jax.tree_util.tree_map(lambda _: k == "encoder", v)
+            for k, v in params.items()}
 
 
 def make_pretrain_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -89,6 +115,7 @@ def make_pretrain_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         return scheduled_adamw(
             lambda s: jnp.asarray(cfg.pt_lr, jnp.float32),
             lambda s: jnp.asarray(cfg.pt_adamw_decay, jnp.float32),
+            wd_mask=_encoder_only,
         )
     return optax.adam(cfg.pt_lr, eps=1e-7)
 

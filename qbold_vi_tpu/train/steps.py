@@ -454,7 +454,9 @@ def make_pretrain_eval(tuner: FineTuner, cfg: QBoldConfig):
         loss = _pretrain_loss(params, k1, batch, tuner, cfg, train=False)
         out1, _, _ = tuner.encoder.apply({"params": params["encoder"]}, batch["x"])
         if cfg.model.infer_inv_gamma:
-            out1 = out1[..., : out1.shape[-1] // 2]
+            out1 = out1[..., :-4]   # drop the 4 exp'd hyperprior
+            # channels (losses.py:103); `// 2` was only right for
+            # the diagonal head (4+4), not MVG (5+4)
         metrics = posterior_mse_metrics(k2, tuner, out1, batch["y"])
         metrics["val_loss"] = loss
         return metrics

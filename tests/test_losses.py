@@ -161,3 +161,25 @@ class TestSmoothness:
         mask[0, 2, 2] = 1.0
         out = losses.smoothness_loss(DIST, pred, jnp.asarray(mask))
         np.testing.assert_allclose(float(out), 0.0, atol=1e-7)
+
+
+class TestSeWindowEdge:
+    def test_fine_tune_nll_finite_at_se_idx_zero(self):
+        """A tau grid starting at 0 gives se_idx=0; the 3-image
+        normalisation window used to slice [-1:2] -> empty -> NaN."""
+        import jax.numpy as jnp
+
+        from qbold_vi_tpu.config import ModelConfig
+        from qbold_vi_tpu.models.encoder import normalise_data
+        from qbold_vi_tpu.train.losses import fine_tune_nll
+
+        cfg = ModelConfig(use_mvg=True, student_t_df=200.0,
+                          predict_log_data=False,
+                          multi_image_normalisation=True)
+        y = jnp.abs(jnp.arange(24, dtype=jnp.float32)).reshape(2, 12) + 100.0
+        p = y * 1.01
+        mask = jnp.ones((2, 1))
+        nll = fine_tune_nll(cfg, 0, y, p, jnp.ones_like(y), mask)
+        assert np.isfinite(float(nll))
+        norm = normalise_data(y.reshape(1, 1, 1, 2, 12), 0, True)
+        assert np.all(np.isfinite(np.asarray(norm)))

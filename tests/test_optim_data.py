@@ -156,3 +156,36 @@ def test_blank_crop_guards_small_volumes():
         out = data_pipe.blank_crop(small)
     assert out.shape == small.shape
     assert any("blank_crop" in str(x.message) for x in w)
+
+
+class TestPretrainDecayMask:
+    def test_weight_decay_skips_finetune_only_leaves(self):
+        """The reference's phase-1 model contains ONLY encoder weights,
+        so its tfa.AdamW never decays pop_prior/log_sigma; an unmasked
+        decoupled decay shrank them by (1-wd)^steps with zero gradient
+        ever flowing. The pretrain optimiser must leave grad-less
+        fine-tune leaves untouched."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from qbold_vi_tpu.config import TrainConfig
+        from qbold_vi_tpu.train.optim import make_pretrain_optimizer
+
+        cfg = TrainConfig(use_swa=True, pt_adamw_decay=0.1, pt_lr=0.0)
+        opt = make_pretrain_optimizer(cfg)
+        params = {"encoder": {"w": jnp.ones((3,))},
+                  "pop_prior": jnp.asarray([-0.97, 0.4, -1.14, 0.6, 0.0]),
+                  "log_sigma": jnp.asarray(-2.5)}
+        state = opt.init(params)
+        pop0 = np.asarray(params["pop_prior"])
+        sig0 = np.asarray(params["log_sigma"])
+        grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        for _ in range(3):
+            updates, state = opt.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+        # fine-tune-only leaves BIT-untouched by decay...
+        np.testing.assert_array_equal(np.asarray(params["pop_prior"]), pop0)
+        np.testing.assert_array_equal(np.asarray(params["log_sigma"]), sig0)
+        # ...while encoder weights decay
+        assert np.all(np.asarray(params["encoder"]["w"]) < 1.0)

@@ -459,3 +459,53 @@ class TestFullRunObjective:
         cfg = self._tiny_cfg(tmp_path, str(empty))
         with pytest.raises(FileNotFoundError, match="ASE training volumes"):
             full_run(cfg)
+
+
+class TestSweepRobustness:
+    def test_failed_trial_ranks_last_not_aborts(self, tmp_path):
+        """One diverged trial (NaN tripwire raising) must not abort the
+        sweep and discard completed results."""
+        calls = []
+
+        def flaky(cfg):
+            calls.append(cfg)
+            if len(calls) == 2:
+                raise FloatingPointError("non-finite loss at epoch 3")
+            return {"val_elbo": float(len(calls))}
+
+        cfg = QBoldConfig(train=TrainConfig(save_directory=str(tmp_path)))
+        results = random_search(cfg, SPACE, n_trials=3, run_fn=flaky)
+        assert len(results) == 3
+        assert results[-1]["status"] == "failed"
+        assert "non-finite" in results[-1]["error"]
+        assert np.isfinite(results[0]["val_elbo"])
+
+    def test_bayes_excludes_failed_trials_from_model(self, tmp_path):
+        def flaky(cfg):
+            g = cfg.model.gate_offset
+            if g > -1.0:
+                raise RuntimeError("diverged")
+            return {"val_elbo": (g + 3.0) ** 2}
+
+        cfg = QBoldConfig(train=TrainConfig(save_directory=str(tmp_path)))
+        results = bayes_search(cfg, {"gate_offset": ("uniform", -6.0, 0.0)},
+                               n_trials=12, run_fn=flaky, seed=3)
+        assert len(results) == 12
+        ok = [r for r in results if "val_elbo" in r]
+        failed = [r for r in results if r.get("status") == "failed"]
+        assert ok and all(np.isfinite(r["val_elbo"]) for r in ok)
+        # failed trials sort strictly after every scored one
+        assert all(results.index(f) >= len(ok) for f in failed)
+
+    def test_random_search_maximize_and_nan_guard(self, tmp_path):
+        vals = iter([0.2, float("nan"), 0.9, 0.5])
+
+        def run(cfg):
+            return {"val_elbo": next(vals)}
+
+        cfg = QBoldConfig(train=TrainConfig(save_directory=str(tmp_path)))
+        results = random_search(cfg, SPACE, n_trials=4, run_fn=run,
+                                maximize=True)
+        top = [r["val_elbo"] for r in results[:3]]
+        assert top == [0.9, 0.5, 0.2]          # best-first under maximize
+        assert np.isnan(results[-1]["val_elbo"])   # NaN ranks last

@@ -763,3 +763,21 @@ class TestCheckpointSchema:
         _save_state(t.pt_path, t.state)          # cfg=None -> fingerprint 0
         t2 = Trainer(cfg)
         assert t2.status is WeightStatus.PRE_TRAINED
+
+
+class TestMvgInvGammaEval:
+    def test_pretrain_eval_with_mvg_hyperprior_head(self, tmp_path, rng):
+        """use_mvg=True + infer_inv_gamma=True emits 5+4 channels; the
+        old `[..., : C // 2]` slice cut them to 4 and the MVG unpack
+        indexed out of bounds on the first validation pass."""
+        cfg = tiny_cfg(tmp_path, infer_inv_gamma=True)
+        tuner = FineTuner(cfg.model, cfg.scan)
+        params = tuner.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 2, 2, 1, SCAN.n_taus)))
+        batch = synth_batch(rng)
+        evaluate = steps.make_pretrain_eval(tuner, cfg)
+        m = evaluate(params, jax.random.PRNGKey(1),
+                     {"x": jnp.asarray(batch["x"]),
+                      "y": jnp.asarray(batch["y"])})
+        for k in ("val_loss", "oef_mse", "dbv_mse", "r2p_mse"):
+            assert np.isfinite(float(m[k])), k
