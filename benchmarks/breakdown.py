@@ -22,6 +22,7 @@ sys.path.insert(0, ".")
 
 
 def timed(fn, sync, reps=5, warmup=2):
+    """For STATEFUL fns (train steps chaining through holder state)."""
     for _ in range(warmup):
         out = fn()
     sync(out)
@@ -29,6 +30,23 @@ def timed(fn, sync, reps=5, warmup=2):
     for _ in range(reps):
         out = fn()
     sync(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def timed_chained(fn, perturb, x0, sync, reps=5, warmup=2):
+    """bench.py-style chained timing for PURE fns: each rep's input
+    carries a data dependency on the previous rep's output, so the
+    tunneled runtime cannot overlap or dead-code independent identical
+    dispatches (jax.block_until_ready does not sync through the axon
+    tunnel -- CLAUDE.md timing recipe)."""
+    x = x0
+    for _ in range(warmup):
+        x = perturb(fn(x), x0)
+    sync(x)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x = perturb(fn(x), x0)
+    sync(x)
     return (time.perf_counter() - t0) / reps
 
 
@@ -67,14 +85,18 @@ def main():
     data = jnp.asarray(np.abs(rng.normal(size=shape + (scan.n_taus,))
                               ).astype(np.float32) * 50 + 100)
     key = jax.random.PRNGKey(0)
-    params = tuner.init(key, data[:1, :8, :8, :1])
+    # jit the inits: eager flax init costs a tunnel roundtrip PER OP
+    # on the remote backend (CLAUDE.md; minutes of invisible wall)
+    jinit = jax.jit(tuner.init)
+    params = jinit(key, data[:1, :8, :8, :1])
 
     dev = jax.devices()[0].platform
     print(f"device={dev} voxels={n_vox} samples={args.samples}")
 
     encode = jax.jit(lambda im: tuner.encode(params, im)[1])
     q = encode(data)
-    dt = timed(lambda: encode(data), sync)
+    chain_im = jax.jit(lambda out, base: base + out[..., :1] * 1e-9)
+    dt = timed_chained(encode, chain_im, data, sync)
     print(f"encode:            {dt*1e3:8.2f} ms  ({n_vox/dt/1e6:8.1f} M voxel/s)")
 
     import dataclasses
@@ -83,7 +105,7 @@ def main():
                         scan, full_model=cfg.train.full_model,
                         use_blood=cfg.train.use_blood)
     encode16 = jax.jit(lambda im: tuner16.encode(params, im)[1])
-    dt = timed(lambda: encode16(data), sync)
+    dt = timed_chained(encode16, chain_im, data, sync)
     print(f"encode (bf16):     {dt*1e3:8.2f} ms  ({n_vox/dt/1e6:8.1f} M voxel/s)")
 
     qf = q.reshape(-1, q.shape[-1])
@@ -91,17 +113,21 @@ def main():
     summ_jnp = jax.jit(lambda qq: dist.posterior_means_streamed(
         key, qq, cfg.model.use_mvg, no_samples=args.samples,
         r2p_fn=lambda o, d: dwc * o * d))
-    dt = timed(lambda: summ_jnp(qf), sync)
+    chain_q = jax.jit(lambda out, base: base + out[0][..., :1] * 1e-9)
+    dt = timed_chained(summ_jnp, chain_q, qf, sync)
     print(f"summarize (jnp):   {dt*1e3:8.2f} ms  ({n_vox/dt/1e6:8.1f} M voxel/s)")
 
     if dev in ("tpu", "axon"):
-        dt = timed(lambda: mc_posterior_summaries(
-            qf, jnp.int32(7), no_samples=args.samples,
-            mvg=cfg.model.use_mvg, dw_coeff=float(dwc)), sync)
+        dt = timed_chained(
+            lambda qq: mc_posterior_summaries(
+                qq, jnp.int32(7), no_samples=args.samples,
+                mvg=cfg.model.use_mvg, dw_coeff=float(dwc)),
+            chain_q, qf, sync)
         print(f"summarize (pallas):{dt*1e3:8.2f} ms  ({n_vox/dt/1e6:8.1f} M voxel/s)")
 
     wls = jax.jit(lambda x: fit_wls(x, scan))
-    dt = timed(lambda: wls(data), sync)
+    chain_wls = jax.jit(lambda out, base: base + out[0] * 1e-9)
+    dt = timed_chained(wls, chain_wls, data, sync)
     print(f"wls:               {dt*1e3:8.2f} ms  ({n_vox/dt/1e6:8.1f} M voxel/s)")
 
     # train steps
@@ -139,7 +165,7 @@ def main():
         ], -1).astype(np.float32)),
     }
     # fresh params: the fine-tune step above donated its state buffers
-    params2 = tuner.init(jax.random.PRNGKey(3), data[:1, :8, :8, :1])
+    params2 = jinit(jax.random.PRNGKey(3), data[:1, :8, :8, :1])
     popt = qoptim.make_pretrain_optimizer(cfg.train)
     pst = qsteps.TrainState(params2, popt.init(params2),
                             qoptim.swa_init(params2), jnp.zeros([], jnp.int32))
@@ -155,7 +181,7 @@ def main():
     print(f"pretrain step:     {dt*1e3:8.2f} ms  ({pt_vox/dt/1e6:8.1f} M voxel/s)")
 
     # streaming pretrain step (on-device synth gen, zero host transfer)
-    params3 = tuner.init(jax.random.PRNGKey(4), data[:1, :8, :8, :1])
+    params3 = jinit(jax.random.PRNGKey(4), data[:1, :8, :8, :1])
     sst = qsteps.TrainState(params3, popt.init(params3),
                             qoptim.swa_init(params3), jnp.zeros([], jnp.int32))
     sstep = qsteps.make_pretrain_stream_step(tuner, cfg, popt)
@@ -171,7 +197,7 @@ def main():
     # whole-epoch scan (10 fine-tune steps in one dispatch)
     T = 10
     ebatches = {k: jnp.broadcast_to(v, (T,) + v.shape) for k, v in batch.items()}
-    params4 = tuner.init(jax.random.PRNGKey(5), data[:1, :8, :8, :1])
+    params4 = jinit(jax.random.PRNGKey(5), data[:1, :8, :8, :1])
     est = qsteps.TrainState(params4, opt.init(params4), None,
                             jnp.zeros([], jnp.int32))
     efn = qsteps.make_finetune_epoch(tuner, cfg, opt)

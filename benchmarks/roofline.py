@@ -30,6 +30,7 @@ PEAK_HBM_GBS = 819.0
 
 
 def timed(fn, sync, reps=10, blocks=3, warmup=2):
+    """For STATEFUL fns (train steps chaining through holder state)."""
     for _ in range(warmup):
         out = fn()
     sync(out)
@@ -39,6 +40,25 @@ def timed(fn, sync, reps=10, blocks=3, warmup=2):
         for _ in range(reps):
             out = fn()
         sync(out)
+        per.append((time.perf_counter() - t0) / reps)
+    return float(np.median(per))
+
+
+def timed_chained(fn, perturb, x0, sync, reps=10, blocks=3, warmup=2):
+    """bench.py-style chained timing for PURE fns: each rep's input
+    depends on the previous output so the tunneled runtime cannot
+    overlap/collapse independent identical dispatches (CLAUDE.md:
+    block_until_ready does not sync through the axon tunnel)."""
+    x = x0
+    for _ in range(warmup):
+        x = perturb(fn(x), x0)
+    sync(x)
+    per = []
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            x = perturb(fn(x), x0)
+        sync(x)
         per.append((time.perf_counter() - t0) / reps)
     return float(np.median(per))
 
@@ -118,17 +138,21 @@ def main():
         rcfg = dataclasses.replace(cfg, model=mcfg)
         tuner = FineTuner(mcfg, scan, full_model=cfg.train.full_model,
                           use_blood=cfg.train.use_blood)
-        params = tuner.init(jax.random.PRNGKey(1),
-                            batch["images"][:1, :8, :8, :2])
+        params = jax.jit(tuner.init)(
+            jax.random.PRNGKey(1), batch["images"][:1, :8, :8, :2])
         st = qsteps.TrainState(params, opt.init(params), None,
                                jnp.zeros([], jnp.int32))
         step = qsteps.make_finetune_step(tuner, rcfg, opt)
+        # time the AOT executable itself: calling step() after
+        # lower().compile() would compile the SAME program a second time
+        # (the AOT path does not populate the jit dispatch cache --
+        # minutes per program through the remote compile service)
         compiled = step.lower(st, key, batch).compile()
         flops, bytes_ = cost(compiled)
         holder = {"st": st}
 
         def ft():
-            holder["st"], _ = step(holder["st"], key, batch)
+            holder["st"], _ = compiled(holder["st"], key, batch)
             return holder["st"]
 
         dt = timed(ft, sync)
@@ -138,8 +162,8 @@ def main():
     # ---- term-by-term cost attribution (fp32) --------------------------
     tuner = FineTuner(cfg.model, scan, full_model=cfg.train.full_model,
                       use_blood=cfg.train.use_blood)
-    params = tuner.init(jax.random.PRNGKey(1),
-                        batch["images"][:1, :8, :8, :2])
+    params = jax.jit(tuner.init)(jax.random.PRNGKey(1),
+                                 batch["images"][:1, :8, :8, :2])
     from qbold_vi_tpu.train.steps import _finetune_terms
 
     def make_grad(terms):
@@ -154,12 +178,16 @@ def main():
         g = make_grad(terms)
         compiled = g.lower(params, key, batch).compile()
         flops, bytes_ = cost(compiled)
-        dt = timed(lambda: g(params, key, batch), sync)
+        chain_p = jax.jit(lambda grads, base: jax.tree_util.tree_map(
+            lambda b, gr: b + gr * 1e-12, base, grads))
+        dt = timed_chained(lambda p: compiled(p, key, batch), chain_p,
+                           params, sync)
         report(f"grad[{terms}]", dt, flops, bytes_, ft_vox)
 
     # ---- streaming pretrain step ---------------------------------------
     popt = qoptim.make_pretrain_optimizer(cfg.train)
-    p3 = tuner.init(jax.random.PRNGKey(3), batch["images"][:1, :8, :8, :2])
+    p3 = jax.jit(tuner.init)(jax.random.PRNGKey(3),
+                             batch["images"][:1, :8, :8, :2])
     sst = qsteps.TrainState(p3, popt.init(p3), qoptim.swa_init(p3),
                             jnp.zeros([], jnp.int32))
     sstep = qsteps.make_pretrain_stream_step(tuner, cfg, popt)
@@ -168,7 +196,7 @@ def main():
     sholder = {"st": sst}
 
     def spt():
-        sholder["st"], _ = sstep(sholder["st"], key)
+        sholder["st"], _ = compiled(sholder["st"], key)
         return sholder["st"]
 
     dt = timed(spt, sync)
@@ -183,7 +211,8 @@ def main():
     encode = jax.jit(lambda im: tuner.encode(params, im)[1])
     compiled = encode.lower(data).compile()
     flops, bytes_ = cost(compiled)
-    dt = timed(lambda: encode(data), sync)
+    chain_im = jax.jit(lambda out, base: base + out[..., :1] * 1e-9)
+    dt = timed_chained(compiled, chain_im, data, sync)
     report("encode 1M voxels", dt, flops, bytes_, n_vox)
 
     if jax.devices()[0].platform in ("tpu", "axon"):
@@ -196,7 +225,8 @@ def main():
             dw_coeff=dwc))
         compiled = summ.lower(q).compile()
         flops, bytes_ = cost(compiled)
-        dt = timed(lambda: summ(q), sync)
+        chain_q = jax.jit(lambda out, base: base + out[0][..., :1] * 1e-9)
+        dt = timed_chained(compiled, chain_q, q, sync)
         # XLA cannot count FLOPs inside a custom (Pallas) call; derive the
         # analytic count: per voxel per sample ~ 2 normals (Box-Muller
         # ~12 flops each incl. log/cos/sin) + 2 sigmoids (~8) + r2p (2)

@@ -60,7 +60,23 @@ def main():
                     help="fused_elbo mode for the A/B (auto|on|off|host)")
     ap.add_argument("--seed", type=int, default=None,
                     help="override cfg.train.seed (quality-variance A/Bs)")
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse checkpoints already in --outdir (default "
+                         "trains FRESH: the Trainer auto-resumes, so a "
+                         "stale final_model.msgpack from a previous A/B "
+                         "would silently report the OLD run's quality "
+                         "under the new flags)")
     args = ap.parse_args()
+
+    if not args.resume:
+        import glob as _glob
+        import os as _os
+        stale = _glob.glob(_os.path.join(args.outdir, "*.msgpack*"))
+        for p in stale:
+            _os.remove(p)
+        if stale:
+            print(f"removed {len(stale)} stale checkpoint(s) from "
+                  f"{args.outdir} (pass --resume to reuse them)")
 
     import dataclasses
 

@@ -128,13 +128,21 @@ def predict_priors(encode_fn: Callable, data: np.ndarray, k: int,
                    chunk: int = 4) -> np.ndarray:
     """Per-voxel prior maps from the pretrained encoder on masked volumes
     (reference: train.py:26-31). ``encode_fn(images) -> (q, q2, sigma)``;
-    returns q[..., :k] as float32. Chunked over subjects to bound HBM."""
+    returns q[..., :k] as float32. Chunked over subjects to bound HBM;
+    the ragged final chunk is zero-padded to the compiled shape (a
+    second shape would re-trace and re-compile the encoder -- minutes
+    through the remote tunnel) and sliced off the output."""
     outs = []
     for i in range(0, data.shape[0], chunk):
-        block = data[i:i + chunk]
+        block = np.float32(data[i:i + chunk])
+        n_blk = block.shape[0]
+        if n_blk < chunk:
+            block = np.concatenate(
+                [block, np.zeros((chunk - n_blk,) + block.shape[1:],
+                                 block.dtype)], axis=0)
         masked = block[..., :-1] * block[..., -1:]
         q, _, _ = encode_fn(masked)
-        outs.append(np.asarray(q[..., :k], np.float32))
+        outs.append(np.asarray(q[:n_blk, ..., :k], np.float32))
     return np.concatenate(outs, axis=0)
 
 
@@ -177,6 +185,11 @@ class RealCropSampler:
         return {k: np.stack([p[k] for p in parts]) for k in parts[0]}
 
     def eval_batches(self, batch: int = 3) -> Iterator[dict]:
+        # Full batches only, remainder dropped -- REFERENCE PARITY: the
+        # upstream eval pipeline is batch(3, drop_remainder=True)
+        # (train.py:70), so e.g. 8 study subjects evaluate as 2 batches
+        # of 3 there too. The n_full == 0 case below is the one
+        # deliberate deviation (the reference would evaluate nothing).
         n_full = self.data.shape[0] // batch
         if n_full == 0:
             # fewer subjects than one batch: evaluate what exists

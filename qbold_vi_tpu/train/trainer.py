@@ -178,6 +178,8 @@ class Trainer:
         self.last_finetune_metrics: dict = {}
         self._ft_eval_sampler = None
         self._ft_eval_fn = None
+        self._pt_eval_fn = None
+        self._encode_jit = None
         self._maybe_resume()
 
     # ---- checkpointing -----------------------------------------------------------
@@ -387,6 +389,16 @@ class Trainer:
             n_val = max(n_val // n_dev * n_dev, min(len(vx), n_dev))
         return self._put_eval_batch({"x": vx[:n_val], "y": vy[:n_val]})
 
+    def _pretrain_eval_fn(self):
+        """One jitted pretrain-eval program per Trainer (same rationale
+        as _finetune_eval_fn: remote compiles cost minutes and the
+        client-side compile cache does not engage through the tunnel --
+        pretrain() and every sweep trial's pretrain_val_metrics must
+        share one compile)."""
+        if self._pt_eval_fn is None:
+            self._pt_eval_fn = make_pretrain_eval(self.tuner, self.cfg)
+        return self._pt_eval_fn
+
     def pretrain_val_metrics(self, synthetic: Optional[tuple] = None, *,
                              fold: bool = False) -> dict:
         """Held-out synthetic validation metrics for the CURRENT state --
@@ -406,7 +418,7 @@ class Trainer:
             vx, vy = pretrain_val_fold(self.cfg)
         else:
             _, (vx, vy) = self.build_pretrain_data(synthetic)
-        eval_fn = make_pretrain_eval(self.tuner, self.cfg)
+        eval_fn = self._pretrain_eval_fn()
         m = eval_fn(self.state.params, jax.random.PRNGKey(0),
                     self._clip_val_batch(vx, vy))
         return {k: float(v) for k, v in m.items()}
@@ -457,7 +469,7 @@ class Trainer:
             # through the remote link)
             stream_epoch_fn = make_pretrain_stream_epoch(
                 self.tuner, cfg, optimizer, steps_per_epoch, mesh=self.mesh)
-        eval_fn = make_pretrain_eval(self.tuner, cfg)
+        eval_fn = self._pretrain_eval_fn()
         rng = np.random.default_rng(cfg.train.seed)
         val_batch = self._clip_val_batch(vx, vy)
 
@@ -503,13 +515,18 @@ class Trainer:
     # ---- phase 2: real-data fine-tuning -------------------------------------------
 
     def _encode_fn(self):
-        tuner, params = self.tuner, self.state.params
-
-        @jax.jit
-        def encode(images):
-            return tuner.encode(params, images)
-
-        return encode
+        """Jitted encoder pass bound to the CURRENT params. The
+        underlying (params, images) program compiles once per Trainer
+        and shape -- a fresh closure per call would discard the jit
+        cache and pay a minutes-long remote recompile on every use
+        (priors for train/study/export are all predicted through
+        this)."""
+        if self._encode_jit is None:
+            tuner = self.tuner
+            self._encode_jit = jax.jit(
+                lambda p, images: tuner.encode(p, images))
+        enc, params = self._encode_jit, self.state.params
+        return lambda images: enc(params, images)
 
     def prepare_real(self, train_data: np.ndarray, *, blank_crop: bool = True):
         """Blank-crop + predict priors -> RealCropSampler

@@ -136,8 +136,11 @@ class TestPredictPriors:
 
         priors = data_pipe.predict_priors(encode, data, k=5, chunk=2)
         assert priors.shape == (3, 4, 4, 2, 5)
-        # chunked in 2+1
-        assert [s.shape[0] for s in seen] == [2, 1]
+        # the ragged final chunk is zero-PADDED to the compiled shape
+        # (one encoder program, no minutes-long ragged recompile through
+        # the remote tunnel) and the pad row sliced off the output
+        assert [s.shape[0] for s in seen] == [2, 2]
+        np.testing.assert_array_equal(seen[1][1], 0.0)   # the pad row
         np.testing.assert_allclose(priors[0, 0, 0, 0], np.arange(5))
 
 
