@@ -60,7 +60,12 @@ from .pallas_summarize import _box_muller
 
 __all__ = ["make_fused_elbo", "fused_elbo_available"]
 
-_LANES = 256
+# Lane sweep on v5e at the published 38x25x25x8 workload (value+grad,
+# chained timing): 256 -> 10.18 ms, 512 -> 9.29 ms (-9%), 1024 -> OOM
+# in scoped VMEM on the backward pass (29.9M > 16M: it keeps ~4*T tau
+# tiles + 10 KL accumulators live per block, like pallas_decode at
+# 1024).
+_LANES = 512
 _KL_BOUND = math.log((1.0 - 1e-6) / 1e-6)
 _EXP_M2 = math.exp(-2.0)
 
