@@ -317,6 +317,15 @@ def make_fused_elbo(cfg: ModelConfig, scan: ScanParams,
     """
     if noise not in ("device", "host"):
         raise ValueError(f"noise must be device|host, got {noise!r}")
+    if interpret:
+        # The Mosaic interpreter's threaded buffer allocation aborts
+        # (C-level, deterministic) at 512-lane tiles under a
+        # multi-device shard_map (io_callback _allocate_buffer from 8
+        # interpreter threads). Interpret mode is TEST-ONLY, so cap it
+        # at the long-proven narrower tiling; the shipped 512-lane width
+        # is separately gated bit-exact on the real Mosaic compile
+        # (tests/test_pallas.py::test_elbo_kernel_chip_host_noise_exact).
+        lanes = min(lanes, 256)
     C = _elbo_consts(cfg, scan, use_blood)
     T = len(C["taus"])
     host = noise == "host"
