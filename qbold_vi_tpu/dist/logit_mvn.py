@@ -69,17 +69,34 @@ def _kl_draw(q, keys, s):
     return z0, z1, l0, l1
 
 
-def _whiten(l0, l1, mu0, ls0, mu1, ls1, od):
-    """(r0, r1, w0, w1, inv_tl, inv_br, inv_bl) of the Cholesky whitening
-    (see squared_whitened_residual)."""
+def _whiten_factors(ls0, ls1, od):
+    """(inv_tl, inv_br, inv_bl) of the inverse Cholesky factor. Depends
+    only on the distribution parameters, NOT on the draw -- callers that
+    whiten many draws against one distribution (the sampled-KL loops
+    here and in ops/pallas_elbo.py) hoist this out of the loop: 3 exps
+    once instead of per draw."""
     inv_tl = jnp.exp(-ls0)
     inv_br = jnp.exp(-ls1)
     inv_bl = -jnp.exp(-ls0 - ls1) * od
+    return inv_tl, inv_br, inv_bl
+
+
+def _whiten_apply(l0, l1, mu0, mu1, factors):
+    """(r0, r1, w0, w1): residuals and whitened residuals of a draw
+    under hoisted `_whiten_factors` -- pure FMAs, no transcendentals."""
+    inv_tl, inv_br, inv_bl = factors
     r0 = l0 - mu0
     r1 = l1 - mu1
     w0 = r0 * inv_tl
     w1 = r1 * inv_br + r0 * inv_bl
-    return r0, r1, w0, w1, inv_tl, inv_br, inv_bl
+    return r0, r1, w0, w1
+
+
+def _whiten(l0, l1, mu0, ls0, mu1, ls1, od):
+    """(r0, r1, w0, w1, inv_tl, inv_br, inv_bl) of the Cholesky whitening
+    (see squared_whitened_residual)."""
+    factors = _whiten_factors(ls0, ls1, od)
+    return _whiten_apply(l0, l1, mu0, mu1, factors) + factors
 
 
 from functools import partial as _partial

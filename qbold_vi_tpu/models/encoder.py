@@ -61,7 +61,14 @@ def _dtype_of(cfg: ModelConfig):
 
 
 class ConvXY(nn.Module):
-    """3x3x1 'Conv3D' as a z-folded 2-D conv (see module docstring)."""
+    """3x3x1 'Conv3D' as a z-folded 2-D conv (see module docstring).
+
+    Accepts the 5-D [B,X,Y,Z,C] layout (folds/unfolds around the conv)
+    or an already-folded 4-D [B*Z,X,Y,C] layout: the Encoder hoists the
+    fold across ALL blocks and heads, so a full pass pays one transpose
+    of the 60-channel features instead of one pair per conv (~16
+    tensor transposes per train step at the published 2-block config).
+    """
 
     features: int
     init_std: float
@@ -69,12 +76,15 @@ class ConvXY(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        b, h, w, d, c = x.shape
-        x2 = jnp.moveaxis(x, 3, 1).reshape(b * d, h, w, c)
-        y = nn.Conv(
+        conv = nn.Conv(
             self.features, (3, 3), padding="SAME", dtype=self.dtype,
             kernel_init=nn.initializers.normal(self.init_std),
-        )(x2)
+        )
+        if x.ndim == 4:
+            return conv(x)
+        b, h, w, d, c = x.shape
+        x2 = jnp.moveaxis(x, 3, 1).reshape(b * d, h, w, c)
+        y = conv(x2)
         return jnp.moveaxis(y.reshape(b, d, h, w, self.features), 1, 3)
 
 
@@ -183,6 +193,27 @@ class Encoder(nn.Module):
             if images is None:
                 raise ValueError("provide images or features")
             features = self.embed(images)
+        # Hoist the 3x3x1 z-fold across the whole trunk: every op between
+        # here and the heads is either voxelwise (Dense/act/gate) or the
+        # z-folded conv, so running the blocks in [B*Z,X,Y,C] is exact
+        # and replaces per-conv transpose pairs of the 60-channel nets
+        # with ONE fold here + unfolds of the small head outputs.
+        # GroupNorm pools over all non-batch axes, so the layer-norm
+        # configuration keeps the 5-D per-block path (per-(b,z) stats
+        # would NOT be parity with the reference's tfa groups=1 over the
+        # full crop, model.py:139).
+        fold = features.ndim == 5 and not self.cfg.use_layer_norm
+        if fold:
+            b, h, w, d, _ = features.shape
+            features = jnp.moveaxis(features, 3, 1).reshape(
+                b * d, h, w, features.shape[-1])
+
+            def unfold(y):
+                return jnp.moveaxis(
+                    y.reshape(b, d, h, w, y.shape[-1]), 1, 3)
+        else:
+            def unfold(y):
+                return y
         net1 = net2 = features
         for blk in self.blocks:
             net1, net2 = blk(net1, net2, deterministic=deterministic)
@@ -190,9 +221,9 @@ class Encoder(nn.Module):
         # and noise scales need full precision.
         net1 = net1.astype(jnp.float32)
         net2 = net2.astype(jnp.float32)
-        out1 = self.final(net1)
-        out2 = self.final(net2)
-        sigma = jnp.exp(self.sigma_head(net2))
+        out1 = unfold(self.final(net1))
+        out2 = unfold(self.final(net2))
+        sigma = unfold(jnp.exp(self.sigma_head(net2)))
         if self.cfg.infer_inv_gamma:
             hyper = jnp.exp(self.inv_gamma_raw)
             out1 = jnp.concatenate(

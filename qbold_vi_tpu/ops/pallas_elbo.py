@@ -53,7 +53,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModelConfig, ScanParams
-from ..dist.logit_mvn import _whiten
+from ..dist.logit_mvn import _whiten_apply, _whiten_factors
 from .pallas_decode import (_SUB, _consts, _nll_row, _nll_row_grads,
                             _pack_rows, _pack_taus, fused_available)
 from .pallas_summarize import _box_muller
@@ -104,14 +104,11 @@ def _unpack_q(ref):
     return (mu0, ls0, mu1, ls1, od), chains
 
 
-def _whiten_tiles(l0, l1, mu0, ls0, mu1, ls1, od):
-    """Kernel-tile adapter over dist/logit_mvn.py::_whiten -- the SINGLE
-    owner of the Cholesky-whitening algebra (pure jnp, runs inside
-    Pallas): drops r1, reorders to the kernel's
-    (r0, w0, w1, itl, ibr, ibl)."""
-    r0, _r1, w0, w1, itl, ibr, ibl = _whiten(l0, l1, mu0, ls0, mu1,
-                                             ls1, od)
-    return r0, w0, w1, itl, ibr, ibl
+# Whitening algebra is owned by dist/logit_mvn.py (_whiten_factors /
+# _whiten_apply, pure jnp, runs inside Pallas). The factors depend only
+# on the q/p parameter tiles, so both kernels hoist them out of the
+# S_kl-draw fori_loop: 6 exps per TILE instead of 6 exps per DRAW
+# (420 per voxel at the published s_kl=70).
 
 
 def _elbo_fwd_kernel(*refs, C, s_nll, s_kl, host_noise):
@@ -146,15 +143,17 @@ def _elbo_fwd_kernel(*refs, C, s_nll, s_kl, host_noise):
         nll_acc = nll_acc + _nll_row(oef, dbv, ys, sigs, mask, C)
 
     # ---- sampled KL over S_kl draws (reduced form, clip on the logit
-    # draw -- dist/logit_mvn.py::_mvg_kl_streamed) ------------------------
+    # draw -- dist/logit_mvn.py::_mvg_kl_streamed). Whitening factors
+    # are draw-independent: hoisted, the loop body is FMAs + the draw.
+    qf = _whiten_factors(q_ls0, q_ls1, q_od)
+    pf = _whiten_factors(p_ls0, p_ls1, p_od)
+
     def kl_term(z0, z1):
         l0 = jnp.clip(q_mu0 + z0 * q_std0, -_KL_BOUND, _KL_BOUND)
         l1 = jnp.clip(q_mu1 + z0 * q_od + z1 * q_std1,
                       -_KL_BOUND, _KL_BOUND)
-        _, wq0, wq1, *_ = _whiten_tiles(l0, l1, q_mu0, q_ls0, q_mu1,
-                                        q_ls1, q_od)
-        _, wp0, wp1, *_ = _whiten_tiles(l0, l1, p_mu0, p_ls0, p_mu1,
-                                        p_ls1, p_od)
+        _, _, wq0, wq1 = _whiten_apply(l0, l1, q_mu0, q_mu1, qf)
+        _, _, wp0, wp1 = _whiten_apply(l0, l1, p_mu0, p_mu1, pf)
         return 0.5 * ((wp0 * wp0 + wp1 * wp1) - (wq0 * wq0 + wq1 * wq1))
 
     if host_noise:
@@ -230,17 +229,20 @@ def _elbo_bwd_kernel(*refs, C, s_nll, s_kl, host_noise):
 
     # ---- KL side: closed-form per-draw grads (the algebra of
     # dist/logit_mvn.py::_mvg_kl_streamed_bwd; clip is straight-through,
-    # q's own params stop-gradiented inside swr_q) ------------------------
+    # q's own params stop-gradiented inside swr_q). All whitening
+    # factors and the p off-diag exp are draw-independent: hoisted.
+    q_itl, q_ibr, q_ibl = qf = _whiten_factors(q_ls0, q_ls1, q_od)
+    p_itl, p_ibr, p_ibl = pf = _whiten_factors(p_ls0, p_ls1, p_od)
+    p_ee = jnp.exp(-p_ls0 - p_ls1)
+
     def kl_grads(z0, z1, acc):
         (k_qm0, k_qls0, k_qm1, k_qls1, k_qod,
          k_pm0, k_pls0, k_pm1, k_pls1, k_pod) = acc
         l0 = jnp.clip(q_mu0 + z0 * q_std0, -_KL_BOUND, _KL_BOUND)
         l1 = jnp.clip(q_mu1 + z0 * q_od + z1 * q_std1,
                       -_KL_BOUND, _KL_BOUND)
-        rp0, wp0, wp1, p_itl, p_ibr, p_ibl = _whiten_tiles(
-            l0, l1, p_mu0, p_ls0, p_mu1, p_ls1, p_od)
-        _, wq0, wq1, q_itl, q_ibr, q_ibl = _whiten_tiles(
-            l0, l1, q_mu0, q_ls0, q_mu1, q_ls1, q_od)
+        rp0, _rp1, wp0, wp1 = _whiten_apply(l0, l1, p_mu0, p_mu1, pf)
+        _, _, wq0, wq1 = _whiten_apply(l0, l1, q_mu0, q_mu1, qf)
         dp_l0 = wp0 * p_itl + wp1 * p_ibl
         dp_l1 = wp1 * p_ibr
         dl0 = dp_l0 - (wq0 * q_itl + wq1 * q_ibl)
@@ -251,7 +253,7 @@ def _elbo_bwd_kernel(*refs, C, s_nll, s_kl, host_noise):
                 k_pls0 - (wp0 * wp0 + wp1 * rp0 * p_ibl),
                 k_pm1 - dp_l1,
                 k_pls1 - wp1 * wp1,
-                k_pod - wp1 * rp0 * jnp.exp(-p_ls0 - p_ls1))
+                k_pod - wp1 * rp0 * p_ee)
 
     acc0 = (zero,) * 10
     if host_noise:
