@@ -55,6 +55,40 @@ class TestEncoder:
         out1, _, _ = enc.apply(enc.init(key, img), img)
         assert out1.shape[-1] == 4
 
+    def test_fold_hoist_bit_exact(self):
+        """The hoisted z-fold (Encoder.__call__ runs the trunk in
+        [B*Z,X,Y,C]) is bit-identical to the per-conv fold path: every
+        op between fold and heads is voxelwise or the folded conv. The
+        layer-norm configuration must keep the 5-D path (GroupNorm
+        pools over all non-batch axes, so per-(b,z) statistics would
+        change the math)."""
+        key = jax.random.PRNGKey(3)
+        img = _images(key, b=3, x=6, y=5, z=4)
+        for use_ln in (False, True):
+            cfg = ModelConfig(no_units=6, no_intermediate_layers=2,
+                              use_mvg=True, channelwise_gating=True,
+                              gate_offset=-3.0, use_layer_norm=use_ln)
+            enc = Encoder(cfg, n_taus=SCAN.n_taus, se_idx=SCAN.se_idx)
+            params = enc.init(key, img)
+            out = enc.apply(params, img)
+
+            # reference path: per-conv fold, heads on 5-D nets (the
+            # pre-hoist Encoder.__call__ body)
+            def unfolded(mdl, images):
+                features = mdl.embed(images)
+                net1 = net2 = features
+                for blk in mdl.blocks:
+                    net1, net2 = blk(net1, net2, deterministic=True)
+                net1 = net1.astype(jnp.float32)
+                net2 = net2.astype(jnp.float32)
+                return (mdl.final(net1), mdl.final(net2),
+                        jnp.exp(mdl.sigma_head(net2)))
+
+            ref = enc.apply(params, img, method=unfolded)
+            for a, b, name in zip(out, ref, ("q1", "q2", "sigma")):
+                assert np.array_equal(np.asarray(a), np.asarray(b)), (
+                    f"{name} differs (use_layer_norm={use_ln})")
+
     def test_inner_outer_split(self):
         """features path == images path (tau-protocol transfer entry)."""
         enc = Encoder(CFG, n_taus=SCAN.n_taus, se_idx=SCAN.se_idx)
