@@ -84,6 +84,16 @@ def main() -> None:
     # of a data-dependent value. Each rep is chained on the previous
     # output so the loop cannot dead-code or overlap-collapse, and one
     # tiny fetch at the end bounds the timed region.
+    #
+    # Rep count: every timed block pays one tunnel round-trip of
+    # ~35-40 ms between its closing fetch and the next block's first
+    # dispatch landing (measured with a trivial chained program:
+    # 3.9 ms/rep at 10 reps vs 0.9 at 50 -- pure latency, no compute).
+    # Small-rep blocks therefore OVERSTATE per-step time by latency/reps
+    # (reps=5 measured the same inference program at 14.9 ms/rep vs
+    # 6.2 ms/rep at reps=100). Production inference/training keeps the
+    # dispatch queue full, so the steady-state number is the honest
+    # one: use enough reps to amortise the block latency to <1%.
     def timed(fn, chain, reps, blocks=5):
         # warmup/compile (2 chained calls so the chain op is compiled too)
         x = chain(fn(images), images)
@@ -124,7 +134,7 @@ def main() -> None:
         return images + out["means"][..., :1] * 1e-9
 
     note("compiling + timing full-brain inference...")
-    dt = timed(infer_fn, chain_summ, reps=5)
+    dt = timed(infer_fn, chain_summ, reps=80)
     vps = n_voxels / dt
     note(f"infer: {n_voxels} voxels in {dt * 1e3:.1f} ms "
          f"({vps / 1e6:.2f} M voxels/s)")
@@ -137,7 +147,7 @@ def main() -> None:
             return images + out[0] * 1e-9
 
         note("compiling + timing WLS baseline...")
-        wls_dt = timed(lambda x: fit_wls(x, scan), chain_wls, reps=5)
+        wls_dt = timed(lambda x: fit_wls(x, scan), chain_wls, reps=80)
         note(f"wls: {n_voxels / wls_dt / 1e6:.2f} M voxels/s")
     else:
         note("budget spent; skipping informational WLS timing")
@@ -170,7 +180,7 @@ def main() -> None:
         state, _ = step_fn(state, key, batch)     # compile
         state, _ = step_fn(state, key, batch)
         jax.device_get(jax.tree_util.tree_leaves(state.params)[0])[:1]
-        reps = 10
+        reps = 50
         ft_blocks = []
         for _ in range(3):
             t0 = time.perf_counter()
