@@ -21,7 +21,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def timed(fn, sync, reps=5, warmup=2):
+def timed(fn, sync, reps=50, warmup=2):
     """For STATEFUL fns (train steps chaining through holder state)."""
     for _ in range(warmup):
         out = fn()
@@ -33,7 +33,7 @@ def timed(fn, sync, reps=5, warmup=2):
     return (time.perf_counter() - t0) / reps
 
 
-def timed_chained(fn, perturb, x0, sync, reps=5, warmup=2):
+def timed_chained(fn, perturb, x0, sync, reps=50, warmup=2):
     """bench.py-style chained timing for PURE fns: each rep's input
     carries a data dependency on the previous rep's output, so the
     tunneled runtime cannot overlap or dead-code independent identical

@@ -29,7 +29,7 @@ PEAK_FP32_TFLOPS = PEAK_BF16_TFLOPS / 4.0
 PEAK_HBM_GBS = 819.0
 
 
-def timed(fn, sync, reps=10, blocks=3, warmup=2):
+def timed(fn, sync, reps=50, blocks=3, warmup=2):
     """For STATEFUL fns (train steps chaining through holder state)."""
     for _ in range(warmup):
         out = fn()
@@ -44,7 +44,7 @@ def timed(fn, sync, reps=10, blocks=3, warmup=2):
     return float(np.median(per))
 
 
-def timed_chained(fn, perturb, x0, sync, reps=10, blocks=3, warmup=2):
+def timed_chained(fn, perturb, x0, sync, reps=50, blocks=3, warmup=2):
     """bench.py-style chained timing for PURE fns: each rep's input
     depends on the previous output so the tunneled runtime cannot
     overlap/collapse independent identical dispatches (CLAUDE.md:
