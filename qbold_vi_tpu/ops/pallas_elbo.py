@@ -66,6 +66,13 @@ __all__ = ["make_fused_elbo", "fused_elbo_available"]
 # tiles + 10 KL accumulators live per block, like pallas_decode at
 # 1024).
 _LANES = 512
+# Raised scoped-VMEM budget (default 16 MB): the backward's recompute
+# working set (~2*T tau tiles + the 10 KL accumulators + the 2T+5-tile
+# draw carry) measures 16.1 MB at s_nll=2 x 512 lanes -- 104 KB over
+# the default. v5e cores carry 128 MB of VMEM; 64 MB leaves the
+# pipeline's double buffers ample headroom and keeps every supported
+# (s_nll, lanes) combination compiling.
+_VMEM_LIMIT = 64 * 1024 * 1024
 _KL_BOUND = math.log((1.0 - 1e-6) / 1e-6)
 _EXP_M2 = math.exp(-2.0)
 
@@ -130,8 +137,7 @@ def _elbo_fwd_kernel(*refs, C, s_nll, s_kl, host_noise):
     sigs = [sig_ref[0, t] for t in range(T)]
 
     # ---- reconstruction NLL over S_nll posterior draws -------------------
-    nll_acc = jnp.zeros_like(q_mu0)
-    for s in range(s_nll):
+    def nll_draw(s, acc):
         if host_noise:
             z0, z1 = zn_ref[0, 2 * s], zn_ref[0, 2 * s + 1]
         else:
@@ -140,7 +146,19 @@ def _elbo_fwd_kernel(*refs, C, s_nll, s_kl, host_noise):
         l1 = q_mu1 + z0 * q_od + z1 * q_std1
         oef = jax.nn.sigmoid(l0) * C["oef_range"] + C["min_oef"]
         dbv = jax.nn.sigmoid(l1) * C["dbv_range"] + C["min_dbv"]
-        nll_acc = nll_acc + _nll_row(oef, dbv, ys, sigs, mask, C)
+        return acc + _nll_row(oef, dbv, ys, sigs, mask, C)
+
+    if s_nll == 1:
+        # Straight-line for the production draw count: the tuned
+        # 512-lane codegen (see _LANES sweep note).
+        nll_acc = nll_draw(0, jnp.zeros_like(q_mu0))
+    else:
+        # fori_loop bounds scoped VMEM to ONE draw's tau working set:
+        # unrolled, Mosaic keeps every draw's ~2*T recompute tiles live
+        # at once and s_nll=2 already overflows the 16 MB budget at 512
+        # lanes on the backward pass.
+        nll_acc = jax.lax.fori_loop(0, s_nll, nll_draw,
+                                    jnp.zeros_like(q_mu0))
 
     # ---- sampled KL over S_kl draws (reduced form, clip on the logit
     # draw -- dist/logit_mvn.py::_mvg_kl_streamed). Whitening factors
@@ -201,10 +219,8 @@ def _elbo_bwd_kernel(*refs, C, s_nll, s_kl, host_noise):
     zero = jnp.zeros_like(q_mu0)
 
     # ---- NLL side: pathwise grads through each draw ----------------------
-    g_mu0 = g_ls0 = g_mu1 = g_ls1 = g_od = zero
-    dsig_acc = [zero] * T
-    dy_acc = [zero] * T
-    for s in range(s_nll):
+    def nll_draw_grads(s, acc):
+        (g_mu0, g_ls0, g_mu1, g_ls1, g_od), dsig_acc, dy_acc = acc
         if host_noise:
             z0, z1 = zn_ref[0, 2 * s], zn_ref[0, 2 * s + 1]
         else:
@@ -218,14 +234,21 @@ def _elbo_bwd_kernel(*refs, C, s_nll, s_kl, host_noise):
         doef, ddbv, dsigs, dys = _nll_row_grads(oef, dbv, ys, sigs, mask, C)
         dl0 = doef * (C["oef_range"] * s0 * (1.0 - s0))
         dl1 = ddbv * (C["dbv_range"] * s1 * (1.0 - s1))
-        g_mu0 = g_mu0 + dl0
-        g_ls0 = g_ls0 + dl0 * z0 * q_std0
-        g_mu1 = g_mu1 + dl1
-        g_od = g_od + dl1 * z0
-        g_ls1 = g_ls1 + dl1 * z1 * q_std1
-        for t in range(T):
-            dsig_acc[t] = dsig_acc[t] + dsigs[t]
-            dy_acc[t] = dy_acc[t] + dys[t]
+        return ((g_mu0 + dl0, g_ls0 + dl0 * z0 * q_std0, g_mu1 + dl1,
+                 g_ls1 + dl1 * z1 * q_std1, g_od + dl1 * z0),
+                tuple(dsig_acc[t] + dsigs[t] for t in range(T)),
+                tuple(dy_acc[t] + dys[t] for t in range(T)))
+
+    nll_acc0 = ((zero,) * 5, (zero,) * T, (zero,) * T)
+    if s_nll == 1:
+        nll_grads = nll_draw_grads(0, nll_acc0)
+    else:
+        # Same VMEM-bounding fori_loop as the forward kernel (and the
+        # same draw ORDER, so on-chip PRNG replay stays bit-identical):
+        # unrolled, s_nll=2 overflows the 16 MB scoped-VMEM budget at
+        # 512 lanes.
+        nll_grads = jax.lax.fori_loop(0, s_nll, nll_draw_grads, nll_acc0)
+    (g_mu0, g_ls0, g_mu1, g_ls1, g_od), dsig_acc, dy_acc = nll_grads
 
     # ---- KL side: closed-form per-draw grads (the algebra of
     # dist/logit_mvn.py::_mvg_kl_streamed_bwd; clip is straight-through,
@@ -374,6 +397,8 @@ def make_fused_elbo(cfg: ModelConfig, scan: ScanParams,
             out_specs=[row_spec(), row_spec()],
             out_shape=[jax.ShapeDtypeStruct((nb, _SUB, lanes), jnp.float32)] * 2,
             interpret=interp,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
         )(*args)
         return nll.reshape(n_pad)[:n], kl.reshape(n_pad)[:n]
 
@@ -404,6 +429,8 @@ def make_fused_elbo(cfg: ModelConfig, scan: ScanParams,
                 jax.ShapeDtypeStruct((nb, T, _SUB, lanes), jnp.float32),
             ],
             interpret=interp,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
         )(*args)
 
         def unpack(x, c):
