@@ -129,6 +129,13 @@ class ModelConfig:
     # "bfloat16" runs the MXU at full rate; params and the distribution /
     # sigma heads always stay float32.
     compute_dtype: str = "float32"
+    # TPU extension: SDR tissue-integral rule for the decode paths.
+    # "auto" uses the Chebyshev surrogate of I(tau*dw) whenever the scan
+    # envelope fits its fitted range (every published protocol; ~30x fewer
+    # VPU flops than the J0 quadrature at <= fp32-noise difference), else
+    # the 16-node Gauss-Jacobi rule; "cheb"/"gj16" force a rule
+    # (ops/physics.py::select_quad_rule).
+    quad_rule: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -248,6 +255,7 @@ _FLAT_KEY_MAP: dict[str, tuple[str, str]] = {
     "fused_decode_nll": ("train", "fused_decode_nll"),
     "fused_elbo": ("train", "fused_elbo"),
     "compute_dtype": ("model", "compute_dtype"),
+    "quad_rule": ("model", "quad_rule"),
     "d": ("train", "data_directory"),
     "name": (None, "name"),
 }

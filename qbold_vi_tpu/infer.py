@@ -208,7 +208,8 @@ def _elbo_maps_one(tuner: FineTuner, cfg: QBoldConfig, params, key,
         s = dist.sample(keys[i], q, cfg.model.use_mvg)
         pred = physics.ase_signal(s[..., 0], s[..., 1], tuner.scan,
                                   full_model=tuner.full_model,
-                                  include_blood=tuner.use_blood)
+                                  include_blood=tuner.use_blood,
+                                  quad_rule=cfg.model.quad_rule)
         nll = losses.fine_tune_nll(cfg.model, tuner.scan.se_idx, images,
                                    pred, im_sigma, msk, return_mean=False)
         return nll_sum + nll, pred_sum + pred

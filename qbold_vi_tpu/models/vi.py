@@ -122,7 +122,8 @@ class FineTuner:
         samples = self.dist.sample_many(key, q, cfg.use_mvg, s)  # (S,B,...,2)
         pred = physics.ase_signal(
             samples[..., 0], samples[..., 1], self.scan,
-            full_model=self.full_model, include_blood=self.use_blood)
+            full_model=self.full_model, include_blood=self.use_blood,
+            quad_rule=cfg.quad_rule)
 
         if not cfg.heteroscedastic_noise:
             im_sigma = jnp.full_like(im_sigma, jnp.exp(params["log_sigma"]))

@@ -1,8 +1,10 @@
 """Fused Pallas kernel: physics decode + reconstruction NLL (training).
 
 The fine-tune likelihood term evaluates, per voxel, the full SDR signal
-on a (tau x 16-node) quadrature lattice, normalises the predicted and
-true tau-series, and accumulates a Student-t/Gaussian NLL
+-- via the Chebyshev surrogate of the tissue integral when the scan
+envelope fits (physics.select_quad_rule; one Clenshaw per (voxel, tau))
+or the (tau x 16-node) J0 quadrature lattice otherwise -- normalises the
+predicted and true tau-series, and accumulates a Student-t/Gaussian NLL
 (models/vi.py apply + losses.fine_tune_nll; reference model.py:239-286,
 527-568). Left to XLA this costs 7.9 ms fwd / 12.5 ms grad at the
 published 38x25x25x8 batch against a ~1.3 ms traffic bound and ~0.7 ms
@@ -81,16 +83,43 @@ def _consts(cfg: ModelConfig, scan: ScanParams, use_blood: bool) -> dict:
     bc = math.exp(-r2b * te)
     m_bld = 1.0 - (2.0 - math.exp(-(scan.tr - scan.ti) / scan.t1b)) \
         * math.exp(-scan.ti / scan.t1b)
+    # SDR integral rule: mirror the jnp decode path's static selection
+    # (models/vi.py -> physics.ase_signal -> select_quad_rule) so the
+    # kernel-vs-jnp gates compare like against like. "cheb" bakes the
+    # Chebyshev surrogate tables (fp32-rounded python floats, identical
+    # to physics._clenshaw's constants); None -> Gauss-Jacobi lattice.
+    rule = physics.select_quad_rule(scan, getattr(cfg, "quad_rule", "auto"))
+    cheb = None
+    if rule == "cheb":
+        cheb = {
+            "ci": tuple(float(np.float32(a)) for a in physics._CHEB_I64),
+            "cd": tuple(float(np.float32(a)) for a in physics._CHEB_DI64),
+            "inv_cmax2": 1.0 / physics._CHEB_CMAX ** 2,
+        }
     return {
         "taus": taus, "k": float(k), "envelope": float(envelope),
         "beta": beta.astype(np.float64), "bc": float(bc),
         "mnb": float(m_bld * scan.nb), "use_blood": bool(use_blood),
-        "u": physics._GJ16_U64, "wg": physics._GJ16_WG64,
+        "u": physics._GJ16_U64, "wg": physics._GJ16_WG64, "cheb": cheb,
         "se": scan.se_idx, "multi": cfg.multi_image_normalisation,
         "log_data": cfg.predict_log_data,
         "df": (float(cfg.student_t_df)
                if cfg.student_t_df is not None else None),
     }
+
+
+def _cheb_clenshaw(x, coef):
+    """Chebyshev series at tile x (python-float ``coef``), the same
+    operation sequence as physics._clenshaw."""
+    b0, b1 = 0.0, 0.0
+    for a in coef[::-1][:-1]:
+        b0, b1 = 2.0 * x * b0 - b1 + a, b0
+    return x * b0 - b1 + coef[0]
+
+
+def _cheb_x(c, cheb):
+    """Clenshaw abscissa for the surrogate: x = min(2 (c/cmax)^2 - 1, 1)."""
+    return jnp.minimum(2.0 * (jnp.square(c) * cheb["inv_cmax2"]) - 1.0, 1.0)
 
 
 def _signal_tiles(oef, dbv, C):
@@ -102,10 +131,17 @@ def _signal_tiles(oef, dbv, C):
     preds, tissues, integrals, bloods = [], [], [], []
     w = C["mnb"] * dbv if C["use_blood"] else dbv
     for t in range(len(taus)):
-        c = (1.5 * taus[t] * k) * oef
-        integral = 0.0
-        for i in range(len(u)):
-            integral += float(wg[i]) * one_minus_j0(c * float(u[i]))
+        if C["cheb"] is not None:
+            # Chebyshev surrogate: one Clenshaw in (tau*dw)^2 replaces the
+            # 16-node J0 lattice (physics.sdr_integral_cheb; same fp32
+            # constants and operation order as the jnp path).
+            x = _cheb_x((taus[t] * k) * oef, C["cheb"])
+            integral = _cheb_clenshaw(x, C["cheb"]["ci"])
+        else:
+            c = (1.5 * taus[t] * k) * oef
+            integral = 0.0
+            for i in range(len(u)):
+                integral += float(wg[i]) * one_minus_j0(c * float(u[i]))
         tissue = jnp.exp(-dbv * integral) * env
         if C["use_blood"]:
             blood = C["bc"] * jnp.exp(-float(C["beta"][t]) * oef * oef)
@@ -193,11 +229,19 @@ def _nll_row_grads(oef, dbv, ys, sigs, mask, C):
     w = C["mnb"] * dbv if C["use_blood"] else dbv
     dpred_doef, dpred_ddbv = [], []
     for t in range(T):
-        c = (1.5 * taus[t] * k) * oef
-        dI = 0.0
-        for i in range(len(u)):
-            dI += float(wg[i] * u[i] * 1.5 * taus[t] * k) * bessel_j1(
-                c * float(u[i]))
+        if C["cheb"] is not None:
+            # dI/doef = clenshaw(x, dI/dt table) * 4 c / cmax^2 * dc/doef,
+            # the EXACT derivative of the forward surrogate.
+            cc = (taus[t] * k) * oef
+            x = _cheb_x(cc, C["cheb"])
+            dI = _cheb_clenshaw(x, C["cheb"]["cd"]) \
+                * (4.0 * C["cheb"]["inv_cmax2"] * float(taus[t] * k)) * cc
+        else:
+            c = (1.5 * taus[t] * k) * oef
+            dI = 0.0
+            for i in range(len(u)):
+                dI += float(wg[i] * u[i] * 1.5 * taus[t] * k) * bessel_j1(
+                    c * float(u[i]))
         dt_doef = -dbv * dI * tissues[t]
         dt_ddbv = -integrals[t] * tissues[t]
         if C["use_blood"]:

@@ -284,3 +284,93 @@ def test_per_tau_is_explicit_never_inferred():
     with _pytest.raises(ValueError):
         physics.ase_signal(jnp.zeros((4, 7)) + 0.4, jnp.zeros((4, 7)) + 0.05,
                            SCAN, per_tau_params=True)
+
+
+# ---- Chebyshev surrogate of the SDR integral (quad_rule="cheb") ----------
+
+
+def test_cheb_rule_selection():
+    # every published protocol fits the fitted envelope
+    assert physics.select_quad_rule(SCAN) == "cheb"
+    scan24 = ScanParams(tau_start=-0.028, tau_step=0.004)
+    assert physics.select_quad_rule(scan24) == "cheb"
+    # outside the envelope (larger hct -> larger dw) falls back
+    assert physics.select_quad_rule(ScanParams(hct=0.6)) == "gj16"
+    assert physics.select_quad_rule(SCAN, hct=0.6) == "gj16"
+    # explicit overrides are honoured
+    assert physics.select_quad_rule(ScanParams(hct=0.6), "cheb") == "cheb"
+    assert physics.select_quad_rule(SCAN, "gj16") == "gj16"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        physics.select_quad_rule(SCAN, "simpson")
+
+
+def test_cheb_tissue_vs_oracle():
+    """The surrogate matches the TRUE fp64 integral to fp32 resolution on
+    the decayed signal, over the full physical envelope and on both
+    published tau protocols."""
+    for scan in (SCAN, ScanParams(tau_start=-0.028, tau_step=0.004)):
+        taus = jnp.asarray(scan.taus())
+        for oef in (0.04, 0.21, 0.4, 0.64, 0.84):
+            for dbv in (0.001, 0.05, 0.201):
+                dw = physics.delta_omega(jnp.float32(oef), scan.hct, scan)
+                got = physics.tissue_signal_full(dw, jnp.float32(dbv), taus,
+                                                 scan.te, scan.r2t,
+                                                 quad_rule="cheb")
+                ref = oracle_tissue_full(oef, dbv, scan)
+                np.testing.assert_allclose(np.asarray(got), ref, atol=5e-6,
+                                           err_msg=f"oef={oef} dbv={dbv}")
+
+
+def test_cheb_matches_gj16_values_and_grads():
+    rng = np.random.default_rng(3)
+    oef = jnp.asarray(rng.uniform(0.04, 0.84, 512).astype(np.float32))
+    dbv = jnp.asarray(rng.uniform(0.001, 0.201, 512).astype(np.float32))
+
+    s_c = physics.ase_signal(oef, dbv, SCAN, quad_rule="cheb")
+    s_g = physics.ase_signal(oef, dbv, SCAN, quad_rule="gj16")
+    np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_g), atol=2e-6)
+
+    def loss(o, d, rule):
+        return jnp.sum(jnp.square(
+            physics.ase_signal(o, d, SCAN, quad_rule=rule)))
+
+    go_c, gd_c = jax.grad(loss, argnums=(0, 1))(oef, dbv, "cheb")
+    go_g, gd_g = jax.grad(loss, argnums=(0, 1))(oef, dbv, "gj16")
+    for a, b in ((go_c, go_g), (gd_c, gd_g)):
+        scale = np.abs(np.asarray(b)).max()
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   atol=2e-5)
+
+
+def test_auto_rule_resolution_in_ase_signal():
+    oef = jnp.full((64,), 0.4)
+    dbv = jnp.full((64,), 0.05)
+    # auto == cheb bit-for-bit at the published protocol
+    s_auto = physics.ase_signal(oef, dbv, SCAN)
+    s_cheb = physics.ase_signal(oef, dbv, SCAN, quad_rule="cheb")
+    np.testing.assert_array_equal(np.asarray(s_auto), np.asarray(s_cheb))
+    # a traced per-voxel hct array has no static bound: auto -> gj16
+    hct = jnp.full((64,), 0.34)
+    s_auto_h = physics.ase_signal(oef, dbv, SCAN, hct)
+    s_gj_h = physics.ase_signal(oef, dbv, SCAN, hct, quad_rule="gj16")
+    np.testing.assert_array_equal(np.asarray(s_auto_h), np.asarray(s_gj_h))
+    # a static out-of-envelope hct float also falls back
+    s_auto_big = physics.ase_signal(oef, dbv, SCAN, 0.6)
+    s_gj_big = physics.ase_signal(oef, dbv, SCAN, 0.6, quad_rule="gj16")
+    np.testing.assert_array_equal(np.asarray(s_auto_big),
+                                  np.asarray(s_gj_big))
+
+
+def test_cheb_clamps_beyond_envelope():
+    # values beyond the fitted range clamp to the edge and stay finite
+    out = physics.sdr_integral_cheb(jnp.asarray([0.0, 17.0, 50.0]))
+    edge = physics.sdr_integral_cheb(jnp.asarray(17.0))
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(float(out[1]), float(edge))
+    np.testing.assert_allclose(float(out[2]), float(edge))
+    # even function: I(-c) == I(c)
+    np.testing.assert_array_equal(
+        np.asarray(physics.sdr_integral_cheb(jnp.asarray([-8.0, 8.0])))[0],
+        np.asarray(physics.sdr_integral_cheb(jnp.asarray([-8.0, 8.0])))[1])
