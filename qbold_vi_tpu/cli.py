@@ -141,7 +141,8 @@ def cmd_synth(args) -> int:
 
     x, y = create_synthetic_dataset(
         jax.random.PRNGKey(cfg.train.seed), cfg.scan, cfg.synth,
-        full_model=cfg.train.full_model, use_blood=cfg.train.use_blood)
+        full_model=cfg.train.full_model, use_blood=cfg.train.use_blood,
+        quad_rule=cfg.model.quad_rule)
     np.savez(args.output, x=np.asarray(x), y=np.asarray(y))
     print(f"wrote {args.output}: x{tuple(x.shape)} y{tuple(y.shape)}")
     return 0

@@ -209,7 +209,9 @@ def _elbo_maps_one(tuner: FineTuner, cfg: QBoldConfig, params, key,
         pred = physics.ase_signal(s[..., 0], s[..., 1], tuner.scan,
                                   full_model=tuner.full_model,
                                   include_blood=tuner.use_blood,
-                                  quad_rule=cfg.model.quad_rule)
+                                  quad_rule=cfg.model.quad_rule,
+                                  max_oef=cfg.model.min_oef
+                                  + cfg.model.oef_range)
         nll = losses.fine_tune_nll(cfg.model, tuner.scan.se_idx, images,
                                    pred, im_sigma, msk, return_mean=False)
         return nll_sum + nll, pred_sum + pred

@@ -123,7 +123,11 @@ class FineTuner:
         pred = physics.ase_signal(
             samples[..., 0], samples[..., 1], self.scan,
             full_model=self.full_model, include_blood=self.use_blood,
-            quad_rule=cfg.quad_rule)
+            quad_rule=cfg.quad_rule,
+            # the forward transform's OEF upper bound (model.py:299-305):
+            # the envelope gate must see the CONFIGURED range, not the
+            # default 0.84, or widened-OEF configs clamp silently
+            max_oef=cfg.min_oef + cfg.oef_range)
 
         if not cfg.heteroscedastic_noise:
             im_sigma = jnp.full_like(im_sigma, jnp.exp(params["log_sigma"]))

@@ -85,15 +85,18 @@ def _consts(cfg: ModelConfig, scan: ScanParams, use_blood: bool) -> dict:
         * math.exp(-scan.ti / scan.t1b)
     # SDR integral rule: mirror the jnp decode path's static selection
     # (models/vi.py -> physics.ase_signal -> select_quad_rule) so the
-    # kernel-vs-jnp gates compare like against like. "cheb" bakes the
-    # Chebyshev surrogate tables (fp32-rounded python floats, identical
-    # to physics._clenshaw's constants); None -> Gauss-Jacobi lattice.
-    rule = physics.select_quad_rule(scan, getattr(cfg, "quad_rule", "auto"))
+    # kernel-vs-jnp gates compare like against like -- including the
+    # model's actual OEF transform bound (min_oef + oef_range), which the
+    # jnp decode passes as max_oef. "cheb" bakes the ONE Chebyshev table
+    # (physics._CHEB_I32/_CHEB_DI32); None -> Gauss-Jacobi lattice.
+    rule = physics.select_quad_rule(
+        scan, getattr(cfg, "quad_rule", "auto"),
+        max_oef=cfg.min_oef + cfg.oef_range)
     cheb = None
     if rule == "cheb":
         cheb = {
-            "ci": tuple(float(np.float32(a)) for a in physics._CHEB_I64),
-            "cd": tuple(float(np.float32(a)) for a in physics._CHEB_DI64),
+            "ci": physics._CHEB_I32,
+            "cd": physics._CHEB_DI32,
             "inv_cmax2": 1.0 / physics._CHEB_CMAX ** 2,
         }
     return {
@@ -108,20 +111,6 @@ def _consts(cfg: ModelConfig, scan: ScanParams, use_blood: bool) -> dict:
     }
 
 
-def _cheb_clenshaw(x, coef):
-    """Chebyshev series at tile x (python-float ``coef``), the same
-    operation sequence as physics._clenshaw."""
-    b0, b1 = 0.0, 0.0
-    for a in coef[::-1][:-1]:
-        b0, b1 = 2.0 * x * b0 - b1 + a, b0
-    return x * b0 - b1 + coef[0]
-
-
-def _cheb_x(c, cheb):
-    """Clenshaw abscissa for the surrogate: x = min(2 (c/cmax)^2 - 1, 1)."""
-    return jnp.minimum(2.0 * (jnp.square(c) * cheb["inv_cmax2"]) - 1.0, 1.0)
-
-
 def _signal_tiles(oef, dbv, C):
     """Per-tau signal tiles + the pieces the backward pass reuses.
 
@@ -133,10 +122,12 @@ def _signal_tiles(oef, dbv, C):
     for t in range(len(taus)):
         if C["cheb"] is not None:
             # Chebyshev surrogate: one Clenshaw in (tau*dw)^2 replaces the
-            # 16-node J0 lattice (physics.sdr_integral_cheb; same fp32
-            # constants and operation order as the jnp path).
-            x = _cheb_x((taus[t] * k) * oef, C["cheb"])
-            integral = _cheb_clenshaw(x, C["cheb"]["ci"])
+            # 16-node J0 lattice. THE SAME functions as the jnp path
+            # (physics._clenshaw / physics.cheb_abscissa on the same
+            # table), so bit-exactness is by construction, not by keeping
+            # two implementations synchronized.
+            x = physics.cheb_abscissa((taus[t] * k) * oef)
+            integral = physics._clenshaw(x, C["cheb"]["ci"])
         else:
             c = (1.5 * taus[t] * k) * oef
             integral = 0.0
@@ -231,11 +222,15 @@ def _nll_row_grads(oef, dbv, ys, sigs, mask, C):
     for t in range(T):
         if C["cheb"] is not None:
             # dI/doef = clenshaw(x, dI/dt table) * 4 c / cmax^2 * dc/doef,
-            # the EXACT derivative of the forward surrogate.
+            # the EXACT derivative of the forward surrogate -- zeroed
+            # where the abscissa clamps (the forward is constant there),
+            # matching physics._sdr_integral_cheb_jvp.
             cc = (taus[t] * k) * oef
-            x = _cheb_x(cc, C["cheb"])
-            dI = _cheb_clenshaw(x, C["cheb"]["cd"]) \
+            raw = 2.0 * (jnp.square(cc) * C["cheb"]["inv_cmax2"]) - 1.0
+            x = jnp.minimum(raw, 1.0)
+            dI = physics._clenshaw(x, C["cheb"]["cd"]) \
                 * (4.0 * C["cheb"]["inv_cmax2"] * float(taus[t] * k)) * cc
+            dI = jnp.where(raw <= 1.0, dI, 0.0)
         else:
             c = (1.5 * taus[t] * k) * oef
             dI = 0.0

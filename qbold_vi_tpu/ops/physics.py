@@ -49,6 +49,7 @@ __all__ = [
     "delta_omega",
     "r2_prime",
     "sdr_integral_cheb",
+    "cheb_abscissa",
     "select_quad_rule",
     "tissue_signal_full",
     "tissue_signal_asymptotic",
@@ -168,22 +169,45 @@ _CHEB_I64 = np.array([
 # Chebyshev coefficients of dI/dt on the same x = 2t - 1 grid (exact
 # derivative of the fit; chain rule dI/dc = chebval(x, D) * 4 c / CMAX^2).
 _CHEB_DI64 = np.polynomial.chebyshev.chebder(_CHEB_I64)
-# The maximum OEF any in-framework path can produce: the logit forward
+# fp32-rounded python-float tables: the SINGLE source of the surrogate's
+# constants for both the jnp path below and the Pallas kernels
+# (ops/pallas_decode.py bakes these same tuples into its trace), so the
+# kernel-vs-jnp bit-exactness gates rest on one table, not two copies.
+_CHEB_I32 = tuple(float(np.float32(a)) for a in _CHEB_I64)
+_CHEB_DI32 = tuple(float(np.float32(a)) for a in _CHEB_DI64)
+# The maximum OEF the DEFAULT configuration can produce: the logit forward
 # transform's upper bound min_oef + oef_range (model.py:299-305) == 0.84;
 # the synthetic sampler and the misalignment augmentation clip below it.
+# Callers with a widened OEF configuration must pass their own bound to
+# select_quad_rule/ase_signal or the envelope gate under-estimates c_max.
 MAX_PHYSICAL_OEF = 0.84
+# Clip range of the misalignment augmentation's perturbed OEF
+# (misalign_params below; reference signals.py:90): data-generation paths
+# fold the upper clip into their envelope bound.
+MISALIGN_OEF_CLIP = (0.05, 0.8)
 
 
-def _clenshaw(x, coef64: np.ndarray):
-    """Chebyshev series at x via Clenshaw recurrence, fp32 constants.
+def _clenshaw(x, coef):
+    """Chebyshev series at x via Clenshaw recurrence.
 
+    ``coef``: python floats (already fp32-rounded, e.g. _CHEB_I32).
     Written as an explicit unrolled loop over python-float coefficients so
     the jnp path and the Pallas kernels (ops/pallas_decode.py) evaluate
     the IDENTICAL operation sequence."""
     b0, b1 = 0.0, 0.0
-    for a in [float(np.float32(a)) for a in coef64[::-1][:-1]]:
+    for a in coef[::-1][:-1]:
         b0, b1 = 2.0 * x * b0 - b1 + a, b0
-    return x * b0 - b1 + float(np.float32(coef64[0]))
+    return x * b0 - b1 + coef[0]
+
+
+def cheb_abscissa(c):
+    """Clenshaw abscissa of the surrogate: x = min(2 (c/cmax)^2 - 1, 1).
+
+    Shared by sdr_integral_cheb and the Pallas kernels (one definition of
+    the envelope mapping). Clamped at the +1 edge; pair any derivative
+    with the (2t - 1 <= 1) indicator so the clamped region is flat."""
+    return jnp.minimum(
+        2.0 * (jnp.square(c) * (1.0 / _CHEB_CMAX ** 2)) - 1.0, 1.0)
 
 
 @jax.custom_jvp
@@ -191,18 +215,19 @@ def sdr_integral_cheb(c):
     """I(c) on |c| <= _CHEB_CMAX via the Chebyshev surrogate (see table
     comment). Even in c; values beyond the envelope clamp to the edge
     (callers select this rule only when the scan envelope fits)."""
-    t = jnp.square(c) * (1.0 / _CHEB_CMAX ** 2)
-    x = jnp.minimum(2.0 * t - 1.0, 1.0)
-    return _clenshaw(x, _CHEB_I64)
+    return _clenshaw(cheb_abscissa(c), _CHEB_I32)
 
 
 @sdr_integral_cheb.defjvp
 def _sdr_integral_cheb_jvp(primals, tangents):
     (c,), (dc,) = primals, tangents
-    t = jnp.square(c) * (1.0 / _CHEB_CMAX ** 2)
-    x = jnp.minimum(2.0 * t - 1.0, 1.0)
-    d = _clenshaw(x, _CHEB_DI64) * (4.0 / _CHEB_CMAX ** 2) * c
-    return _clenshaw(x, _CHEB_I64), d * dc
+    raw = 2.0 * (jnp.square(c) * (1.0 / _CHEB_CMAX ** 2)) - 1.0
+    x = jnp.minimum(raw, 1.0)
+    d = _clenshaw(x, _CHEB_DI32) * (4.0 / _CHEB_CMAX ** 2) * c
+    # The primal clamps to the envelope edge (constant beyond |c|=cmax);
+    # the tangent must be zero there too, not the unclamped polynomial's.
+    d = jnp.where(raw <= 1.0, d, 0.0)
+    return _clenshaw(x, _CHEB_I32), d * dc
 
 
 def select_quad_rule(scan: ScanParams, requested: str = "auto",
@@ -282,12 +307,16 @@ def tissue_signal_full(dw, dbv, taus, te: float, r2t: float,
         # Chebyshev surrogate of I(c) on the scan envelope (see table
         # comment): one Clenshaw per (voxel, tau), no J0 lattice at all.
         integral = sdr_integral_cheb(c)
-    else:
+    elif quad_rule == "gj16":
         # default: 16-node Gauss-Jacobi (see table comment above), with a
         # cancellation-free 1-J0. (..., n_taus, P) lattice; XLA keeps it
         # inside one fusion.
         x = 1.5 * c[..., None] * _GJ16_U
         integral = jnp.sum(_GJ16_WG * one_minus_j0(x), axis=-1)
+    else:
+        # Explicit, so a typo'd rule fails identically on the jnp path
+        # and the kernel path (pallas_decode._consts raises the same).
+        raise ValueError(f"unknown quad_rule {quad_rule!r}")
     dbv_b = _align_tau(dbv, taus.shape[0], per_tau)
     return jnp.exp(-dbv_b * integral) * math.exp(-te * r2t)
 
@@ -345,13 +374,11 @@ def blood_signal(oef, hct, taus, scan: ScanParams, per_tau: bool = False):
     )
 
 
-@partial(jax.jit, static_argnames=("scan", "full_model", "include_blood",
-                                   "reference_fp32_compat", "per_tau_params",
-                                   "quad_rule"))
 def ase_signal(oef, dbv, scan: ScanParams, hct=None, *,
                full_model: bool = True, include_blood: bool = True,
                reference_fp32_compat: bool = False,
-               per_tau_params: bool = False, quad_rule: str = "auto"):
+               per_tau_params: bool = False, quad_rule: str = "auto",
+               max_oef: float | None = None):
     """Noise-free ASE signal for (OEF, DBV[, hct]) voxels
     (reference: signals.py:55-140 minus the noise/misalignment stages,
     which are separate pure functions here).
@@ -361,22 +388,54 @@ def ase_signal(oef, dbv, scan: ScanParams, hct=None, *,
     never shape-inferred, so a per-voxel trailing dim that happens to
     equal n_taus cannot be mis-read. Returns (..., n_taus) float32.
     ``reference_fp32_compat``: see tissue_signal_full.
+    ``max_oef``: static upper bound on the OEF values this call can see,
+    used by the ``"auto"`` envelope gate; callers whose configuration
+    widens the OEF range beyond the default transform bound MUST pass it
+    (models/vi.py, infer.py and the synthetic generators do).
+
+    Thin host wrapper: ``"auto"`` is resolved here, BEFORE the jit
+    boundary, so any concrete scalar hct (python or numpy float,
+    including the ``None`` -> scan constant default) gets the static
+    envelope gate; only a genuinely traced per-voxel hct array -- which
+    has no static bound -- conservatively keeps Gauss-Jacobi.
     """
+    if quad_rule not in ("auto", "cheb", "gj16"):
+        raise ValueError(f"unknown quad_rule {quad_rule!r}")
+    if quad_rule == "auto":
+        static_hct = None
+        if hct is None:
+            static_hct = float(scan.hct)
+        elif isinstance(hct, (int, float, np.floating)) \
+                and not isinstance(hct, bool):
+            static_hct = float(hct)
+        if static_hct is not None:
+            quad_rule = select_quad_rule(
+                scan, "auto",
+                max_oef=MAX_PHYSICAL_OEF if max_oef is None else max_oef,
+                hct=static_hct)
+        else:
+            quad_rule = "gj16"
+    return _ase_signal_jit(
+        oef, dbv, scan, hct, full_model=full_model,
+        include_blood=include_blood,
+        reference_fp32_compat=reference_fp32_compat,
+        per_tau_params=per_tau_params, quad_rule=quad_rule)
+
+
+@partial(jax.jit, static_argnames=("scan", "full_model", "include_blood",
+                                   "reference_fp32_compat", "per_tau_params",
+                                   "quad_rule"))
+def _ase_signal_jit(oef, dbv, scan: ScanParams, hct, *,
+                    full_model: bool, include_blood: bool,
+                    reference_fp32_compat: bool, per_tau_params: bool,
+                    quad_rule: str):
+    """Compiled body of ase_signal; ``quad_rule`` arrives resolved."""
     taus = jnp.asarray(scan.taus())
     if hct is None:
         hct = scan.hct
     oef = jnp.asarray(oef, jnp.float32)
     dbv = jnp.asarray(dbv, jnp.float32)
     dw = delta_omega(oef, hct, scan)
-
-    # Resolve "auto" only when hct is the scan's static constant: a traced
-    # per-voxel hct array has no static envelope bound, so it conservatively
-    # keeps the Gauss-Jacobi rule.
-    if isinstance(hct, (int, float)):
-        if quad_rule == "auto":
-            quad_rule = select_quad_rule(scan, quad_rule, hct=float(hct))
-    elif quad_rule == "auto":
-        quad_rule = "gj16"
 
     if full_model:
         tissue = tissue_signal_full(dw, dbv, taus, scan.te, scan.r2t,

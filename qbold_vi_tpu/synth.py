@@ -25,7 +25,8 @@ from .config import ScanParams, SynthParams
 from .ops import physics
 
 __all__ = ["sample_population_params", "create_synthetic_dataset",
-           "create_synthetic_dataset_host", "truncated_normal"]
+           "create_synthetic_dataset_host", "truncated_normal",
+           "synth_oef_bound"]
 
 
 def truncated_normal(key, shape, loc, scale, low, high, dtype=jnp.float32):
@@ -95,9 +96,23 @@ def sample_batch_params(key: jax.Array, synth: SynthParams, n: int):
     return oef, dbv
 
 
-@partial(jax.jit, static_argnames=("scan", "synth", "full_model", "use_blood"))
+def synth_oef_bound(synth: SynthParams) -> float:
+    """Static OEF upper bound of the synthetic-generation path: the
+    samplers clip/truncate to oef_end, and the misalignment augmentation
+    can push perturbed voxels up to its own clip (signals.py:90). Passed
+    as ``max_oef`` so the quadrature envelope gate sees the data path's
+    REAL bound, not the decode transforms' default."""
+    hi = float(synth.oef_end)
+    if synth.misalign_prob > 0.0:
+        hi = max(hi, physics.MISALIGN_OEF_CLIP[1])
+    return hi
+
+
+@partial(jax.jit, static_argnames=("scan", "synth", "full_model", "use_blood",
+                                   "quad_rule"))
 def create_synthetic_dataset(key: jax.Array, scan: ScanParams, synth: SynthParams,
-                             *, full_model: bool = True, use_blood: bool = True):
+                             *, full_model: bool = True, use_blood: bool = True,
+                             quad_rule: str = "auto"):
     """Full synthetic dataset: (train_x [N, n_taus], train_y [N, 3]).
 
     N = sample_size**2 from the meshgrid cross-product of the OEF and DBV
@@ -133,7 +148,8 @@ def create_synthetic_dataset(key: jax.Array, scan: ScanParams, synth: SynthParam
 
     train_x = physics.ase_signal(sig_oef, sig_dbv, scan,
                                  full_model=full_model, include_blood=use_blood,
-                                 per_tau_params=per_tau)
+                                 per_tau_params=per_tau, quad_rule=quad_rule,
+                                 max_oef=synth_oef_bound(synth))
     if scan.simulate_noise:
         train_x = physics.add_acquisition_noise(k_noise, train_x, scan.taus())
     return train_x, train_y
@@ -142,7 +158,8 @@ def create_synthetic_dataset(key: jax.Array, scan: ScanParams, synth: SynthParam
 def create_synthetic_dataset_host(key: jax.Array, scan: ScanParams,
                                   synth: SynthParams, *,
                                   full_model: bool = True,
-                                  use_blood: bool = True):
+                                  use_blood: bool = True,
+                                  quad_rule: str = "auto"):
     """create_synthetic_dataset with all RANDOMNESS on the host (NumPy),
     reusing the jitted device physics only for the signal decode.
     Returns numpy (x [N, n_taus], y [N, 3]).
@@ -214,7 +231,8 @@ def create_synthetic_dataset_host(key: jax.Array, scan: ScanParams,
 
     x = np.asarray(physics.ase_signal(
         sig_oef, sig_dbv, scan, full_model=full_model,
-        include_blood=use_blood, per_tau_params=per_tau))
+        include_blood=use_blood, per_tau_params=per_tau,
+        quad_rule=quad_rule, max_oef=synth_oef_bound(synth)))
 
     if scan.simulate_noise:
         taus = scan.taus()

@@ -274,7 +274,7 @@ def stream_synthetic_batch(key, cfg: QBoldConfig, batch_size: int,
     augmentation/noise pipeline as create_synthetic_dataset, reshaped to
     pseudo-volumes. Returns {x (B,*vol,taus), y (B,*vol,3)}."""
     from ..ops import physics
-    from ..synth import sample_batch_params
+    from ..synth import sample_batch_params, synth_oef_bound
 
     scan, synth = cfg.scan, cfg.synth
     n_vox = batch_size * vol_shape[0] * vol_shape[1] * vol_shape[2]
@@ -291,7 +291,9 @@ def stream_synthetic_batch(key, cfg: QBoldConfig, batch_size: int,
     x = physics.ase_signal(sig_oef, sig_dbv, scan,
                            full_model=cfg.train.full_model,
                            include_blood=cfg.train.use_blood,
-                           per_tau_params=per_tau)
+                           per_tau_params=per_tau,
+                           quad_rule=cfg.model.quad_rule,
+                           max_oef=synth_oef_bound(synth))
     if scan.simulate_noise:
         x = physics.add_acquisition_noise(k_noise, x, scan.taus())
     return {

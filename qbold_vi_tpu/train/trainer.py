@@ -72,7 +72,8 @@ def pretrain_val_fold(cfg: QBoldConfig):
     x, y = create_synthetic_dataset_host(
         data_key, cfg.scan, val_synth,
         full_model=cfg.train.full_model,
-        use_blood=cfg.train.use_blood)
+        use_blood=cfg.train.use_blood,
+        quad_rule=cfg.model.quad_rule)
     (_, _), val = data_pipe.split_synthetic(x, y)
     return val
 
@@ -374,7 +375,8 @@ class Trainer:
             x, y = create_synthetic_dataset_host(
                 data_key, cfg.scan, cfg.synth,
                 full_model=cfg.train.full_model,
-                use_blood=cfg.train.use_blood)
+                use_blood=cfg.train.use_blood,
+                quad_rule=cfg.model.quad_rule)
         else:
             x, y = synthetic
         train, val = data_pipe.split_synthetic(x, y)

@@ -363,6 +363,78 @@ def test_auto_rule_resolution_in_ase_signal():
                                   np.asarray(s_gj_big))
 
 
+def test_cheb_grad_zero_beyond_envelope():
+    """The primal clamps to a constant beyond |c| = cmax, so the custom
+    JVP must be exactly zero there (r3 review: the unclamped derivative
+    polynomial previously leaked through, growing linearly in c)."""
+    g = jax.grad(physics.sdr_integral_cheb)
+    assert float(g(jnp.float32(20.0))) == 0.0
+    assert float(g(jnp.float32(-40.0))) == 0.0
+    # ... and stays the true derivative inside the envelope
+    assert float(g(jnp.float32(8.0))) > 0.0
+
+
+def test_auto_gate_respects_configured_max_oef():
+    """select_quad_rule must honour a caller-supplied OEF bound: a
+    widened-OEF configuration pushes c_max past the envelope and must
+    fall back to Gauss-Jacobi instead of silently clamping."""
+    assert physics.select_quad_rule(SCAN, max_oef=0.84) == "cheb"
+    assert physics.select_quad_rule(SCAN, max_oef=2.0) == "gj16"
+    oef = jnp.full((16,), 0.4)
+    dbv = jnp.full((16,), 0.05)
+    s_wide = physics.ase_signal(oef, dbv, SCAN, max_oef=2.0)
+    s_gj = physics.ase_signal(oef, dbv, SCAN, quad_rule="gj16")
+    np.testing.assert_array_equal(np.asarray(s_wide), np.asarray(s_gj))
+
+
+def test_auto_gate_accepts_numpy_scalar_hct():
+    """A concrete numpy-float hct is a static scalar: the envelope gate
+    must resolve it (np.float32 is not a python float subclass -- the
+    pre-jit wrapper handles it)."""
+    oef = jnp.full((16,), 0.4)
+    dbv = jnp.full((16,), 0.05)
+    s32 = physics.ase_signal(oef, dbv, SCAN, np.float32(SCAN.hct))
+    s_cheb = physics.ase_signal(oef, dbv, SCAN, SCAN.hct, quad_rule="cheb")
+    np.testing.assert_array_equal(np.asarray(s32), np.asarray(s_cheb))
+
+
+def test_ase_signal_rejects_unknown_rule():
+    """A typo'd rule must raise on the jnp path too, not silently run
+    gj16 (the kernel path already raised)."""
+    import pytest
+    with pytest.raises(ValueError, match="quad_rule"):
+        physics.ase_signal(jnp.full((4,), 0.4), jnp.full((4,), 0.05),
+                           SCAN, quad_rule="chebyshev")
+
+
+def test_synth_generation_honours_quad_rule():
+    """cfg quad_rule threads through to data generation, so forcing gj16
+    reproduces pre-surrogate synthetic numerics (r3 review finding)."""
+    import dataclasses
+
+    from qbold_vi_tpu.config import OPTIMAL
+    from qbold_vi_tpu.synth import create_synthetic_dataset, synth_oef_bound
+
+    synth = dataclasses.replace(OPTIMAL.synth, sample_size=12,
+                                misalign_prob=0.0)
+    scan = dataclasses.replace(SCAN, simulate_noise=False)
+    key = jax.random.PRNGKey(0)
+    x_auto, _ = create_synthetic_dataset(key, scan, synth)
+    x_cheb, _ = create_synthetic_dataset(key, scan, synth,
+                                         quad_rule="cheb")
+    x_gj, _ = create_synthetic_dataset(key, scan, synth, quad_rule="gj16")
+    # auto == cheb at the published protocol, bit-for-bit
+    np.testing.assert_array_equal(np.asarray(x_auto), np.asarray(x_cheb))
+    # gj16 is a genuinely different lattice (fp32-visible, tiny)
+    assert np.any(np.asarray(x_cheb) != np.asarray(x_gj))
+    np.testing.assert_allclose(np.asarray(x_cheb), np.asarray(x_gj),
+                               atol=2e-5)
+    # the data path's envelope bound folds in the misalignment clip
+    assert synth_oef_bound(synth) == synth.oef_end
+    synth_mis = dataclasses.replace(synth, misalign_prob=0.5)
+    assert synth_oef_bound(synth_mis) >= 0.8
+
+
 def test_cheb_clamps_beyond_envelope():
     # values beyond the fitted range clamp to the edge and stay finite
     out = physics.sdr_integral_cheb(jnp.asarray([0.0, 17.0, 50.0]))
