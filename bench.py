@@ -176,68 +176,62 @@ def main() -> None:
         state = qsteps.TrainState(ft_params, optimizer.init(ft_params), None,
                                   jnp.zeros([], jnp.int32))
         step_fn = qsteps.make_finetune_step(tuner, cfg, optimizer)
-        note("compiling + timing fine-tune step (fused ELBO kernel)...")
-        state, _ = step_fn(state, key, batch)     # compile
-        state, _ = step_fn(state, key, batch)
-        jax.device_get(jax.tree_util.tree_leaves(state.params)[0])[:1]
-        reps = 50
-        ft_blocks = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                state, _ = step_fn(state, key, batch)
+
+        def time_step(step_fn, state, reps=50, blocks=3):
+            """Median-of-blocks steady-state step timing: warm twice,
+            then ``blocks`` chained runs of ``reps`` steps each with one
+            device_get sync per block (CLAUDE.md tunnel-latency rules:
+            >=50 reps amortises the ~35-40 ms per-block round-trip)."""
+            state, _ = step_fn(state, key, batch)     # compile
+            state, _ = step_fn(state, key, batch)
             jax.device_get(jax.tree_util.tree_leaves(state.params)[0])[:1]
-            ft_blocks.append((time.perf_counter() - t0) / reps)
-        ft_dt = float(np.median(ft_blocks))
+            out = []
+            for _ in range(blocks):
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    state, _ = step_fn(state, key, batch)
+                jax.device_get(jax.tree_util.tree_leaves(state.params)[0])[:1]
+                out.append((time.perf_counter() - t0) / reps)
+            return float(np.median(out))
+
+        note("compiling + timing fine-tune step (production default: "
+             "fused ELBO kernel + auto trunk)...")
+        ft_dt = time_step(step_fn, state)
         ft_vox = int(np.prod(batch["images"].shape[:-1]))
     else:
         note("budget spent; skipping informational fine-tune timing")
 
-    # Informational: the same step in the recommended TPU training
-    # configuration (compute_dtype=bfloat16 trunk -- quality-gated
-    # neutral at scale, benchmarks/RESULTS.md; distribution/sigma heads
-    # and all loss math stay fp32).
-    ft_bf16_dt = float("nan")
+    # Informational: the same step with the fp32 trunk forced (the
+    # production default is compute_dtype=auto -> bf16 trunk on TPU,
+    # quality-gated neutral at scale, benchmarks/RESULTS.md;
+    # distribution/sigma heads and all loss math stay fp32 either way).
+    ft_fp32_dt = float("nan")
     if ft_vox and time.time() - t_start < budget:
         import dataclasses
 
-        from qbold_vi_tpu.train import optim as qoptim
-        from qbold_vi_tpu.train import steps as qsteps
-
-        cfg_bf16 = dataclasses.replace(
+        cfg_fp32 = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model,
-                                           compute_dtype="bfloat16"))
-        tuner_bf16 = FineTuner(cfg_bf16.model, scan,
+                                           compute_dtype="float32"))
+        tuner_fp32 = FineTuner(cfg_fp32.model, scan,
                                full_model=cfg.train.full_model,
                                use_blood=cfg.train.use_blood)
-        ft_params = jax.jit(tuner_bf16.init)(jax.random.PRNGKey(2),
+        ft_params = jax.jit(tuner_fp32.init)(jax.random.PRNGKey(2),
                                              batch["images"][:1])
-        optimizer = qoptim.make_finetune_optimizer(cfg_bf16.train)
+        optimizer = qoptim.make_finetune_optimizer(cfg_fp32.train)
         state = qsteps.TrainState(ft_params, optimizer.init(ft_params), None,
                                   jnp.zeros([], jnp.int32))
-        step_fn = qsteps.make_finetune_step(tuner_bf16, cfg_bf16, optimizer)
-        note("compiling + timing fine-tune step (bf16 trunk)...")
-        state, _ = step_fn(state, key, batch)
-        state, _ = step_fn(state, key, batch)
-        jax.device_get(jax.tree_util.tree_leaves(state.params)[0])[:1]
-        reps = 50
-        blocks = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                state, _ = step_fn(state, key, batch)
-            jax.device_get(jax.tree_util.tree_leaves(state.params)[0])[:1]
-            blocks.append((time.perf_counter() - t0) / reps)
-        ft_bf16_dt = float(np.median(blocks))
-        note(f"ft step (bf16 trunk): {ft_bf16_dt * 1e3:.1f} ms "
-             f"({ft_vox / ft_bf16_dt / 1e6:.2f} M voxels/s)")
+        step_fn = qsteps.make_finetune_step(tuner_fp32, cfg_fp32, optimizer)
+        note("compiling + timing fine-tune step (fp32 trunk)...")
+        ft_fp32_dt = time_step(step_fn, state)
+        note(f"ft step (fp32 trunk): {ft_fp32_dt * 1e3:.1f} ms "
+             f"({ft_vox / ft_fp32_dt / 1e6:.2f} M voxels/s)")
     else:
-        note("budget spent; skipping bf16 fine-tune timing")
+        note("budget spent; skipping fp32 fine-tune timing")
     print(f"[bench] infer: {n_voxels} voxels in {dt * 1e3:.1f} ms "
           f"({vps / 1e6:.2f} M voxels/s); wls: {n_voxels / wls_dt / 1e6:.2f} "
           f"M voxels/s; ft step: {ft_dt * 1e3:.1f} ms "
           f"({ft_vox / ft_dt / 1e6:.2f} M voxels/s); "
-          f"ft step bf16: {ft_bf16_dt * 1e3:.1f} ms; "
+          f"ft step fp32 trunk: {ft_fp32_dt * 1e3:.1f} ms; "
           f"device={jax.devices()[0].platform}", file=sys.stderr)
 
     print(json.dumps({

@@ -127,8 +127,12 @@ class ModelConfig:
     min_dbv: float = 0.001
     # TPU extension: compute dtype for the encoder trunk (conv stacks).
     # "bfloat16" runs the MXU at full rate; params and the distribution /
-    # sigma heads always stay float32.
-    compute_dtype: str = "float32"
+    # sigma heads always stay float32. "auto" (the default) resolves to
+    # bfloat16 on TPU backends and float32 elsewhere: quality-gated
+    # neutral across two rounds of at-scale two-phase A/Bs
+    # (benchmarks/RESULTS.md; fine-tune step -24% at the published
+    # workload). `--set compute_dtype=float32` restores the fp32 trunk.
+    compute_dtype: str = "auto"
     # TPU extension: SDR tissue-integral rule for the decode paths.
     # "auto" uses the Chebyshev surrogate of I(tau*dw) whenever the scan
     # envelope fits its fitted range (every published protocol; ~30x fewer

@@ -57,6 +57,14 @@ def _activation(name: str):
 
 
 def _dtype_of(cfg: ModelConfig):
+    if cfg.compute_dtype == "auto":
+        # bf16 trunk on TPU backends (quality-gated neutral at scale,
+        # benchmarks/RESULTS.md); fp32 elsewhere (CPU bf16 is emulated
+        # and slower, and the parity/test suites run on CPU).
+        return (jnp.bfloat16 if jax.default_backend() in ("tpu", "axon")
+                else jnp.float32)
+    if cfg.compute_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"unknown compute_dtype {cfg.compute_dtype!r}")
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 

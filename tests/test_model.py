@@ -132,6 +132,23 @@ class TestEncoder:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=0.05, rtol=0.05)
 
+    def test_compute_dtype_auto_and_validation(self):
+        """"auto" (the default) resolves by backend -- float32 on the CPU
+        test backend, bfloat16 on tpu/axon -- and unknown values raise."""
+        import dataclasses
+
+        from qbold_vi_tpu.models.encoder import _dtype_of
+
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        cfg_auto = dataclasses.replace(CFG, compute_dtype="auto")
+        assert _dtype_of(cfg_auto) == (jnp.bfloat16 if on_tpu
+                                       else jnp.float32)
+        assert _dtype_of(dataclasses.replace(
+            CFG, compute_dtype="float32")) == jnp.float32
+        import pytest
+        with pytest.raises(ValueError, match="compute_dtype"):
+            _dtype_of(dataclasses.replace(CFG, compute_dtype="fp16"))
+
     def test_voxelwise_stream_is_spatially_local(self):
         """Stream-1 output at a voxel must not depend on neighbours
         (pure 1x1x1 path, reference model.py:198-199)."""
