@@ -246,8 +246,13 @@ def _elbo_maps_one(tuner: FineTuner, cfg: QBoldConfig, params, key,
     eps = 1e-3
     se = tuner.scan.se_idx
     if cfg.model.multi_image_normalisation:
-        t_ref = jnp.mean(images[..., se - 1:se + 2], -1, keepdims=True)
-        p_ref = jnp.mean(mean_pred[..., se - 1:se + 2], -1, keepdims=True)
+        # clamp the 3-image window at the grid edge: se == 0 would slice
+        # [-1:2] -> EMPTY -> NaN maps (same guard as losses.fine_tune_nll
+        # and encoder.normalise_data; reachable via `transfer` to a tau
+        # grid starting at 0)
+        lo = max(se - 1, 0)
+        t_ref = jnp.mean(images[..., lo:se + 2], -1, keepdims=True)
+        p_ref = jnp.mean(mean_pred[..., lo:se + 2], -1, keepdims=True)
     else:
         t_ref = jnp.mean(images[..., se:se + 1], -1, keepdims=True)
         p_ref = jnp.mean(mean_pred[..., se:se + 1], -1, keepdims=True)

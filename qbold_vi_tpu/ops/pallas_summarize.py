@@ -175,10 +175,16 @@ def _kl_kernel(seed_ref, q_ref, p_ref, kl_ref, *, no_samples: int,
     p_od = jnp.tanh(p_ref[4]) * math.exp(-2.0) if mvg else 0.0
 
     # Cholesky whitening shared with dist/logit_mvn.py (the single
-    # owner of that algebra; pure jnp, runs inside Pallas)
-    from ..dist.logit_mvn import _whiten
+    # owner of that algebra; pure jnp, runs inside Pallas). The factors
+    # depend only on the q/p tiles, not the draw: hoisted out of the
+    # sample loop -- 6 exps per TILE instead of per DRAW (the same
+    # pattern as ops/pallas_elbo.py; Mosaic does not guarantee LICM of
+    # vector transcendentals inside fori_loop).
+    from ..dist.logit_mvn import _whiten_apply, _whiten_factors
 
     bound = math.log((1.0 - 1e-6) / 1e-6)
+    qf = _whiten_factors(q_ls0, q_ls1, q_od)
+    pf = _whiten_factors(p_ls0, p_ls1, p_od)
 
     def body(_, acc):
         z0, z1 = _box_muller(q_mu0.shape)
@@ -189,10 +195,8 @@ def _kl_kernel(seed_ref, q_ref, p_ref, kl_ref, *, no_samples: int,
             l1 = q_mu1 + z1 * q_std1
         l0 = jnp.clip(l0, -bound, bound)
         l1 = jnp.clip(l1, -bound, bound)
-        *_, w0q, w1q, _, _, _ = _whiten(l0, l1, q_mu0, q_ls0, q_mu1,
-                                        q_ls1, q_od)
-        *_, w0p, w1p, _, _, _ = _whiten(l0, l1, p_mu0, p_ls0, p_mu1,
-                                        p_ls1, p_od)
+        _, _, w0q, w1q = _whiten_apply(l0, l1, q_mu0, q_mu1, qf)
+        _, _, w0p, w1p = _whiten_apply(l0, l1, p_mu0, p_mu1, pf)
         return acc + 0.5 * ((w0p * w0p + w1p * w1p)
                             - (w0q * w0q + w1q * w1q))
 
@@ -209,15 +213,9 @@ def mc_kl_map(q_params: jax.Array, p_params: jax.Array, seed: jax.Array, *,
     model.py:827) as a fused Pallas kernel. q_params/p_params: (N, 4|5)
     raw head outputs. Returns (N,) float32. Gradient-free (inference
     export only); gated vs the jnp path in tests/test_pallas.py."""
-    n, k = q_params.shape
-    blk = _SUB * lanes
-    n_pad = ((n + blk - 1) // blk) * blk
-
-    def pack(p):
-        t = jnp.zeros((5, n_pad), p.dtype)
-        return t.at[:k, :n].set(p.T).reshape(5, _SUB, n_pad // _SUB)
-
-    grid = (n_pad // _SUB) // lanes
+    n = q_params.shape[0]
+    qt, n_pad, grid = pack_params_tiled(q_params, lanes)
+    pt, _, _ = pack_params_tiled(p_params, lanes)
     kernel = partial(_kl_kernel, no_samples=no_samples, mvg=mvg)
     kl = pl.pallas_call(
         kernel,
@@ -234,7 +232,7 @@ def mc_kl_map(q_params: jax.Array, p_params: jax.Array, seed: jax.Array, *,
         out_shape=jax.ShapeDtypeStruct((1, _SUB, n_pad // _SUB),
                                        q_params.dtype),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(jnp.asarray([seed], jnp.int32), pack(q_params), pack(p_params))
+    )(jnp.asarray([seed], jnp.int32), qt, pt)
     return kl.reshape(n_pad)[:n]
 
 

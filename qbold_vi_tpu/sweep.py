@@ -76,9 +76,15 @@ def run_wandb_agent(sweep_id: str, cfg: QBoldConfig,
         run = wandb.init()
         try:
             overrides = dict(run.config)
+            # key the trial directory on the wandb run id, NOT a local
+            # counter: counters reset on agent restart and skip failed
+            # trials, and a reused directory makes Trainer auto-resume a
+            # DIFFERENT trial's checkpoints (the config fingerprint only
+            # covers model/scan, not the swept train hyperparameters)
+            run_key = getattr(run, "id", None) or done["n"]
             run_dir = overrides.pop("save_directory",
                                     f"{cfg.train.save_directory}/agent"
-                                    f"_{done['n']}")
+                                    f"_{run_key}")
             overrides["save_directory"] = run_dir
             out = run_fn(apply_flat_overrides(cfg, overrides))
             metrics = {k: float(v) for k, v in out.items()
@@ -130,9 +136,16 @@ def population_pretrain(cfg: QBoldConfig, overrides_list: Sequence[dict],
     for i, ov in enumerate(overrides_list):
         static = tuple(sorted(
             (k, v) for k, v in ov.items() if k not in _POP_KEYS))
-        groups.setdefault(static, []).append(i)
+        # the inverse-gamma prior is a TRACE-TIME gate inside the loss
+        # (_population_group's ig_off): trials with and without it
+        # cannot share one vmapped program, so the gate partitions the
+        # groups instead of raising mid-sweep
+        ig_on = (float(ov.get("inv_gamma_alpha", cfg.train.inv_gamma_alpha))
+                 * float(ov.get("inv_gamma_beta", cfg.train.inv_gamma_beta))
+                 > 0)
+        groups.setdefault((static, ig_on), []).append(i)
     results: list[Optional[dict]] = [None] * len(overrides_list)
-    for static, idxs in groups.items():
+    for (static, _ig_on), idxs in groups.items():
         run_cfg = apply_flat_overrides(cfg, dict(static))
         outs = _population_group(
             run_cfg, [overrides_list[i] for i in idxs], vol_shape, serial)
@@ -166,10 +179,12 @@ def _population_group(cfg: QBoldConfig, trial_ovs: Sequence[dict],
     ib = col("inv_gamma_beta", tr.inv_gamma_beta)
     ig_prod = np.asarray(ia) * np.asarray(ib)
     if np.any(ig_prod > 0) and not np.all(ig_prod > 0):
+        # population_pretrain partitions its groups on this gate, so a
+        # mixed batch can only mean a caller bypassed the grouping
         raise ValueError(
             "population batch mixes trials with and without the "
-            "inverse-gamma prior (a trace-time gate) -- sweep either an "
-            "all-positive inv_gamma range or none")
+            "inverse-gamma prior (a trace-time gate) -- call via "
+            "population_pretrain, which partitions on it")
     # the gate is trace-time: the whole batch is either on or off, and
     # trial_loss states it explicitly (losses.synthetic_data_loss's
     # inv_gamma_on -- traced alpha/beta cannot answer the comparison)
@@ -273,8 +288,11 @@ def _population_group(cfg: QBoldConfig, trial_ovs: Sequence[dict],
                             for i in range(p_n)])
 
     if serial:
-        outs = [jax.jit(run_trial_scan)(init_keys[i], trial_keys[i],
-                                        lr[i], wd[i], ia[i], ib[i])
+        # one jit wrapper for every trial (shapes are identical): a
+        # fresh jax.jit per iteration would recompile the same program
+        # per trial -- minutes each on the remote axon backend
+        run = jax.jit(run_trial_scan)
+        outs = [run(init_keys[i], trial_keys[i], lr[i], wd[i], ia[i], ib[i])
                 for i in range(p_n)]
         stacked = {k: np.stack([np.asarray(o[k]) for o in outs])
                    for k in outs[0]}
@@ -462,6 +480,35 @@ def _draw(rng: np.random.Generator, spec: tuple):
     raise ValueError(kind)
 
 
+def _population_batch(cfg: QBoldConfig, batch: Sequence[dict],
+                      lo: int) -> list:
+    """One vmapped population batch with the same failure isolation as
+    _run_trial: a batch that raises (OOM, compile error, bad
+    hyperparameters) must not abort the sweep and discard every
+    completed result. On failure the batch retries one trial at a time
+    (a single bad trial then fails alone and ranks last)."""
+    import sys
+    try:
+        outs = list(population_pretrain(cfg, list(batch)))
+    except Exception as e:                    # noqa: BLE001 - see docstring
+        print(f"[sweep] population batch at trial {lo} FAILED "
+              f"({type(e).__name__}: {e}); retrying trials serially",
+              file=sys.stderr)
+        outs = []
+        for j, ov in enumerate(batch):
+            try:
+                outs.append(population_pretrain(cfg, [ov])[0])
+            except Exception as e2:           # noqa: BLE001
+                print(f"[sweep] trial {lo + j} FAILED "
+                      f"({type(e2).__name__}: {e2}); ranking last",
+                      file=sys.stderr)
+                outs.append({"status": "failed",
+                             "error": f"{type(e2).__name__}: {e2}"})
+    for j, out in enumerate(outs):
+        out.update(trial=lo + j, overrides=batch[j])
+    return outs
+
+
 def _run_trial(cfg: QBoldConfig, overrides: dict, trial: int,
                run_fn: Callable[[QBoldConfig], dict]) -> dict:
     """One sweep trial. A trial that raises (NaN tripwire, OOM, bad
@@ -521,10 +568,8 @@ def random_search(cfg: QBoldConfig, space: dict, n_trials: int,
     if parallel_trials > 1 and run_fn is None:
         results = []
         for lo in range(0, n_trials, parallel_trials):
-            batch = all_ovs[lo:lo + parallel_trials]
-            for j, out in enumerate(population_pretrain(cfg, batch)):
-                out.update(trial=lo + j, overrides=batch[j])
-                results.append(out)
+            results.extend(
+                _population_batch(cfg, all_ovs[lo:lo + parallel_trials], lo))
         _sort_results(results, metric, maximize)
         return results
     run_fn = run_fn or _default_run
@@ -651,8 +696,7 @@ def bayes_search(cfg: QBoldConfig, space: dict, n_trials: int,
         while trial < n_trials:
             n_batch = min(parallel_trials, n_trials - trial)
             batch = [propose(trial + j) for j in range(n_batch)]
-            for j, out in enumerate(population_pretrain(cfg, batch)):
-                out.update(trial=trial + j, overrides=batch[j])
+            for j, out in enumerate(_population_batch(cfg, batch, trial)):
                 record(out, batch[j])
             trial += n_batch
     else:

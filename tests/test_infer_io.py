@@ -55,6 +55,29 @@ class TestPosteriorMaps:
             assert v.shape == data.shape[:-1] + (1,)
             assert np.all(np.isfinite(v))
 
+    def test_elbo_maps_finite_at_se_idx_zero(self, rng):
+        """A tau grid starting at 0 (se_idx == 0, reachable via
+        `transfer`) must clamp the 3-image normalisation window in the
+        residual map: an unclamped [-1:2] slice is EMPTY and its mean
+        turns the exported _residual map all-NaN (same guard as
+        losses.fine_tune_nll / encoder.normalise_data)."""
+        scan0 = ScanParams(tau_start=0.0, simulate_noise=False)
+        assert scan0.se_idx == 0
+        cfg = QBoldConfig(scan=scan0, model=CFG.model)
+        assert cfg.model.multi_image_normalisation
+        tuner = FineTuner(cfg.model, scan0)
+        key = jax.random.PRNGKey(0)
+        data = np.abs(rng.normal(size=(1, 6, 6, 2, scan0.n_taus + 1))
+                      ).astype(np.float32) * 50 + 100
+        data[..., -1] = 1.0
+        params = tuner.init(key, jnp.asarray(data[:1, ..., :-1]))
+        priors = rng.normal(size=data.shape[:-1] + (5,)
+                            ).astype(np.float32) * 0.3
+        maps = elbo_maps(tuner, cfg, params, data, jnp.asarray(priors),
+                         key, no_samples=2)
+        for name, v in maps.items():
+            assert np.all(np.isfinite(v)), name
+
     def test_elbo_maps_streamed_matches_materialised(self, rng):
         """The streamed export (fori_loop accumulators, round-3 speedup)
         is BIT-compatible with the materialised S-pass computation under

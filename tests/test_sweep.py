@@ -231,15 +231,57 @@ class TestPopulation:
         # trials 0 and 2 share a group; both differ from trial 1's arch
         assert out[0]["val_elbo"] != out[1]["val_elbo"]
 
-    def test_population_mixed_inv_gamma_raises(self, tmp_path):
+    def test_population_mixed_inv_gamma_partitions(self, tmp_path):
+        """The inverse-gamma prior is a trace-time gate: trials with and
+        without it cannot share a vmapped program, so population_pretrain
+        partitions them into separate groups (a sweep toggling the prior
+        via values: [0, ...] must not die mid-run)."""
         from qbold_vi_tpu.sweep import population_pretrain
 
         cfg = self._cfg(tmp_path)
-        with pytest.raises(ValueError, match="inverse-gamma"):
-            population_pretrain(cfg, [
-                {"inv_gamma_alpha": 1.0, "inv_gamma_beta": 1.0},
-                {"inv_gamma_alpha": 0.0, "inv_gamma_beta": 0.0},
-            ])
+        trials = [
+            {"inv_gamma_alpha": 1.0, "inv_gamma_beta": 1.0},
+            {"inv_gamma_alpha": 0.0, "inv_gamma_beta": 0.0},
+            {"inv_gamma_alpha": 2.0, "inv_gamma_beta": 1.0},
+        ]
+        out = population_pretrain(cfg, trials)
+        assert len(out) == 3
+        assert all(np.isfinite(r["val_elbo"]) for r in out)
+        # order is preserved and the gate genuinely changes the loss
+        ser = population_pretrain(cfg, trials, serial=True)
+        for a, b in zip(out, ser):
+            np.testing.assert_allclose(a["val_elbo"], b["val_elbo"],
+                                       rtol=2e-4, atol=1e-5)
+        assert out[0]["val_elbo"] != out[1]["val_elbo"]
+
+    def test_population_batch_failure_isolated(self, tmp_path, monkeypatch):
+        """A raising population batch must not abort the sweep: the batch
+        retries serially and only the bad trial ranks last (the same
+        isolation contract as _run_trial)."""
+        import qbold_vi_tpu.sweep as sweep_mod
+
+        cfg = self._cfg(tmp_path)
+        real = sweep_mod.population_pretrain
+
+        def flaky(cfg_, ovs, *a, **kw):
+            if len(ovs) > 1:
+                raise RuntimeError("vmapped batch exploded")
+            if ovs[0].get("pt_lr") == 666.0:
+                raise RuntimeError("bad trial")
+            return real(cfg_, ovs, *a, **kw)
+
+        monkeypatch.setattr(sweep_mod, "population_pretrain", flaky)
+        space = {"pt_lr": ("choice", [1e-3, 666.0])}
+        res = sweep_mod.random_search(cfg, space, n_trials=4,
+                                      parallel_trials=2, seed=0)
+        assert len(res) == 4
+        ok = [r for r in res if "error" not in r]
+        failed = [r for r in res if "error" in r]
+        assert ok and failed
+        assert all(np.isfinite(r["val_elbo"]) for r in ok)
+        assert all(r["status"] == "failed" for r in failed)
+        # failed trials rank last
+        assert res[:len(ok)] == ok
 
     def test_random_search_parallel(self, tmp_path):
         cfg = self._cfg(tmp_path)
@@ -314,6 +356,34 @@ class TestWandbAgent:
         v0 = fake.runs[0].logged[0]["val_elbo"]
         v1 = fake.runs[1].logged[0]["val_elbo"]
         assert v0 < v1          # -3/2e-3 is the optimum of the objective
+
+    def test_agent_dirs_keyed_on_run_id(self, tmp_path):
+        """Trial directories must be keyed on the wandb run id, not a
+        local success counter: counters reset on agent restart (and skip
+        failed trials), and a REUSED directory makes Trainer auto-resume
+        a different trial's checkpoints under new hyperparameters."""
+        from qbold_vi_tpu.sweep import run_wandb_agent
+
+        cfg = QBoldConfig(train=TrainConfig(save_directory=str(tmp_path)))
+        fake = self.FakeWandb([{"pt_lr": 1e-3}, {"pt_lr": 2e-3}])
+        seen_dirs = []
+
+        def spy(run_cfg):
+            seen_dirs.append(run_cfg.train.save_directory)
+            return {"val_elbo": 1.0}
+
+        # give the fake runs wandb-style unique ids
+        orig_init = fake.init
+
+        def init_with_id(**kw):
+            run = orig_init(**kw)
+            run.id = f"r{len(fake.runs)}z"
+            return run
+
+        fake.init = init_with_id
+        run_wandb_agent("id", cfg, count=2, run_fn=spy, wandb_module=fake)
+        assert len(seen_dirs) == len(set(seen_dirs)) == 2
+        assert all(f"/agent_r" in d for d in seen_dirs)
 
     def test_agent_run_finishes_even_on_failure(self, tmp_path):
         from qbold_vi_tpu.sweep import run_wandb_agent
