@@ -238,6 +238,34 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def cmd_export_model(args) -> int:
+    """Serialize the inference program to a StableHLO serving artifact
+    (io/export_model.py): the deployment story the reference lacks
+    (its model.py:772-887 requires the training codebase to predict)."""
+    from .io.export_model import export_inference, save_exported
+    from .train.trainer import Trainer, WeightStatus
+
+    cfg = _load_cfg(args)
+    trainer = Trainer(cfg)
+    if trainer.status is WeightStatus.NOT_TRAINED:
+        print("no checkpoint found in save_directory", file=sys.stderr)
+        return 1
+    fine_tuned = trainer.status is WeightStatus.FULL_TRAINED
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+    exp = export_inference(
+        trainer.tuner, trainer.state.params,
+        use_first_op=not fine_tuned, platforms=platforms,
+        polymorphic=not args.static_shape,
+        example_shape=tuple(args.static_shape) if args.static_shape else
+        (1, 64, 64, 8))
+    n = save_exported(exp, args.output)
+    shape = ", ".join(str(d) for d in exp.in_avals[0].shape)
+    print(f"wrote {args.output}: {n} bytes, platforms "
+          f"{','.join(exp.platforms)}, input ({shape}) float32, "
+          f"{'fine-tuned' if fine_tuned else 'pretrained'} checkpoint")
+    return 0
+
+
 def cmd_dryrun(args) -> int:
     """Compile + run one sharded fine-tune step on an n-device mesh.
 
@@ -460,6 +488,19 @@ def build_parser() -> argparse.ArgumentParser:
                          "or the reference's 200-sample MC "
                          "(model.py:326-343)")
     sp.set_defaults(fn=cmd_infer)
+
+    sp = add("export-model", help="serialize inference to a StableHLO "
+                                  "serving artifact (jax.export)")
+    sp.add_argument("--output", "-o", required=True,
+                    help="artifact path (e.g. model.stablehlo)")
+    sp.add_argument("--platforms", default="tpu,cpu",
+                    help="comma-separated lowering targets (default "
+                         "tpu,cpu -- one multi-platform artifact)")
+    sp.add_argument("--static-shape", type=int, nargs=4, default=None,
+                    metavar=("S", "X", "Y", "Z"),
+                    help="bake a fixed volume geometry instead of the "
+                         "default shape-polymorphic (s, x, y, z) export")
+    sp.set_defaults(fn=cmd_export_model)
 
     sp = add("import-weights", help="convert a reference .h5 checkpoint")
     sp.add_argument("h5", help="path to reference pt_model.h5/final_model.h5")

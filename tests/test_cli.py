@@ -108,6 +108,35 @@ def test_train_smoke_and_infer_roundtrip(tmp_path):
         assert os.path.isfile(out + suffix + ".nii.gz")
 
 
+def test_export_model_command(tmp_path):
+    """export-model writes a loadable, shape-polymorphic StableHLO
+    serving artifact from a trained checkpoint."""
+    import jax
+
+    save = str(tmp_path / "run")
+    rc = main(["train", "--smoke",
+               "--set", f"save_directory={save}",
+               "--set", "d=/tmp/definitely_missing"])
+    assert rc == 0
+    out = str(tmp_path / "model.stablehlo")
+    rc = main(["export-model", "--output", out, "--platforms", "cpu",
+               "--set", f"save_directory={save}",
+               "--set", "no_units=8", "--set", "no_intermediate_layers=1"])
+    assert rc == 0
+    rt = jax.export.deserialize(open(out, "rb").read())
+    rng = np.random.default_rng(2)
+    vol = np.abs(rng.normal(size=(1, 8, 8, 2, 12))).astype(np.float32) * 50
+    vol[..., -1] = 1.0
+    maps = rt.call(vol + 100)
+    assert maps["oef"].shape == (1, 8, 8, 2, 1)
+    assert np.all(np.isfinite(np.asarray(maps["oef"])))
+
+    # a missing checkpoint is a clean error, not a traceback
+    rc = main(["export-model", "--output", out,
+               "--set", f"save_directory={tmp_path / 'empty'}"])
+    assert rc == 1
+
+
 def test_baseline_cli_streamlined_protocol_and_mni_export(tmp_path,
                                                           monkeypatch):
     """WLS export parity (VERDICT r1 #6): the CLI auto-picks the 24-tau
