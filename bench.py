@@ -114,7 +114,18 @@ def main() -> None:
         return float(np.median(per_block))
 
     use_pallas = jax.default_backend() in ("tpu", "axon")
-    if use_pallas:
+    from qbold_vi_tpu.infer import (_fused_posterior_summaries,
+                                    _resolve_fused_infer)
+
+    fused = _resolve_fused_infer(cfg.model)
+    if fused is not None:
+        # production default on TPU: fused stream-1 encode kernel ->
+        # packed quadrature kernel, channel-major end to end
+        def infer_fn(x):
+            means_t, _, _ = _fused_posterior_summaries(tuner, params, x,
+                                                       interpret=fused)
+            return {"means": means_t}
+    elif use_pallas:
         from qbold_vi_tpu.ops.quadrature import quad_posterior_summaries
 
         dwc = float(scan.dw_coeff * scan.hct)
@@ -131,7 +142,9 @@ def main() -> None:
 
     @jax.jit
     def chain_summ(out, imgs):
-        return images + out["means"][..., :1] * 1e-9
+        # shape-agnostic data dependency (fused mode returns channel-major
+        # (3, N) means; the jnp paths return (..., 3) maps)
+        return images + jnp.ravel(out["means"])[0] * 1e-9
 
     note("compiling + timing full-brain inference...")
     dt = timed(infer_fn, chain_summ, reps=80)

@@ -200,6 +200,25 @@ def main():
 
     report("encode1+quad", composite1, data)
 
+    # --- fused stream-1 kernel (ops/pallas_infer.py) --------------------
+    from qbold_vi_tpu.infer import _fused_posterior_summaries
+    from qbold_vi_tpu.models.encoder import _dtype_of
+    from qbold_vi_tpu.ops.pallas_infer import encode_q1_packed
+
+    trunk = ("bfloat16" if _dtype_of(cfg.model) == jnp.bfloat16
+             else "float32")
+
+    fenc = jax.jit(lambda im: encode_q1_packed(
+        im, variables["params"], se_idx=scan.se_idx,
+        multi_image=cfg.model.multi_image_normalisation,
+        activation=cfg.model.activation,
+        n_blocks=cfg.model.no_intermediate_layers, trunk=trunk))
+    report("fused encode", fenc, data)
+
+    ffull = jax.jit(lambda im: _fused_posterior_summaries(
+        tuner, params_d, im)[0])
+    report("fused enc+quad", ffull, data)
+
 
 if __name__ == "__main__":
     main()

@@ -140,6 +140,14 @@ class ModelConfig:
     # the 16-node Gauss-Jacobi rule; "cheb"/"gj16" force a rule
     # (ops/physics.py::select_quad_rule).
     quad_rule: str = "auto"
+    # TPU extension: fused Pallas stream-1 inference encode
+    # (ops/pallas_infer.py): the whole voxelwise normalise -> dense
+    # chain -> posterior-params pass runs in one VMEM kernel feeding the
+    # quadrature summarize kernel channel-major (no padded-lane HBM
+    # round-trips). "auto" = on for TPU backends when the activation is
+    # covered; "on"/"off" force; "interpret" = Mosaic interpreter (CPU
+    # tests). Forward-only: applies to the use_first_op inference path.
+    fused_infer: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -260,6 +268,7 @@ _FLAT_KEY_MAP: dict[str, tuple[str, str]] = {
     "fused_elbo": ("train", "fused_elbo"),
     "compute_dtype": ("model", "compute_dtype"),
     "quad_rule": ("model", "quad_rule"),
+    "fused_infer": ("model", "fused_infer"),
     "d": ("train", "data_directory"),
     "name": (None, "name"),
 }

@@ -62,6 +62,82 @@ def _summarize(tuner: FineTuner, params, key, images,
     return {"means": means, "stds": stds, "raw_log_stds": raw_log_stds}
 
 
+def _resolve_fused_infer(cfg) -> bool | None:
+    """Resolve ModelConfig.fused_infer -> None (off) | False (compiled)
+    | True (Mosaic interpreter). "auto" turns the fused stream-1 encode
+    kernel (ops/pallas_infer.py) on for TPU backends when the activation
+    is covered."""
+    mode = str(cfg.fused_infer).strip().lower()
+    if mode not in ("auto", "on", "off", "interpret"):
+        raise ValueError(
+            f"fused_infer must be auto|on|off|interpret, got "
+            f"{cfg.fused_infer!r}")
+    if mode == "off":
+        return None
+    from .ops.pallas_infer import fused_infer_available
+
+    ok = fused_infer_available(cfg.activation)
+    if mode == "auto":
+        if not ok or jax.default_backend() not in ("tpu", "axon"):
+            return None
+        return False
+    if not ok:
+        raise ValueError(
+            f"fused_infer was forced on but activation "
+            f"{cfg.activation!r} has no Mosaic-safe implementation "
+            "(ops/pallas_infer.SUPPORTED_ACTS)")
+    return mode == "interpret"
+
+
+@partial(jax.jit, static_argnames=("tuner", "interpret", "mask_channel"))
+def _fused_posterior_summaries(tuner: FineTuner, params, images,
+                               interpret: bool = False,
+                               mask_channel: bool = False):
+    """Fully-kernelised inference: fused stream-1 encode
+    (ops/pallas_infer.py) -> packed quadrature summarize
+    (ops/quadrature.py), channel-major end to end -- no padded-lane HBM
+    round-trips of (N, 5|60)-channel intermediates (the layout tax the
+    round-3 probe measured, benchmarks/RESULTS.md).
+
+    Returns CHANNEL-major flattened maps:
+    (means_t (3, N), vars_t (3, N), raw_log_stds_t (2|3, N)); callers
+    transpose on the host. Same math as the _encode_q +
+    quad_posterior_summaries composition (gated in
+    tests/test_pallas_infer.py)."""
+    from .ops.pallas_infer import encode_q1_packed
+    from .ops.quadrature import quad_posterior_summaries_packed
+    from .models.encoder import _dtype_of
+
+    cfg = tuner.cfg
+    n = int(np.prod(images.shape[:-1]))
+    trunk = ("bfloat16" if _dtype_of(cfg) == jnp.bfloat16 else "float32")
+    if interpret:
+        # tiny tiles: the Mosaic interpreter (CPU tests) executes the
+        # unrolled node loops per element
+        enc_args = dict(rows=256, pad_multiple=64)
+        lanes = 8
+    else:
+        enc_args = {}
+        lanes = 1024
+    q_t = encode_q1_packed(
+        images, params["encoder"], se_idx=tuner.scan.se_idx,
+        multi_image=cfg.multi_image_normalisation,
+        activation=cfg.activation, n_blocks=cfg.no_intermediate_layers,
+        trunk=trunk, interpret=interpret, mask_channel=mask_channel,
+        **enc_args)
+    dwc = float(tuner.scan.dw_coeff * tuner.scan.hct)
+    means_t, vars_t = quad_posterior_summaries_packed(
+        q_t, mvg=cfg.use_mvg, oef_range=cfg.oef_range, min_oef=cfg.min_oef,
+        dbv_range=cfg.dbv_range, min_dbv=cfg.min_dbv, dw_coeff=dwc,
+        interpret=interpret, lanes=lanes)
+    dist = tuner.dist
+    raws = [dist.transform_std(q_t[1:2]), dist.transform_std(q_t[3:4])]
+    if cfg.use_mvg:
+        raws.append(dist.transform_offdiag(q_t[4:5]))
+    raw_t = jnp.concatenate(raws, 0)
+    return means_t[:, :n], vars_t[:, :n], raw_t[:, :n]
+
+
 @partial(jax.jit, static_argnames=("tuner", "use_first_op"))
 def _encode_q(tuner: FineTuner, params, images, use_first_op: bool = True):
     """Encoder pass + raw-log-std maps (the deterministic half of
@@ -122,13 +198,31 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
+    fused = (_resolve_fused_infer(tuner.cfg)
+             if (method == "quadrature" and use_first_op) else None)
 
     outs = []
     for i in range(0, data.shape[0], chunk):
         raw, n_blk = _pad_chunk(data[i:i + chunk], chunk)
         block = jnp.asarray(raw)
-        masked = block[..., :-1] * block[..., -1:]
         key, k = jax.random.split(key)
+        if fused is not None:
+            # mask zeroing is fused into the encode kernel's first read
+            means_t, vars_t, raw_t = _fused_posterior_summaries(
+                tuner, params, block, interpret=fused, mask_channel=True)
+            shape = block.shape[:-1]
+            # channel-major device arrays -> host-side transpose (a
+            # device-side (N, 3) write would re-pay the padded-minor
+            # tile layout the fused path exists to avoid)
+            out = {
+                k2: np.moveaxis(np.asarray(v), 0, -1).reshape(
+                    shape + (v.shape[0],))
+                for k2, v in (("means", means_t), ("stds", vars_t),
+                              ("raw_log_stds", raw_t))
+            }
+            outs.append({k2: v[:n_blk] for k2, v in out.items()})
+            continue
+        masked = block[..., :-1] * block[..., -1:]
         if use_pallas:
             q, raw_log_stds = _encode_q(tuner, params, masked,
                                         use_first_op=use_first_op)
@@ -298,6 +392,40 @@ def posterior_maps_sharded(tuner: FineTuner, params, data: np.ndarray, key,
         use_pallas = jax.default_backend() in ("tpu", "axon")
     cfg = tuner.cfg
     dwc = float(tuner.scan.dw_coeff * tuner.scan.hct)
+    fused = (_resolve_fused_infer(cfg)
+             if (method == "quadrature" and use_first_op) else None)
+
+    if fused is not None:
+        # fused channel-major path: each device runs the stream-1 encode
+        # + packed quadrature kernels on its subject shard; the sharded
+        # axis is the minor (voxel) axis of the (3, N_local) outputs,
+        # which concatenate in subject-major order.
+        def local_fused(block, _k):
+            m, v, r = _fused_posterior_summaries(tuner, params, block,
+                                                 interpret=fused,
+                                                 mask_channel=True)
+            return {"means": m, "stds": v, "raw_log_stds": r}
+
+        spec = P(pmesh.DATA_AXIS)
+        vspec = P(None, pmesh.DATA_AXIS)
+        fn = shard_map(local_fused, mesh=mesh, in_specs=(spec, spec),
+                       out_specs={"means": vspec, "stds": vspec,
+                                  "raw_log_stds": vspec},
+                       check_vma=False)
+        keys = jax.random.split(key, n_dev)
+        block = pmesh.shard_batch(mesh, np.float32(data))
+        out = jax.jit(fn)(block, jax.device_put(
+            keys, jax.sharding.NamedSharding(mesh, spec)))
+        shape = data.shape[:-1]
+        cat = {k2: np.moveaxis(np.asarray(v), 0, -1).reshape(
+                   shape + (v.shape[0],))[:n_subj]
+               for k2, v in out.items()}
+        means = cat["means"]
+        return {
+            "oef": means[..., 0:1], "dbv": means[..., 1:2],
+            "r2p": means[..., 2:3],
+            "stds": cat["stds"], "raw_log_stds": cat["raw_log_stds"],
+        }
 
     def local(block, k):
         masked = block[..., :-1] * block[..., -1:]

@@ -1,0 +1,221 @@
+"""Fused Pallas stream-1 inference encoder: normalise -> dense chain -> q.
+
+Why this kernel exists (benchmarks/probe_encoder.py, RESULTS.md round-3):
+the headline inference program (``save_predictions``'s encode + summarize,
+reference model.py:772-803) only ever evaluates encoder stream 1
+(``use_first_op=True``) -- a pure VOXELWISE dense chain, since stream 2's
+convs are dead under XLA DCE -- yet the XLA encode costs 4.07 ms of the
+5.78 ms composite at 1.03M voxels. Two structural reasons, both layout:
+
+* every intermediate (N, 60) activation round-trips HBM between matmuls,
+  and
+* the trailing 11/60-channel axis occupies 11-60 of the 128 lanes of
+  every TPU tile, so the elementwise stages (clip/log normalisation,
+  activations) run at ~8-47% lane occupancy (~84 GB/s effective).
+
+This kernel runs the whole chain per voxel tile with all state in VMEM:
+
+    clip -> spin-echo-window normalise -> log   (reference model.py:97-113)
+    -> Dense(T->U) + act                        (model.py:115-120)
+    -> [shared Dense(U->U) + act] x n_blocks    (model.py:144-148: stream 1
+                                                 is out1 = act(shared(net1)))
+    -> float32 Dense(U->4|5) head               (model.py:191-199)
+
+Inside the kernel activations live CHANNEL-MAJOR ``(C, R)``: the voxel
+axis fills all 128 lanes of every VPU op and MXU tile (the first matmul
+contracts the input's trailing tau axis directly, so no explicit
+transpose is ever materialised). The head output is written as a dense
+channel-major ``(5, n_pad)`` array whose minor (voxel) axis is unpadded
+in the tiled HBM layout -- it feeds the quadrature summarize kernel
+(ops/quadrature.py::quad_posterior_summaries_packed) through a cheap
+minor-split reshape instead of ``pack_params_tiled``'s (N, 5) transpose,
+whose padded-minor source wastes 123/128 lanes of HBM traffic.
+
+Coverage: stream 1 is voxelwise for EVERY encoder configuration --
+GroupNorm and dropout act only on the stream-2 residual path (reference
+model.py:142-174; models/encoder.py::GatedResBlock) -- so the only
+requirement is a Mosaic-safe activation. The learned inverse-gamma
+hyperprior channels (appended constants, model.py:201-205) are not
+emitted: the summarization path strips them anyway (infer._encode_q).
+
+Forward-only by design: this is the inference path; training gradients
+flow through the jnp/flax encoder (and the fused ELBO kernel's VJP).
+
+Gated in tests/test_pallas_infer.py: interpret mode against the flax
+encoder on CPU across configurations, and on-chip against the same jnp
+program on the real Mosaic compile.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["encode_q1_packed", "fused_infer_available", "SUPPORTED_ACTS"]
+
+# Rows (voxels) per grid step. VMEM at 2048: one (2048, 128)-padded fp32
+# input tile (1 MB) double-buffered + (64, 2048) activations -- far under
+# budget; swept on chip (see benchmarks/RESULTS.md round 3).
+_ROWS = 2048
+# The packed-q consumer (quadrature kernel at its default 1024 lanes)
+# needs n_pad % (8 * lanes) == 0.
+_PAD_MULTIPLE = 8192
+
+# Activations with Mosaic-safe jax.nn implementations (elementwise
+# exp/tanh/erf compositions). flax resolves cfg.activation via
+# getattr(nn, name) (models/encoder.py::_activation); same functions.
+SUPPORTED_ACTS = ("relu", "gelu", "tanh", "sigmoid", "softplus", "elu",
+                  "silu", "swish", "leaky_relu", "relu6", "linear")
+
+
+def fused_infer_available(activation: str) -> bool:
+    return activation in SUPPORTED_ACTS
+
+
+def _act_fn(name: str):
+    if name == "linear":
+        return lambda x: x
+    return getattr(jax.nn, name)
+
+
+def _kernel(x_ref, wfc_ref, bfc_ref, wb_ref, bb_ref, wf_ref, bf_ref,
+            q_ref, *, se_idx: int, multi_image: bool, activation: str,
+            n_blocks: int, trunk: str, mask_channel: bool):
+    act = _act_fn(activation)
+    dt = jnp.bfloat16 if trunk == "bfloat16" else jnp.float32
+
+    x = x_ref[:]                                         # (R, T[+1])
+    if mask_channel:
+        # brain-mask zeroing fused in (save_predictions masks before the
+        # encode, reference model.py:776) -- doing it here instead of as
+        # an XLA elementwise op avoids one full read+write of the
+        # padded-minor (..., T) tile layout
+        x = x[:, :-1] * x[:, -1:]
+
+    # ---- in-model normalisation (reference model.py:97-113; bit-identical
+    # to models/encoder.py::normalise_data, float32) -------------------------
+    x = jnp.clip(x, 1e-2, 1e8)                           # (R, T)
+    if multi_image:
+        lo = max(se_idx - 1, 0)                          # se_idx=0 edge guard
+        ref = jnp.mean(x[:, lo:se_idx + 2], axis=1, keepdims=True)
+    else:
+        ref = x[:, se_idx:se_idx + 1]
+    h = jnp.log(x / ref)
+
+    # ---- embed: Dense(T->U), channel-major output. The contraction runs
+    # over the (R, T) block's trailing tau axis, so the kernel never
+    # materialises a transpose of the voxel-major input. ----------------------
+    h = h.astype(dt)
+    w = wfc_ref[:].astype(dt)                            # (U, T)
+    h = jax.lax.dot_general(w, h, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = act(h.astype(dt) + bfc_ref[:].astype(dt))        # (U, R)
+
+    # ---- stream-1 trunk: out1 = act(shared_dense(net1)) per block
+    # (reference model.py:144-148). flax Dense(dtype=dt) rounds the fp32
+    # MXU accumulator to dt before the bias add; matched here. ---------------
+    for i in range(n_blocks):
+        w = wb_ref[i].astype(dt)                         # (U, U)
+        h = jax.lax.dot_general(w, h, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        h = act(h.astype(dt) + bb_ref[i].astype(dt))
+
+    # ---- float32 head (models/encoder.py casts net1 to fp32 first) ---------
+    h = h.astype(jnp.float32)
+    q = jax.lax.dot_general(wf_ref[:], h, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    q_ref[:] = q + bf_ref[:]
+
+
+def _stream1_weights(enc_params, n_blocks: int):
+    """Extract + pre-transpose the stream-1 weights from the flax Encoder
+    param tree (models/encoder.py naming: first_conv / block_i/Dense_0 /
+    final). The head is zero-padded to 5 output channels so the kernel's
+    output block is the (5, n_pad) layout the summarize kernels consume
+    for both MVG and diagonal posteriors (diag reads row 4 as 0)."""
+    wfc = enc_params["first_conv"]["kernel"]             # (T, U)
+    bfc = enc_params["first_conv"]["bias"]               # (U,)
+    u = wfc.shape[1]
+    wb = jnp.stack([enc_params[f"block_{i}"]["Dense_0"]["kernel"].T
+                    for i in range(n_blocks)])           # (nb, U, U)
+    bb = jnp.stack([enc_params[f"block_{i}"]["Dense_0"]["bias"]
+                    for i in range(n_blocks)])[..., None]  # (nb, U, 1)
+    wf = enc_params["final"]["kernel"]                   # (U, K)
+    bf = enc_params["final"]["bias"]                     # (K,)
+    k = wf.shape[1]
+    wf_t = jnp.zeros((5, u), wf.dtype).at[:k].set(wf.T)
+    bf_t = jnp.zeros((5, 1), bf.dtype).at[:k, 0].set(bf)
+    return (wfc.T, bfc[:, None], wb, bb, wf_t, bf_t)
+
+
+@partial(jax.jit, static_argnames=("se_idx", "multi_image", "activation",
+                                   "n_blocks", "trunk", "rows",
+                                   "pad_multiple", "interpret",
+                                   "mask_channel"))
+def encode_q1_packed(images: jax.Array, enc_params, *, se_idx: int,
+                     multi_image: bool, activation: str, n_blocks: int,
+                     trunk: str, rows: int = _ROWS,
+                     pad_multiple: int = _PAD_MULTIPLE,
+                     interpret: bool = False,
+                     mask_channel: bool = False) -> jax.Array:
+    """Fused stream-1 encode of ``images (..., T)`` -> channel-major raw
+    posterior params ``q_t (5, n_pad)`` (row 4 zero for diagonal heads).
+
+    ``mask_channel``: images carry the brain mask as a trailing channel
+    (``(..., T+1)``, the preprocessing data contract) and the zeroing is
+    fused into the kernel's first read.
+
+    n_pad = ceil(N / lcm(rows, pad_multiple)) * that; padded voxels carry
+    neutral inputs (constant 1 -> log ratio 0) and must be sliced off by
+    the caller (``q_t[:, :N]``). ``trunk``: "float32" | "bfloat16" -- the
+    dtype of the embed/trunk matmuls, matching the flax encoder's
+    ``compute_dtype`` resolution; normalisation and the head are always
+    float32 (models/encoder.py).
+    """
+    x = images.reshape(-1, images.shape[-1])
+    n, t = x.shape
+    blk = int(np.lcm(rows, pad_multiple))
+    n_pad = ((n + blk - 1) // blk) * blk
+    if n_pad != n:
+        x = jnp.concatenate(
+            [x, jnp.ones((n_pad - n, t), x.dtype)], axis=0)
+
+    wfc, bfc, wb, bb, wf, bf = _stream1_weights(enc_params, n_blocks)
+    u = wfc.shape[0]
+    t_im = t - 1 if mask_channel else t   # tau channels (mask excluded)
+    if wfc.shape[1] != t_im:
+        raise ValueError(
+            f"images carry {t_im} tau channels but first_conv expects "
+            f"{wfc.shape[1]}")
+    grid = n_pad // rows
+
+    kernel = partial(_kernel, se_idx=se_idx, multi_image=multi_image,
+                     activation=activation, n_blocks=n_blocks, trunk=trunk,
+                     mask_channel=mask_channel)
+    full = lambda i: (0, 0)                              # noqa: E731
+    q_t = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((rows, t), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, t_im), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, u, u), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, u, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, u), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, 1), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((5, rows), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((5, n_pad), jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(x, wfc, bfc, wb, bb, wf, bf)
+    return q_t

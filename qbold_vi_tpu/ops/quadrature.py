@@ -76,7 +76,7 @@ from .pallas_summarize import (_LANES, _SUB, pack_params_tiled,
                                unpack_summaries_tiled)
 
 __all__ = ["posterior_summaries_quadrature", "quad_posterior_summaries",
-           "QH", "QL", "SPLIT_THRESHOLD"]
+           "quad_posterior_summaries_packed", "QH", "QL", "SPLIT_THRESHOLD"]
 
 QH = 16              # Gauss-Hermite nodes (probabilists')
 QL = 16              # Gauss-Laguerre nodes for the split correction
@@ -453,10 +453,54 @@ def quad_posterior_summaries(params: jax.Array, *, mvg: bool = True,
     """
     n = params.shape[0]
     pt, n_pad, grid = pack_params_tiled(params, lanes)
+    mean_t, var_t = _quad_call(pt, grid, mvg=mvg, oef_range=oef_range,
+                               min_oef=min_oef, dbv_range=dbv_range,
+                               min_dbv=min_dbv, dw_coeff=dw_coeff,
+                               interpret=interpret, lanes=lanes)
+    return unpack_summaries_tiled(mean_t, var_t, n, n_pad)
+
+
+@partial(jax.jit, static_argnames=("mvg", "oef_range", "min_oef",
+                                   "dbv_range", "min_dbv", "dw_coeff",
+                                   "interpret", "lanes"))
+def quad_posterior_summaries_packed(params_t: jax.Array, *, mvg: bool = True,
+                                    oef_range: float = 0.8,
+                                    min_oef: float = 0.04,
+                                    dbv_range: float = 0.2,
+                                    min_dbv: float = 0.001,
+                                    dw_coeff: float = 1.0,
+                                    interpret: bool = False,
+                                    lanes: int = _LANES):
+    """Packed channel-major entry: ``params_t (5, n_pad)`` with
+    n_pad % (8 * lanes) == 0 (diag heads carry zeros in row 4), as
+    emitted by the fused stream-1 encode kernel
+    (ops/pallas_infer.py::encode_q1_packed). Returns channel-major
+    (means_t (3, n_pad), vars_t (3, n_pad)) -- the caller slices off its
+    pad. Skips pack_params_tiled's (N, 5) transpose: the (5, n_pad)
+    layout's minor axis is already the voxel axis, so the tile reshape
+    here is a cheap minor split with no padded-lane traffic. Same voxel
+    bijection as pack/unpack_summaries_tiled (v = s * (n_pad/8) + l)."""
+    n_pad = params_t.shape[1]
+    if n_pad % (_SUB * lanes):
+        raise ValueError(
+            f"packed quadrature needs n_pad % {_SUB * lanes} == 0, "
+            f"got {n_pad}")
+    pt = params_t.reshape(5, _SUB, n_pad // _SUB)
+    mean_t, var_t = _quad_call(pt, (n_pad // _SUB) // lanes, mvg=mvg,
+                               oef_range=oef_range, min_oef=min_oef,
+                               dbv_range=dbv_range, min_dbv=min_dbv,
+                               dw_coeff=dw_coeff, interpret=interpret,
+                               lanes=lanes)
+    return mean_t.reshape(3, n_pad), var_t.reshape(3, n_pad)
+
+
+def _quad_call(pt, grid, *, mvg, oef_range, min_oef, dbv_range, min_dbv,
+               dw_coeff, interpret, lanes):
+    n_pad = pt.shape[1] * pt.shape[2]
     kernel = partial(_quad_kernel, mvg=mvg, oef_range=oef_range,
                      min_oef=min_oef, dbv_range=dbv_range, min_dbv=min_dbv,
                      dw_coeff=dw_coeff)
-    mean_t, var_t = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
@@ -470,9 +514,8 @@ def quad_posterior_summaries(params: jax.Array, *, mvg: bool = True,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((3, _SUB, n_pad // _SUB), params.dtype),
-            jax.ShapeDtypeStruct((3, _SUB, n_pad // _SUB), params.dtype),
+            jax.ShapeDtypeStruct((3, _SUB, n_pad // _SUB), pt.dtype),
+            jax.ShapeDtypeStruct((3, _SUB, n_pad // _SUB), pt.dtype),
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(pt)
-    return unpack_summaries_tiled(mean_t, var_t, n, n_pad)
