@@ -94,11 +94,13 @@ def main() -> None:
     # 6.2 ms/rep at reps=100). Production inference/training keeps the
     # dispatch queue full, so the steady-state number is the honest
     # one: use enough reps to amortise the block latency to <1%.
-    def timed(fn, chain, reps, blocks=5):
+    def timed(fn, chain, x0, reps, blocks=5):
+        def sync(x):
+            jax.device_get(x[(0,) * (x.ndim - 1)][:1])
         # warmup/compile (2 chained calls so the chain op is compiled too)
-        x = chain(fn(images), images)
-        x = chain(fn(x), images)
-        jax.device_get(x[0, 0, 0, 0, :1])
+        x = chain(fn(x0), x0)
+        x = chain(fn(x), x)
+        sync(x)
         # median of `blocks` timed blocks of `reps` chained calls each:
         # tunnel run-to-run variance made single-block means noisy across
         # rounds (BENCH_r01 55.6 M vs RESULTS.md 65.2 M voxels/s), and a
@@ -106,10 +108,10 @@ def main() -> None:
         per_block = []
         for _ in range(blocks):
             t0 = time.perf_counter()
-            x = images
+            x = x0
             for _ in range(reps):
                 x = chain(fn(x), x)
-            jax.device_get(x[0, 0, 0, 0, :1])
+            sync(x)
             per_block.append((time.perf_counter() - t0) / reps)
         return float(np.median(per_block))
 
@@ -118,12 +120,20 @@ def main() -> None:
                                     _resolve_fused_infer)
 
     fused = _resolve_fused_infer(cfg.model)
+    infer_x0 = images
     if fused is not None:
         # production default on TPU: fused stream-1 encode kernel ->
-        # packed quadrature kernel, channel-major end to end
+        # packed quadrature kernel, channel-major end to end. Volumes
+        # upload CHANNEL-MAJOR (T, N) -- the serving layout
+        # posterior_maps uses (the transpose rides the host->device
+        # copy; dense-minor tiles DMA ~3x faster than the padded
+        # voxel-major layout, benchmarks/RESULTS.md)
+        infer_x0 = jax.device_put(jnp.asarray(np.ascontiguousarray(
+            data.reshape(-1, scan.n_taus).T)))
+
         def infer_fn(x):
-            means_t, _, _ = _fused_posterior_summaries(tuner, params, x,
-                                                       interpret=fused)
+            means_t, _, _ = _fused_posterior_summaries(
+                tuner, params, x, interpret=fused, input_layout="channel")
             return {"means": means_t}
     elif use_pallas:
         from qbold_vi_tpu.ops.quadrature import quad_posterior_summaries
@@ -144,10 +154,10 @@ def main() -> None:
     def chain_summ(out, imgs):
         # shape-agnostic data dependency (fused mode returns channel-major
         # (3, N) means; the jnp paths return (..., 3) maps)
-        return images + jnp.ravel(out["means"])[0] * 1e-9
+        return imgs + jnp.ravel(out["means"])[0] * 1e-9
 
     note("compiling + timing full-brain inference...")
-    dt = timed(infer_fn, chain_summ, reps=80)
+    dt = timed(infer_fn, chain_summ, infer_x0, reps=80)
     vps = n_voxels / dt
     note(f"infer: {n_voxels} voxels in {dt * 1e3:.1f} ms "
          f"({vps / 1e6:.2f} M voxels/s)")
@@ -157,10 +167,11 @@ def main() -> None:
     if time.time() - t_start < budget:
         @jax.jit
         def chain_wls(out, imgs):
-            return images + out[0] * 1e-9
+            return imgs + out[0] * 1e-9
 
         note("compiling + timing WLS baseline...")
-        wls_dt = timed(lambda x: fit_wls(x, scan), chain_wls, reps=80)
+        wls_dt = timed(lambda x: fit_wls(x, scan), chain_wls, images,
+                       reps=80)
         note(f"wls: {n_voxels / wls_dt / 1e6:.2f} M voxels/s")
     else:
         note("budget spent; skipping informational WLS timing")

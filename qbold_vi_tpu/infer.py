@@ -89,10 +89,12 @@ def _resolve_fused_infer(cfg) -> bool | None:
     return mode == "interpret"
 
 
-@partial(jax.jit, static_argnames=("tuner", "interpret", "mask_channel"))
+@partial(jax.jit, static_argnames=("tuner", "interpret", "mask_channel",
+                                   "input_layout"))
 def _fused_posterior_summaries(tuner: FineTuner, params, images,
                                interpret: bool = False,
-                               mask_channel: bool = False):
+                               mask_channel: bool = False,
+                               input_layout: str = "voxel"):
     """Fully-kernelised inference: fused stream-1 encode
     (ops/pallas_infer.py) -> packed quadrature summarize
     (ops/quadrature.py), channel-major end to end -- no padded-lane HBM
@@ -109,7 +111,8 @@ def _fused_posterior_summaries(tuner: FineTuner, params, images,
     from .models.encoder import _dtype_of
 
     cfg = tuner.cfg
-    n = int(np.prod(images.shape[:-1]))
+    n = (int(images.shape[1]) if input_layout == "channel"
+         else int(np.prod(images.shape[:-1])))
     trunk = ("bfloat16" if _dtype_of(cfg) == jnp.bfloat16 else "float32")
     if interpret:
         # tiny tiles: the Mosaic interpreter (CPU tests) executes the
@@ -124,7 +127,7 @@ def _fused_posterior_summaries(tuner: FineTuner, params, images,
         multi_image=cfg.multi_image_normalisation,
         activation=cfg.activation, n_blocks=cfg.no_intermediate_layers,
         trunk=trunk, interpret=interpret, mask_channel=mask_channel,
-        **enc_args)
+        input_layout=input_layout, **enc_args)
     dwc = float(tuner.scan.dw_coeff * tuner.scan.hct)
     means_t, vars_t = quad_posterior_summaries_packed(
         q_t, mvg=cfg.use_mvg, oef_range=cfg.oef_range, min_oef=cfg.min_oef,
@@ -204,13 +207,19 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
     outs = []
     for i in range(0, data.shape[0], chunk):
         raw, n_blk = _pad_chunk(data[i:i + chunk], chunk)
-        block = jnp.asarray(raw)
         key, k = jax.random.split(key)
         if fused is not None:
-            # mask zeroing is fused into the encode kernel's first read
+            # upload the chunk CHANNEL-MAJOR (T+1, N): the transpose
+            # rides the host->device copy and the kernel's input tiles
+            # become dense-minor -- the padded voxel-major layout DMAs
+            # at ~1/3 the rate (RESULTS.md probe). Mask zeroing is fused
+            # into the kernel's first read.
+            cm = jnp.asarray(np.ascontiguousarray(
+                raw.reshape(-1, raw.shape[-1]).T))
             means_t, vars_t, raw_t = _fused_posterior_summaries(
-                tuner, params, block, interpret=fused, mask_channel=True)
-            shape = block.shape[:-1]
+                tuner, params, cm, interpret=fused, mask_channel=True,
+                input_layout="channel")
+            shape = raw.shape[:-1]
             # channel-major device arrays -> host-side transpose (a
             # device-side (N, 3) write would re-pay the padded-minor
             # tile layout the fused path exists to avoid)
@@ -222,6 +231,7 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
             }
             outs.append({k2: v[:n_blk] for k2, v in out.items()})
             continue
+        block = jnp.asarray(raw)
         masked = block[..., :-1] * block[..., -1:]
         if use_pallas:
             q, raw_log_stds = _encode_q(tuner, params, masked,
@@ -396,24 +406,30 @@ def posterior_maps_sharded(tuner: FineTuner, params, data: np.ndarray, key,
              if (method == "quadrature" and use_first_op) else None)
 
     if fused is not None:
-        # fused channel-major path: each device runs the stream-1 encode
-        # + packed quadrature kernels on its subject shard; the sharded
-        # axis is the minor (voxel) axis of the (3, N_local) outputs,
-        # which concatenate in subject-major order.
+        # fused channel-major path: volumes upload as one (T+1, N) array
+        # sharded on the minor (voxel) axis -- subject-aligned, since
+        # S_pad divides the mesh -- and each device runs the stream-1
+        # encode + packed quadrature kernels on its dense-minor shard.
+        # Outputs shard the same axis and concatenate in subject-major
+        # order.
         def local_fused(block, _k):
             m, v, r = _fused_posterior_summaries(tuner, params, block,
                                                  interpret=fused,
-                                                 mask_channel=True)
+                                                 mask_channel=True,
+                                                 input_layout="channel")
             return {"means": m, "stds": v, "raw_log_stds": r}
 
         spec = P(pmesh.DATA_AXIS)
         vspec = P(None, pmesh.DATA_AXIS)
-        fn = shard_map(local_fused, mesh=mesh, in_specs=(spec, spec),
+        fn = shard_map(local_fused, mesh=mesh, in_specs=(vspec, spec),
                        out_specs={"means": vspec, "stds": vspec,
                                   "raw_log_stds": vspec},
                        check_vma=False)
         keys = jax.random.split(key, n_dev)
-        block = pmesh.shard_batch(mesh, np.float32(data))
+        cm = np.ascontiguousarray(
+            np.float32(data).reshape(-1, data.shape[-1]).T)
+        block = jax.device_put(
+            cm, jax.sharding.NamedSharding(mesh, vspec))
         out = jax.jit(fn)(block, jax.device_put(
             keys, jax.sharding.NamedSharding(mesh, spec)))
         shape = data.shape[:-1]

@@ -58,10 +58,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["encode_q1_packed", "fused_infer_available", "SUPPORTED_ACTS"]
 
-# Rows (voxels) per grid step. VMEM at 2048: one (2048, 128)-padded fp32
-# input tile (1 MB) double-buffered + (64, 2048) activations -- far under
-# budget; swept on chip (see benchmarks/RESULTS.md round 3).
-_ROWS = 2048
+# Rows (voxels) per grid step. Swept interleaved on v5e at 1.03M voxels
+# (median of 3 blocks x 80 reps): 1024 -> 2.67 ms, 2048 -> 2.43,
+# 4096 -> 2.33, 8192 -> 2.28. VMEM at 8192: one (8192, 128)-padded fp32
+# input tile (4 MB) double-buffered + (64, 8192) activations -- well
+# under budget.
+_ROWS = 8192
 # The packed-q consumer (quadrature kernel at its default 1024 lanes)
 # needs n_pad % (8 * lanes) == 0.
 _PAD_MULTIPLE = 8192
@@ -85,34 +87,41 @@ def _act_fn(name: str):
 
 def _kernel(x_ref, wfc_ref, bfc_ref, wb_ref, bb_ref, wf_ref, bf_ref,
             q_ref, *, se_idx: int, multi_image: bool, activation: str,
-            n_blocks: int, trunk: str, mask_channel: bool):
+            n_blocks: int, trunk: str, mask_channel: bool,
+            channel_major: bool):
     act = _act_fn(activation)
     dt = jnp.bfloat16 if trunk == "bfloat16" else jnp.float32
 
-    x = x_ref[:]                                         # (R, T[+1])
-    if mask_channel:
-        # brain-mask zeroing fused in (save_predictions masks before the
-        # encode, reference model.py:776) -- doing it here instead of as
-        # an XLA elementwise op avoids one full read+write of the
-        # padded-minor (..., T) tile layout
-        x = x[:, :-1] * x[:, -1:]
+    x = x_ref[:]                                 # (R, T[+1]) | (T[+1], R)
 
     # ---- in-model normalisation (reference model.py:97-113; bit-identical
-    # to models/encoder.py::normalise_data, float32) -------------------------
-    x = jnp.clip(x, 1e-2, 1e8)                           # (R, T)
+    # to models/encoder.py::normalise_data, float32); mask_channel fuses
+    # the brain-mask zeroing into the same read (save_predictions masks
+    # before the encode, reference model.py:776), avoiding one XLA
+    # read+write of the padded-minor (..., T) tile layout. ---------------
+    #
+    # The normalisation runs CHANNEL-MAJOR (T, R): on voxel-major (R, 11)
+    # tiles the VPU processes all 128 lanes of each 8x128 tile, so the
+    # transcendental work pays ~12x its useful share; channel-major it
+    # runs at full occupancy and the embed matmul contracts the leading
+    # axis (the canonical MXU form). With ``channel_major`` input the
+    # block arrives (T, R) already -- the production serving layout,
+    # whose dense-minor HBM tiles also read 3.2x faster than the padded
+    # voxel-major ones (benchmarks/RESULTS.md DMA probe) -- otherwise
+    # the (R, T) block is transposed in VMEM first.
+    if not channel_major:
+        x = x.T                                          # (T[+1], R)
+    if mask_channel:
+        x = x[:-1, :] * x[-1:, :]
+    x = jnp.clip(x, 1e-2, 1e8)
     if multi_image:
         lo = max(se_idx - 1, 0)                          # se_idx=0 edge guard
-        ref = jnp.mean(x[:, lo:se_idx + 2], axis=1, keepdims=True)
+        ref = jnp.mean(x[lo:se_idx + 2, :], axis=0, keepdims=True)
     else:
-        ref = x[:, se_idx:se_idx + 1]
-    h = jnp.log(x / ref)
-
-    # ---- embed: Dense(T->U), channel-major output. The contraction runs
-    # over the (R, T) block's trailing tau axis, so the kernel never
-    # materialises a transpose of the voxel-major input. ----------------------
-    h = h.astype(dt)
+        ref = x[se_idx:se_idx + 1, :]
+    h = jnp.log(x / ref).astype(dt)                      # (T, R)
     w = wfc_ref[:].astype(dt)                            # (U, T)
-    h = jax.lax.dot_general(w, h, (((1,), (1,)), ((), ())),
+    h = jax.lax.dot_general(w, h, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     h = act(h.astype(dt) + bfc_ref[:].astype(dt))        # (U, R)
 
@@ -156,19 +165,28 @@ def _stream1_weights(enc_params, n_blocks: int):
 @partial(jax.jit, static_argnames=("se_idx", "multi_image", "activation",
                                    "n_blocks", "trunk", "rows",
                                    "pad_multiple", "interpret",
-                                   "mask_channel"))
+                                   "mask_channel", "input_layout"))
 def encode_q1_packed(images: jax.Array, enc_params, *, se_idx: int,
                      multi_image: bool, activation: str, n_blocks: int,
                      trunk: str, rows: int = _ROWS,
                      pad_multiple: int = _PAD_MULTIPLE,
                      interpret: bool = False,
-                     mask_channel: bool = False) -> jax.Array:
-    """Fused stream-1 encode of ``images (..., T)`` -> channel-major raw
-    posterior params ``q_t (5, n_pad)`` (row 4 zero for diagonal heads).
+                     mask_channel: bool = False,
+                     input_layout: str = "voxel") -> jax.Array:
+    """Fused stream-1 encode -> channel-major raw posterior params
+    ``q_t (5, n_pad)`` (row 4 zero for diagonal heads).
+
+    ``input_layout``: "voxel" -- images are ``(..., T)``, the user-facing
+    array contract; each (rows, T) block is transposed in VMEM (its
+    padded-minor HBM tiles DMA at ~1/3 the dense rate -- the measured
+    layout tax, benchmarks/RESULTS.md). "channel" -- images are
+    ``(T, N)`` channel-major, the production serving layout
+    (posterior_maps uploads chunks this way: the transpose rides the
+    host->device copy): dense-minor tiles, full-rate DMA.
 
     ``mask_channel``: images carry the brain mask as a trailing channel
-    (``(..., T+1)``, the preprocessing data contract) and the zeroing is
-    fused into the kernel's first read.
+    (``(..., T+1)`` / leading ``(T+1, N)`` row) and the zeroing is fused
+    into the kernel's first read.
 
     n_pad = ceil(N / lcm(rows, pad_multiple)) * that; padded voxels carry
     neutral inputs (constant 1 -> log ratio 0) and must be sliced off by
@@ -177,13 +195,23 @@ def encode_q1_packed(images: jax.Array, enc_params, *, se_idx: int,
     ``compute_dtype`` resolution; normalisation and the head are always
     float32 (models/encoder.py).
     """
-    x = images.reshape(-1, images.shape[-1])
-    n, t = x.shape
+    if input_layout not in ("voxel", "channel"):
+        raise ValueError(f"input_layout must be voxel|channel, "
+                         f"got {input_layout!r}")
+    channel_major = input_layout == "channel"
+    if channel_major:
+        t, n = images.shape
+        x = images
+    else:
+        x = images.reshape(-1, images.shape[-1])
+        n, t = x.shape
     blk = int(np.lcm(rows, pad_multiple))
     n_pad = ((n + blk - 1) // blk) * blk
     if n_pad != n:
+        pad_shape = ((t, n_pad - n) if channel_major else (n_pad - n, t))
         x = jnp.concatenate(
-            [x, jnp.ones((n_pad - n, t), x.dtype)], axis=0)
+            [x, jnp.ones(pad_shape, x.dtype)],
+            axis=1 if channel_major else 0)
 
     wfc, bfc, wb, bb, wf, bf = _stream1_weights(enc_params, n_blocks)
     u = wfc.shape[0]
@@ -196,14 +224,17 @@ def encode_q1_packed(images: jax.Array, enc_params, *, se_idx: int,
 
     kernel = partial(_kernel, se_idx=se_idx, multi_image=multi_image,
                      activation=activation, n_blocks=n_blocks, trunk=trunk,
-                     mask_channel=mask_channel)
+                     mask_channel=mask_channel, channel_major=channel_major)
     full = lambda i: (0, 0)                              # noqa: E731
+    x_spec = (pl.BlockSpec((t, rows), lambda i: (0, i),
+                           memory_space=pltpu.VMEM) if channel_major
+              else pl.BlockSpec((rows, t), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM))
     q_t = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((rows, t), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            x_spec,
             pl.BlockSpec((u, t_im), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((u, 1), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((n_blocks, u, u), lambda i: (0, 0, 0),

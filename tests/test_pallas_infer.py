@@ -114,6 +114,42 @@ def test_encode_kernel_inv_gamma_and_layer_norm(rng):
 
 
 @cpu_only
+def test_encode_kernel_channel_major_input(rng):
+    """The serving layout: images uploaded channel-major (T, N) (the
+    posterior_maps fused path) produce the same q as the voxel-major
+    entry, with and without a fused mask row."""
+    cfg = dataclasses.replace(OPTIMAL.model, compute_dtype="float32")
+    tuner = FineTuner(cfg, SCAN)
+    images = _images(rng, shape=(1, 7, 5, 3))   # ragged N=105
+    params = tuner.init(jax.random.PRNGKey(9), images)
+    ref = _fused_q(images, params, cfg, SCAN)
+    kw = dict(se_idx=SCAN.se_idx,
+              multi_image=cfg.multi_image_normalisation,
+              activation=cfg.activation,
+              n_blocks=cfg.no_intermediate_layers, trunk="float32",
+              rows=64, pad_multiple=64, interpret=True)
+    n = int(np.prod(images.shape[:-1]))
+    cm = jnp.asarray(np.ascontiguousarray(
+        np.asarray(images).reshape(-1, SCAN.n_taus).T))
+    got = encode_q1_packed(cm, params["encoder"], input_layout="channel",
+                           **kw)
+    got = np.asarray(got[:, :n]).T.reshape(images.shape[:-1] + (5,))
+    np.testing.assert_array_equal(got, ref)
+
+    mask = (rng.uniform(size=images.shape[:-1] + (1,)) > 0.3
+            ).astype(np.float32)
+    masked = np.asarray(images) * mask
+    ref_m = _fused_q(jnp.asarray(masked), params, cfg, SCAN)
+    cm_m = jnp.asarray(np.ascontiguousarray(np.concatenate(
+        [np.asarray(images), mask], -1).reshape(-1, SCAN.n_taus + 1).T))
+    got_m = encode_q1_packed(cm_m, params["encoder"],
+                             input_layout="channel", mask_channel=True,
+                             **kw)
+    got_m = np.asarray(got_m[:, :n]).T.reshape(images.shape[:-1] + (5,))
+    np.testing.assert_array_equal(got_m, ref_m)
+
+
+@cpu_only
 def test_encode_kernel_bf16_trunk(rng):
     cfg = dataclasses.replace(OPTIMAL.model, compute_dtype="bfloat16")
     tuner = FineTuner(cfg, SCAN)
