@@ -200,24 +200,38 @@ def main():
 
     report("encode1+quad", composite1, data)
 
-    # --- fused stream-1 kernel (ops/pallas_infer.py) --------------------
+    # --- fused stream-1 kernel (ops/pallas_infer.py), both layouts ------
     from qbold_vi_tpu.infer import _fused_posterior_summaries
     from qbold_vi_tpu.models.encoder import _dtype_of
     from qbold_vi_tpu.ops.pallas_infer import encode_q1_packed
 
     trunk = ("bfloat16" if _dtype_of(cfg.model) == jnp.bfloat16
              else "float32")
+    enc_kw = dict(se_idx=scan.se_idx,
+                  multi_image=cfg.model.multi_image_normalisation,
+                  activation=cfg.model.activation,
+                  n_blocks=cfg.model.no_intermediate_layers, trunk=trunk)
 
     fenc = jax.jit(lambda im: encode_q1_packed(
-        im, variables["params"], se_idx=scan.se_idx,
-        multi_image=cfg.model.multi_image_normalisation,
-        activation=cfg.model.activation,
-        n_blocks=cfg.model.no_intermediate_layers, trunk=trunk))
+        im, variables["params"], **enc_kw))
     report("fused encode", fenc, data)
 
     ffull = jax.jit(lambda im: _fused_posterior_summaries(
         tuner, params_d, im)[0])
     report("fused enc+quad", ffull, data)
+
+    # the production serving layout (posterior_maps uploads chunks
+    # channel-major; the padded voxel-major tiles DMA at ~1/3 the rate)
+    data_cm = jax.device_put(jnp.asarray(np.ascontiguousarray(
+        np.asarray(data).reshape(-1, scan.n_taus).T)))
+
+    fenc_cm = jax.jit(lambda im: encode_q1_packed(
+        im, variables["params"], input_layout="channel", **enc_kw))
+    report("fused encode cm", fenc_cm, data_cm)
+
+    ffull_cm = jax.jit(lambda im: _fused_posterior_summaries(
+        tuner, params_d, im, input_layout="channel")[0])
+    report("fused e+q cm", ffull_cm, data_cm)
 
 
 if __name__ == "__main__":

@@ -247,6 +247,10 @@ def encode_q1_packed(images: jax.Array, enc_params, *, se_idx: int,
         out_specs=pl.BlockSpec((5, rows), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((5, n_pad), jnp.float32),
+        # rows >= 32768 exceeds the 16 MB scoped-VMEM default (the fp32
+        # normalise + (U, R) activations); v5e carries 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(x, wfc, bfc, wb, bb, wf, bf)
     return q_t
