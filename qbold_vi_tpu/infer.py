@@ -90,11 +90,16 @@ def _resolve_fused_infer(cfg) -> bool | None:
 
 
 @partial(jax.jit, static_argnames=("tuner", "interpret", "mask_channel",
-                                   "input_layout"))
+                                   "input_layout", "method", "no_samples",
+                                   "antithetic"))
 def _fused_posterior_summaries(tuner: FineTuner, params, images,
                                interpret: bool = False,
                                mask_channel: bool = False,
-                               input_layout: str = "voxel"):
+                               input_layout: str = "voxel",
+                               method: str = "quadrature",
+                               seed: jax.Array | None = None,
+                               no_samples: int = 200,
+                               antithetic: bool = True):
     """Fully-kernelised inference: fused stream-1 encode
     (ops/pallas_infer.py) -> packed quadrature summarize
     (ops/quadrature.py), channel-major end to end -- no padded-lane HBM
@@ -129,10 +134,18 @@ def _fused_posterior_summaries(tuner: FineTuner, params, images,
         trunk=trunk, interpret=interpret, mask_channel=mask_channel,
         input_layout=input_layout, **enc_args)
     dwc = float(tuner.scan.dw_coeff * tuner.scan.hct)
-    means_t, vars_t = quad_posterior_summaries_packed(
-        q_t, mvg=cfg.use_mvg, oef_range=cfg.oef_range, min_oef=cfg.min_oef,
-        dbv_range=cfg.dbv_range, min_dbv=cfg.min_dbv, dw_coeff=dwc,
-        interpret=interpret, lanes=lanes)
+    ranges = dict(mvg=cfg.use_mvg, oef_range=cfg.oef_range,
+                  min_oef=cfg.min_oef, dbv_range=cfg.dbv_range,
+                  min_dbv=cfg.min_dbv, dw_coeff=dwc,
+                  interpret=interpret, lanes=lanes)
+    if method == "quadrature":
+        means_t, vars_t = quad_posterior_summaries_packed(q_t, **ranges)
+    else:
+        from .ops.pallas_summarize import mc_posterior_summaries_packed
+
+        means_t, vars_t = mc_posterior_summaries_packed(
+            q_t, seed, no_samples=no_samples, antithetic=antithetic,
+            **ranges)
     dist = tuner.dist
     raws = [dist.transform_std(q_t[1:2]), dist.transform_std(q_t[3:4])]
     if cfg.use_mvg:
@@ -202,7 +215,8 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
     fused = (_resolve_fused_infer(tuner.cfg)
-             if (method == "quadrature" and use_first_op) else None)
+             if (method in ("quadrature", "mc") and use_first_op)
+             else None)
 
     outs = []
     for i in range(0, data.shape[0], chunk):
@@ -216,9 +230,11 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
             # into the kernel's first read.
             cm = jnp.asarray(np.ascontiguousarray(
                 raw.reshape(-1, raw.shape[-1]).T))
+            seed = jax.random.randint(k, (), 0, np.int32(2**31 - 1))
             means_t, vars_t, raw_t = _fused_posterior_summaries(
                 tuner, params, cm, interpret=fused, mask_channel=True,
-                input_layout="channel")
+                input_layout="channel", method=method, seed=seed,
+                no_samples=no_samples, antithetic=antithetic)
             shape = raw.shape[:-1]
             # channel-major device arrays -> host-side transpose (a
             # device-side (N, 3) write would re-pay the padded-minor
@@ -403,7 +419,8 @@ def posterior_maps_sharded(tuner: FineTuner, params, data: np.ndarray, key,
     cfg = tuner.cfg
     dwc = float(tuner.scan.dw_coeff * tuner.scan.hct)
     fused = (_resolve_fused_infer(cfg)
-             if (method == "quadrature" and use_first_op) else None)
+             if (method in ("quadrature", "mc") and use_first_op)
+             else None)
 
     if fused is not None:
         # fused channel-major path: volumes upload as one (T+1, N) array
@@ -412,11 +429,12 @@ def posterior_maps_sharded(tuner: FineTuner, params, data: np.ndarray, key,
         # encode + packed quadrature kernels on its dense-minor shard.
         # Outputs shard the same axis and concatenate in subject-major
         # order.
-        def local_fused(block, _k):
-            m, v, r = _fused_posterior_summaries(tuner, params, block,
-                                                 interpret=fused,
-                                                 mask_channel=True,
-                                                 input_layout="channel")
+        def local_fused(block, k):
+            seed = jax.random.randint(k[0], (), 0, np.int32(2**31 - 1))
+            m, v, r = _fused_posterior_summaries(
+                tuner, params, block, interpret=fused, mask_channel=True,
+                input_layout="channel", method=method, seed=seed,
+                no_samples=no_samples, antithetic=antithetic)
             return {"means": m, "stds": v, "raw_log_stds": r}
 
         spec = P(pmesh.DATA_AXIS)

@@ -32,7 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["mc_posterior_summaries", "mc_kl_map",
+__all__ = ["mc_posterior_summaries", "mc_posterior_summaries_packed",
+           "mc_kl_map",
            "pack_params_tiled", "unpack_summaries_tiled"]
 
 _SUB = 8             # sublanes
@@ -258,17 +259,64 @@ def mc_posterior_summaries(params: jax.Array, seed: jax.Array, *,
     """
     if no_samples < 1:
         raise ValueError(f"no_samples must be >= 1, got {no_samples}")
+    n = params.shape[0]
+    pt, n_pad, grid = pack_params_tiled(params, lanes)
+    mean_t, var_t = _mc_call(pt, grid, seed, no_samples=no_samples,
+                             mvg=mvg, oef_range=oef_range, min_oef=min_oef,
+                             dbv_range=dbv_range, min_dbv=min_dbv,
+                             dw_coeff=dw_coeff, interpret=interpret,
+                             lanes=lanes, antithetic=antithetic)
+    return unpack_summaries_tiled(mean_t, var_t, n, n_pad)
+
+
+@partial(jax.jit, static_argnames=("no_samples", "mvg", "oef_range",
+                                   "min_oef", "dbv_range", "min_dbv",
+                                   "dw_coeff", "interpret", "lanes",
+                                   "antithetic"))
+def mc_posterior_summaries_packed(params_t: jax.Array, seed: jax.Array, *,
+                                  no_samples: int = 200, mvg: bool = True,
+                                  oef_range: float = 0.8,
+                                  min_oef: float = 0.04,
+                                  dbv_range: float = 0.2,
+                                  min_dbv: float = 0.001,
+                                  dw_coeff: float = 1.0,
+                                  interpret: bool = False,
+                                  lanes: int = _LANES,
+                                  antithetic: bool = True):
+    """Packed channel-major entry (same contract as
+    quadrature.quad_posterior_summaries_packed): ``params_t (5, n_pad)``
+    with n_pad % (8 * lanes) == 0, as emitted by the fused stream-1
+    encode kernel. Returns channel-major (means_t (3, n_pad),
+    vars_t (3, n_pad)); the caller slices its pad."""
+    if no_samples < 1:
+        raise ValueError(f"no_samples must be >= 1, got {no_samples}")
+    n_pad = params_t.shape[1]
+    if n_pad % (_SUB * lanes):
+        raise ValueError(
+            f"packed MC summaries need n_pad % {_SUB * lanes} == 0, "
+            f"got {n_pad}")
+    pt = params_t.reshape(5, _SUB, n_pad // _SUB)
+    mean_t, var_t = _mc_call(pt, (n_pad // _SUB) // lanes, seed,
+                             no_samples=no_samples, mvg=mvg,
+                             oef_range=oef_range, min_oef=min_oef,
+                             dbv_range=dbv_range, min_dbv=min_dbv,
+                             dw_coeff=dw_coeff, interpret=interpret,
+                             lanes=lanes, antithetic=antithetic)
+    return mean_t.reshape(3, n_pad), var_t.reshape(3, n_pad)
+
+
+def _mc_call(pt, grid, seed, *, no_samples, mvg, oef_range, min_oef,
+             dbv_range, min_dbv, dw_coeff, interpret, lanes, antithetic):
+    n_pad = pt.shape[1] * pt.shape[2]
     if antithetic and (no_samples < 2 or no_samples % 2):
         # (z, -z) pairing needs an even sample count >= 2; fall back to
         # the plain iid estimator instead of silently dropping a sample.
         antithetic = False
-    n = params.shape[0]
-    pt, n_pad, grid = pack_params_tiled(params, lanes)
     kernel = partial(_summarize_kernel, no_samples=no_samples, mvg=mvg,
                      oef_range=oef_range, min_oef=min_oef,
                      dbv_range=dbv_range, min_dbv=min_dbv, dw_coeff=dw_coeff,
                      antithetic=antithetic)
-    mean_t, var_t = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
@@ -283,12 +331,11 @@ def mc_posterior_summaries(params: jax.Array, seed: jax.Array, *,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((3, _SUB, n_pad // _SUB), params.dtype),
-            jax.ShapeDtypeStruct((3, _SUB, n_pad // _SUB), params.dtype),
+            jax.ShapeDtypeStruct((3, _SUB, n_pad // _SUB), pt.dtype),
+            jax.ShapeDtypeStruct((3, _SUB, n_pad // _SUB), pt.dtype),
         ],
         # bool interpret would use the generic HLO interpreter, which has
         # no rule for the TPU PRNG primitives; the Mosaic TPU interpreter
         # runs them on CPU (slowly -- test use only).
         interpret=pltpu.InterpretParams() if interpret else False,
     )(jnp.asarray([seed], jnp.int32), pt)
-    return unpack_summaries_tiled(mean_t, var_t, n, n_pad)

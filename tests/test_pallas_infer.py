@@ -211,6 +211,50 @@ def test_posterior_maps_fused_integration(rng):
 
 
 @cpu_only
+def test_posterior_maps_fused_mc_smoke(rng):
+    """method='mc' also routes through the fused encode kernel (packed
+    MC summarize): means agree with the deterministic quadrature path
+    within Monte-Carlo error at S=200 (the documented RNG stance:
+    distributions, not streams)."""
+    cfg_f = dataclasses.replace(OPTIMAL.model, fused_infer="interpret",
+                                compute_dtype="float32")
+    tuner = FineTuner(cfg_f, SCAN)
+    data = np.abs(rng.normal(size=(1, 4, 4, 2, SCAN.n_taus + 1))
+                  ).astype(np.float32) * 50.0 + 100.0
+    data[..., -1] = 1.0
+    params = jax.jit(tuner.init)(jax.random.PRNGKey(10),
+                                 jnp.asarray(data[:1, ..., :-1]))
+    got = posterior_maps(tuner, params, data, jax.random.PRNGKey(0),
+                         use_pallas=False, method="mc")
+    ref = posterior_maps(tuner, params, data, jax.random.PRNGKey(0),
+                         use_pallas=False, method="quadrature")
+    for key, atol, rtol in (("oef", 0.08, 0), ("dbv", 0.03, 0),
+                            ("r2p", 0, 0.35)):
+        assert np.all(np.isfinite(got[key])), key
+        # untrained heads have near-saturated stds: r2p (an unbounded
+        # product) carries large per-sample variance, so it gets a
+        # relative MC tolerance
+        np.testing.assert_allclose(got[key], ref[key], atol=atol,
+                                   rtol=rtol, err_msg=key)
+
+    # the packed MC entry is the SAME kernel/tiling as the (N, 5) entry:
+    # with one seed and matching pad sizes the summaries are bit-equal
+    from qbold_vi_tpu.ops.pallas_summarize import (
+        mc_posterior_summaries, mc_posterior_summaries_packed,
+        pack_params_tiled)
+
+    q = jnp.asarray(rng.normal(size=(96, 5)).astype(np.float32) * 0.5)
+    seed = jnp.int32(1234)
+    m_ref, v_ref = mc_posterior_summaries(q, seed, no_samples=16,
+                                          interpret=True, lanes=8)
+    pt, n_pad, _ = pack_params_tiled(q, 8)
+    m_t, v_t = mc_posterior_summaries_packed(
+        pt.reshape(5, n_pad), seed, no_samples=16, interpret=True, lanes=8)
+    np.testing.assert_array_equal(np.asarray(m_t)[:, :96].T, m_ref)
+    np.testing.assert_array_equal(np.asarray(v_t)[:, :96].T, v_ref)
+
+
+@cpu_only
 def test_posterior_maps_sharded_fused(rng):
     """Pallas (interpret) inside shard_map on the 8-virtual-device CPU
     mesh: the fused sharded path == the unsharded jnp path for a subject
@@ -285,9 +329,12 @@ def test_encode_kernel_on_chip(rng):
 
 
 @tpu_only
-def test_fused_posterior_maps_on_chip(rng):
+@pytest.mark.parametrize("method,atol", [("quadrature", 5e-3),
+                                         ("mc", 0.05)])
+def test_fused_posterior_maps_on_chip(rng, method, atol):
     """End to end on chip: posterior_maps via the fused kernels (the
-    auto default on TPU) vs the unfused Pallas path."""
+    auto default on TPU) vs the unfused Pallas path, both estimators
+    (MC within Monte-Carlo error at S=200; the PRNG streams differ)."""
     cfg = OPTIMAL.model
     tuner = FineTuner(cfg, SCAN)
     data = np.abs(rng.normal(size=(2, 24, 24, 4, SCAN.n_taus + 1))
@@ -296,10 +343,11 @@ def test_fused_posterior_maps_on_chip(rng):
     params = jax.jit(tuner.init)(jax.random.PRNGKey(8),
                                  jnp.asarray(data[:1, ..., :-1]))
     assert _resolve_fused_infer(cfg) is False
-    got = posterior_maps(tuner, params, data, jax.random.PRNGKey(0))
+    got = posterior_maps(tuner, params, data, jax.random.PRNGKey(0),
+                         method=method)
     cfg_off = dataclasses.replace(cfg, fused_infer="off")
     ref = posterior_maps(FineTuner(cfg_off, SCAN), params, data,
-                         jax.random.PRNGKey(0))
+                         jax.random.PRNGKey(0), method=method)
     for key in ("oef", "dbv", "r2p"):
         np.testing.assert_allclose(got[key], ref[key], rtol=5e-3,
-                                   atol=5e-3, err_msg=key)
+                                   atol=atol, err_msg=key)
