@@ -252,12 +252,14 @@ def cmd_export_model(args) -> int:
         return 1
     fine_tuned = trainer.status is WeightStatus.FULL_TRAINED
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+    if args.fused and platforms == ("tpu", "cpu"):
+        platforms = ("tpu",)   # fused blobs are TPU-only by construction
     exp = export_inference(
         trainer.tuner, trainer.state.params,
-        use_first_op=not fine_tuned, platforms=platforms,
-        polymorphic=not args.static_shape,
+        use_first_op=args.fused or not fine_tuned, platforms=platforms,
+        polymorphic=not (args.static_shape or args.fused),
         example_shape=tuple(args.static_shape) if args.static_shape else
-        (1, 64, 64, 8))
+        (1, 64, 64, 8), fused=args.fused)
     n = save_exported(exp, args.output)
     shape = ", ".join(str(d) for d in exp.in_avals[0].shape)
     print(f"wrote {args.output}: {n} bytes, platforms "
@@ -500,6 +502,11 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar=("S", "X", "Y", "Z"),
                     help="bake a fixed volume geometry instead of the "
                          "default shape-polymorphic (s, x, y, z) export")
+    sp.add_argument("--fused", action="store_true",
+                    help="export the TPU fused-kernel program (Pallas "
+                         "stream-1 encode + packed quadrature; "
+                         "channel-major (n_taus+1, N) input with N "
+                         "baked from --static-shape; TPU platform only)")
     sp.set_defaults(fn=cmd_export_model)
 
     sp = add("import-weights", help="convert a reference .h5 checkpoint")

@@ -26,10 +26,17 @@ Design choices, all TPU-serving-first:
   so the serving signature is ``volume -> maps`` with no key plumbing
   and bit-stable outputs. The MC estimator stays available in-process
   via ``infer.posterior_maps(method="mc")``.
-* **No Pallas in the artifact**: a Mosaic custom call would pin the
-  blob to one TPU generation and break the CPU lowering; XLA compiles
-  the jnp quadrature path well, and the serving hot path is the
-  encoder's convs either way.
+* **No Pallas in the DEFAULT artifact**: a Mosaic custom call pins the
+  blob to TPU and breaks the CPU lowering; XLA compiles the jnp
+  quadrature path well everywhere. For TPU-only serving hosts,
+  ``fused=True`` exports the fused-kernel program instead (the
+  stream-1 encode + packed quadrature Pallas kernels, channel-major
+  serving layout -- the same path ``infer.posterior_maps`` runs on
+  TPU, ~5x the jnp artifact's throughput at 1M voxels): input is
+  ``(n_taus + 1, N)`` channel-major with a baked N (Pallas grids are
+  static, so no shape polymorphism), output maps are channel-major
+  rows, and the blob carries a ``tpu_custom_call`` (TPU platform
+  only).
 
 The encoder trunk dtype is resolved at EXPORT time (``compute_dtype:
 auto`` -> bf16 when exporting from a TPU-backed process, fp32
@@ -43,8 +50,10 @@ from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["make_serving_fn", "export_inference", "save_exported",
+__all__ = ["make_serving_fn", "make_fused_serving_fn",
+           "export_inference", "save_exported",
            "load_exported"]
 
 
@@ -76,10 +85,31 @@ def make_serving_fn(tuner, params, use_first_op: bool = True) -> Callable:
     return serve
 
 
+def make_fused_serving_fn(tuner, params) -> Callable:
+    """The TPU fused-kernel serving program: ``volume_cm
+    (n_taus + 1, N)`` CHANNEL-major (last row = brain mask, voxels on
+    the minor axis -- the layout ``infer.posterior_maps`` uploads) ->
+    channel-major maps ``{"means" (3, N): (oef, dbv, r2p) rows,
+    "stds" (3, N), "raw_log_stds" (2|3, N)}``. Runs the stream-1 encode
+    + packed quadrature Pallas kernels (ops/pallas_infer.py /
+    ops/quadrature.py); stream-1-only, i.e. the ``use_first_op=True``
+    posterior-map path."""
+    from ..infer import _fused_posterior_summaries
+
+    def serve(volume_cm: jax.Array) -> dict:
+        m, v, r = _fused_posterior_summaries(
+            tuner, params, volume_cm, mask_channel=True,
+            input_layout="channel")
+        return {"means": m, "stds": v, "raw_log_stds": r}
+
+    return serve
+
+
 def export_inference(tuner, params, *, use_first_op: bool = True,
                      platforms: Sequence[str] = ("tpu", "cpu"),
                      polymorphic: bool = True,
-                     example_shape: Sequence[int] = (1, 64, 64, 8)):
+                     example_shape: Sequence[int] = (1, 64, 64, 8),
+                     fused: bool = False):
     """Export the posterior-map inference program to a serializable
     ``jax.export.Exported``.
 
@@ -88,10 +118,34 @@ def export_inference(tuner, params, *, use_first_op: bool = True,
     ``example_shape`` spatial geometry is baked in. Returns the
     ``Exported``; call ``.serialize()`` (or :func:`save_exported`) for
     the portable bytes.
+
+    ``fused=True`` exports the Pallas fused-kernel program instead
+    (TPU-only platform, channel-major ``(n_taus + 1, N)`` input with
+    N = prod(example_shape) baked -- Pallas grids are static -- and
+    channel-major outputs; requires ``use_first_op``). The blob carries
+    a ``tpu_custom_call``, so the corresponding export safety check is
+    disabled for it.
     """
     from jax import export as jexport
 
     n_ch = tuner.scan.n_taus + 1
+    if fused:
+        if not use_first_op:
+            raise ValueError(
+                "fused serving export covers the stream-1 "
+                "(use_first_op) posterior-map path only")
+        if any(p != "tpu" for p in platforms):
+            raise ValueError(
+                "fused serving blobs carry a Mosaic (tpu_custom_call) "
+                "kernel: platforms must be ('tpu',)")
+        n = int(np.prod(example_shape))
+        spec = jax.ShapeDtypeStruct((n_ch, n), jnp.float32)
+        serve = make_fused_serving_fn(tuner, params)
+        return jexport.export(
+            jax.jit(serve), platforms=list(platforms),
+            disabled_checks=[
+                jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")],
+        )(spec)
     if polymorphic:
         dims = jexport.symbolic_shape(
             "s, x, y, z", constraints=("x >= 3", "y >= 3"))

@@ -83,3 +83,57 @@ class TestExportRoundtrip:
         tuner, params, _ = _setup(rng)
         exp = export_inference(tuner, params, platforms=("cpu",))
         assert tuple(exp.platforms) == ("cpu",)
+
+
+class TestFusedExport:
+    """The TPU fused-kernel serving blob (Pallas stream-1 encode +
+    packed quadrature; channel-major contract). Cross-lowered for the
+    tpu platform even from a CPU host (Mosaic lowering is
+    compile-time); execution equality is gated on chip."""
+
+    def test_fused_export_roundtrip(self, rng, tmp_path):
+        import pytest
+
+        tuner, params, _ = _setup(rng)
+        exp = export_inference(tuner, params, platforms=("tpu",),
+                               fused=True, example_shape=(1, 8, 8, 2))
+        assert tuple(exp.platforms) == ("tpu",)
+        n = 1 * 8 * 8 * 2
+        assert tuple(exp.in_avals[0].shape) == (SCAN.n_taus + 1, n)
+        path = str(tmp_path / "fused.stablehlo")
+        assert save_exported(exp, path) > 0
+        rt = load_exported(path)
+        assert tuple(rt.in_avals[0].shape) == (SCAN.n_taus + 1, n)
+
+        with pytest.raises(ValueError, match="tpu"):
+            export_inference(tuner, params, platforms=("tpu", "cpu"),
+                             fused=True)
+        with pytest.raises(ValueError, match="stream-1"):
+            export_inference(tuner, params, platforms=("tpu",),
+                             fused=True, use_first_op=False)
+
+    def test_fused_blob_executes_on_chip(self, rng, tmp_path):
+        import pytest
+
+        if jax.default_backend() not in ("tpu", "axon"):
+            pytest.skip("needs the real chip to execute a tpu blob")
+        from qbold_vi_tpu.infer import _fused_posterior_summaries
+
+        tuner, params, vol = _setup(rng, s=1, x=8, y=8, z=2)
+        exp = export_inference(tuner, params, platforms=("tpu",),
+                               fused=True, example_shape=(1, 8, 8, 2))
+        path = str(tmp_path / "fused.stablehlo")
+        save_exported(exp, path)
+        rt = load_exported(path)
+        cm = jnp.asarray(np.ascontiguousarray(
+            vol.reshape(-1, SCAN.n_taus + 1).T))
+        got = rt.call(cm)
+        m, v, r = _fused_posterior_summaries(tuner, params, cm,
+                                             mask_channel=True,
+                                             input_layout="channel")
+        np.testing.assert_allclose(np.asarray(got["means"]),
+                                   np.asarray(m), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got["stds"]),
+                                   np.asarray(v), rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got["raw_log_stds"]),
+                                   np.asarray(r), rtol=1e-5, atol=1e-6)
