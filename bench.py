@@ -117,7 +117,7 @@ def main() -> None:
 
     use_pallas = jax.default_backend() in ("tpu", "axon")
     from qbold_vi_tpu.infer import (_fused_posterior_summaries,
-                                    _resolve_fused_infer)
+                                    _resolve_fused_infer, to_channel_major)
 
     fused = _resolve_fused_infer(cfg.model)
     infer_x0 = images
@@ -128,8 +128,7 @@ def main() -> None:
         # posterior_maps uses (the transpose rides the host->device
         # copy; dense-minor tiles DMA ~3x faster than the padded
         # voxel-major layout, benchmarks/RESULTS.md)
-        infer_x0 = jax.device_put(jnp.asarray(np.ascontiguousarray(
-            data.reshape(-1, scan.n_taus).T)))
+        infer_x0 = jax.device_put(jnp.asarray(to_channel_major(data)))
 
         def infer_fn(x):
             means_t, _, _ = _fused_posterior_summaries(

@@ -222,8 +222,9 @@ def main():
 
     # the production serving layout (posterior_maps uploads chunks
     # channel-major; the padded voxel-major tiles DMA at ~1/3 the rate)
-    data_cm = jax.device_put(jnp.asarray(np.ascontiguousarray(
-        np.asarray(data).reshape(-1, scan.n_taus).T)))
+    from qbold_vi_tpu.infer import to_channel_major
+
+    data_cm = jax.device_put(jnp.asarray(to_channel_major(np.asarray(data))))
 
     fenc_cm = jax.jit(lambda im: encode_q1_packed(
         im, variables["params"], input_layout="channel", **enc_kw))

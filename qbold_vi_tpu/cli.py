@@ -254,9 +254,16 @@ def cmd_export_model(args) -> int:
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
     if args.fused and platforms == ("tpu", "cpu"):
         platforms = ("tpu",)   # fused blobs are TPU-only by construction
+    use_first_op = args.fused or not fine_tuned
+    if args.fused and fine_tuned:
+        print("note: --fused serves the stream-1 (voxelwise) posterior "
+              "head -- the reference's save_predictions default "
+              "(model.py:776) -- not the stream-2 maps the non-fused "
+              "export of a fine-tuned checkpoint serves",
+              file=sys.stderr)
     exp = export_inference(
         trainer.tuner, trainer.state.params,
-        use_first_op=args.fused or not fine_tuned, platforms=platforms,
+        use_first_op=use_first_op, platforms=platforms,
         polymorphic=not (args.static_shape or args.fused),
         example_shape=tuple(args.static_shape) if args.static_shape else
         (1, 64, 64, 8), fused=args.fused)
@@ -264,7 +271,8 @@ def cmd_export_model(args) -> int:
     shape = ", ".join(str(d) for d in exp.in_avals[0].shape)
     print(f"wrote {args.output}: {n} bytes, platforms "
           f"{','.join(exp.platforms)}, input ({shape}) float32, "
-          f"{'fine-tuned' if fine_tuned else 'pretrained'} checkpoint")
+          f"{'fine-tuned' if fine_tuned else 'pretrained'} checkpoint, "
+          f"stream-{1 if use_first_op else 2} head")
     return 0
 
 

@@ -62,17 +62,28 @@ def _summarize(tuner: FineTuner, params, key, images,
     return {"means": means, "stds": stds, "raw_log_stds": raw_log_stds}
 
 
-def _resolve_fused_infer(cfg) -> bool | None:
+def to_channel_major(data: np.ndarray) -> np.ndarray:
+    """The fused serving-layout transform: ``(..., C)`` volumes ->
+    contiguous channel-major ``(C, N)`` (voxels on the minor axis).
+    Single owner of the contract every fused-path uploader uses
+    (posterior_maps chunks, the sharded path, bench.py, the fused
+    serving blob's input)."""
+    return np.ascontiguousarray(
+        np.asarray(data).reshape(-1, data.shape[-1]).T)
+
+
+def _resolve_fused_infer(cfg, use_pallas=None) -> bool | None:
     """Resolve ModelConfig.fused_infer -> None (off) | False (compiled)
     | True (Mosaic interpreter). "auto" turns the fused stream-1 encode
     kernel (ops/pallas_infer.py) on for TPU backends when the activation
-    is covered."""
+    is covered -- and respects an explicit caller ``use_pallas=False``
+    opt-out (the forced "on"/"interpret" modes override it)."""
     mode = str(cfg.fused_infer).strip().lower()
     if mode not in ("auto", "on", "off", "interpret"):
         raise ValueError(
             f"fused_infer must be auto|on|off|interpret, got "
             f"{cfg.fused_infer!r}")
-    if mode == "off":
+    if mode == "off" or (mode == "auto" and use_pallas is False):
         return None
     from .ops.pallas_infer import fused_infer_available
 
@@ -141,6 +152,9 @@ def _fused_posterior_summaries(tuner: FineTuner, params, images,
     if method == "quadrature":
         means_t, vars_t = quad_posterior_summaries_packed(q_t, **ranges)
     else:
+        if seed is None:
+            raise ValueError("method='mc' needs an int32 seed for the "
+                             "on-chip PRNG")
         from .ops.pallas_summarize import mc_posterior_summaries_packed
 
         means_t, vars_t = mc_posterior_summaries_packed(
@@ -214,7 +228,7 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
-    fused = (_resolve_fused_infer(tuner.cfg)
+    fused = (_resolve_fused_infer(tuner.cfg, use_pallas)
              if (method in ("quadrature", "mc") and use_first_op)
              else None)
 
@@ -228,9 +242,12 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
             # become dense-minor -- the padded voxel-major layout DMAs
             # at ~1/3 the rate (RESULTS.md probe). Mask zeroing is fused
             # into the kernel's first read.
-            cm = jnp.asarray(np.ascontiguousarray(
-                raw.reshape(-1, raw.shape[-1]).T))
-            seed = jax.random.randint(k, (), 0, np.int32(2**31 - 1))
+            cm = jnp.asarray(to_channel_major(raw))
+            # seed only exists for the MC estimator (an eager randint
+            # would cost a dead dispatch + an RNG compile per chunk on
+            # remote backends in the default quadrature mode)
+            seed = (jax.random.randint(k, (), 0, np.int32(2**31 - 1))
+                    if method == "mc" else None)
             means_t, vars_t, raw_t = _fused_posterior_summaries(
                 tuner, params, cm, interpret=fused, mask_channel=True,
                 input_layout="channel", method=method, seed=seed,
@@ -418,7 +435,7 @@ def posterior_maps_sharded(tuner: FineTuner, params, data: np.ndarray, key,
         use_pallas = jax.default_backend() in ("tpu", "axon")
     cfg = tuner.cfg
     dwc = float(tuner.scan.dw_coeff * tuner.scan.hct)
-    fused = (_resolve_fused_infer(cfg)
+    fused = (_resolve_fused_infer(cfg, use_pallas)
              if (method in ("quadrature", "mc") and use_first_op)
              else None)
 
@@ -430,7 +447,8 @@ def posterior_maps_sharded(tuner: FineTuner, params, data: np.ndarray, key,
         # Outputs shard the same axis and concatenate in subject-major
         # order.
         def local_fused(block, k):
-            seed = jax.random.randint(k[0], (), 0, np.int32(2**31 - 1))
+            seed = (jax.random.randint(k[0], (), 0, np.int32(2**31 - 1))
+                    if method == "mc" else None)
             m, v, r = _fused_posterior_summaries(
                 tuner, params, block, interpret=fused, mask_channel=True,
                 input_layout="channel", method=method, seed=seed,
@@ -444,8 +462,7 @@ def posterior_maps_sharded(tuner: FineTuner, params, data: np.ndarray, key,
                                   "raw_log_stds": vspec},
                        check_vma=False)
         keys = jax.random.split(key, n_dev)
-        cm = np.ascontiguousarray(
-            np.float32(data).reshape(-1, data.shape[-1]).T)
+        cm = to_channel_major(np.float32(data))
         block = jax.device_put(
             cm, jax.sharding.NamedSharding(mesh, vspec))
         out = jax.jit(fn)(block, jax.device_put(

@@ -134,6 +134,13 @@ def export_inference(tuner, params, *, use_first_op: bool = True,
             raise ValueError(
                 "fused serving export covers the stream-1 "
                 "(use_first_op) posterior-map path only")
+        from ..ops.pallas_infer import fused_infer_available
+
+        if not fused_infer_available(tuner.cfg.activation):
+            raise ValueError(
+                f"fused serving export: activation "
+                f"{tuner.cfg.activation!r} has no Mosaic-safe "
+                "implementation (ops/pallas_infer.SUPPORTED_ACTS)")
         if any(p != "tpu" for p in platforms):
             raise ValueError(
                 "fused serving blobs carry a Mosaic (tpu_custom_call) "
