@@ -111,55 +111,60 @@ def _fused_posterior_summaries(tuner: FineTuner, params, images,
                                seed: jax.Array | None = None,
                                no_samples: int = 200,
                                antithetic: bool = True):
-    """Fully-kernelised inference: fused stream-1 encode
-    (ops/pallas_infer.py) -> packed quadrature summarize
-    (ops/quadrature.py), channel-major end to end -- no padded-lane HBM
-    round-trips of (N, 5|60)-channel intermediates (the layout tax the
-    round-3 probe measured, benchmarks/RESULTS.md).
+    """Fully-kernelised inference, channel-major end to end -- no
+    padded-lane HBM round-trips of (N, 5|60)-channel intermediates (the
+    layout tax the round-3 probe measured, benchmarks/RESULTS.md).
+    ``method="quadrature"`` (default) runs ONE kernel: stream-1 encode +
+    deterministic quadrature summaries + raw-log-std transforms, q never
+    leaving VMEM (ops/pallas_infer.py::encode_quad_fused); ``"mc"`` runs
+    the encode kernel feeding the packed MC summarize kernel.
 
     Returns CHANNEL-major flattened maps:
     (means_t (3, N), vars_t (3, N), raw_log_stds_t (2|3, N)); callers
     transpose on the host. Same math as the _encode_q +
     quad_posterior_summaries composition (gated in
     tests/test_pallas_infer.py)."""
-    from .ops.pallas_infer import encode_q1_packed
-    from .ops.quadrature import quad_posterior_summaries_packed
     from .models.encoder import _dtype_of
 
     cfg = tuner.cfg
     n = (int(images.shape[1]) if input_layout == "channel"
          else int(np.prod(images.shape[:-1])))
     trunk = ("bfloat16" if _dtype_of(cfg) == jnp.bfloat16 else "float32")
-    if interpret:
-        # tiny tiles: the Mosaic interpreter (CPU tests) executes the
-        # unrolled node loops per element
-        enc_args = dict(rows=256, pad_multiple=64)
-        lanes = 8
-    else:
-        enc_args = {}
-        lanes = 1024
-    q_t = encode_q1_packed(
-        images, params["encoder"], se_idx=tuner.scan.se_idx,
-        multi_image=cfg.multi_image_normalisation,
-        activation=cfg.activation, n_blocks=cfg.no_intermediate_layers,
-        trunk=trunk, interpret=interpret, mask_channel=mask_channel,
-        input_layout=input_layout, **enc_args)
     dwc = float(tuner.scan.dw_coeff * tuner.scan.hct)
+    enc_kw = dict(se_idx=tuner.scan.se_idx,
+                  multi_image=cfg.multi_image_normalisation,
+                  activation=cfg.activation,
+                  n_blocks=cfg.no_intermediate_layers, trunk=trunk,
+                  interpret=interpret, mask_channel=mask_channel,
+                  input_layout=input_layout)
     ranges = dict(mvg=cfg.use_mvg, oef_range=cfg.oef_range,
                   min_oef=cfg.min_oef, dbv_range=cfg.dbv_range,
-                  min_dbv=cfg.min_dbv, dw_coeff=dwc,
-                  interpret=interpret, lanes=lanes)
+                  min_dbv=cfg.min_dbv, dw_coeff=dwc)
     if method == "quadrature":
-        means_t, vars_t = quad_posterior_summaries_packed(q_t, **ranges)
-    else:
-        if seed is None:
-            raise ValueError("method='mc' needs an int32 seed for the "
-                             "on-chip PRNG")
-        from .ops.pallas_summarize import mc_posterior_summaries_packed
+        from .ops.pallas_infer import encode_quad_fused
 
-        means_t, vars_t = mc_posterior_summaries_packed(
-            q_t, seed, no_samples=no_samples, antithetic=antithetic,
-            **ranges)
+        means_t, vars_t, raw_t = encode_quad_fused(
+            images, params["encoder"], **enc_kw, **ranges,
+            # tiny interpreter tiles: the Mosaic interpreter (CPU tests)
+            # executes the unrolled node loops per element
+            **({"rows": 256} if interpret else {}))
+        if not cfg.use_mvg:
+            raw_t = raw_t[:2]
+        return means_t[:, :n], vars_t[:, :n], raw_t[:, :n]
+
+    if seed is None:
+        raise ValueError("method='mc' needs an int32 seed for the "
+                         "on-chip PRNG")
+    from .ops.pallas_infer import encode_q1_packed
+    from .ops.pallas_summarize import mc_posterior_summaries_packed
+
+    q_t = encode_q1_packed(
+        images, params["encoder"],
+        **({"rows": 256, "pad_multiple": 64} if interpret else {}),
+        **enc_kw)
+    means_t, vars_t = mc_posterior_summaries_packed(
+        q_t, seed, no_samples=no_samples, antithetic=antithetic,
+        interpret=interpret, lanes=8 if interpret else 1024, **ranges)
     dist = tuner.dist
     raws = [dist.transform_std(q_t[1:2]), dist.transform_std(q_t[3:4])]
     if cfg.use_mvg:

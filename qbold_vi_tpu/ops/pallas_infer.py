@@ -56,7 +56,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["encode_q1_packed", "fused_infer_available", "SUPPORTED_ACTS"]
+__all__ = ["encode_q1_packed", "encode_quad_fused",
+           "fused_infer_available", "SUPPORTED_ACTS"]
 
 # Rows (voxels) per grid step. Swept interleaved on v5e at 1.03M voxels
 # (median of 3 blocks x 80 reps): 1024 -> 2.67 ms, 2048 -> 2.43,
@@ -85,14 +86,16 @@ def _act_fn(name: str):
     return getattr(jax.nn, name)
 
 
-def _kernel(x_ref, wfc_ref, bfc_ref, wb_ref, bb_ref, wf_ref, bf_ref,
-            q_ref, *, se_idx: int, multi_image: bool, activation: str,
-            n_blocks: int, trunk: str, mask_channel: bool,
-            channel_major: bool):
+def _encode_body(x, wfc_ref, bfc_ref, wb_ref, bb_ref, wf_ref, bf_ref, *,
+                 se_idx: int, multi_image: bool, activation: str,
+                 n_blocks: int, trunk: str, mask_channel: bool,
+                 channel_major: bool):
+    """Shared kernel body: one voxel tile of the stream-1 encode,
+    returning the raw head rows ``q (5, R)`` in fp32 (row 4 zero for
+    diagonal heads). ``x``: (R, T[+1]) voxel-major or (T[+1], R)
+    channel-major."""
     act = _act_fn(activation)
     dt = jnp.bfloat16 if trunk == "bfloat16" else jnp.float32
-
-    x = x_ref[:]                                 # (R, T[+1]) | (T[+1], R)
 
     # ---- in-model normalisation (reference model.py:97-113; bit-identical
     # to models/encoder.py::normalise_data, float32); mask_channel fuses
@@ -138,7 +141,57 @@ def _kernel(x_ref, wfc_ref, bfc_ref, wb_ref, bb_ref, wf_ref, bf_ref,
     h = h.astype(jnp.float32)
     q = jax.lax.dot_general(wf_ref[:], h, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    q_ref[:] = q + bf_ref[:]
+    return q + bf_ref[:]
+
+
+def _kernel(x_ref, wfc_ref, bfc_ref, wb_ref, bb_ref, wf_ref, bf_ref,
+            q_ref, **statics):
+    q_ref[:] = _encode_body(x_ref[:], wfc_ref, bfc_ref, wb_ref, bb_ref,
+                            wf_ref, bf_ref, **statics)
+
+
+def _encode_quad_kernel(x_ref, wfc_ref, bfc_ref, wb_ref, bb_ref, wf_ref,
+                        bf_ref, mean_ref, var_ref, raw_ref, *,
+                        quad: dict, **statics):
+    """THE single-kernel inference path: stream-1 encode + deterministic
+    quadrature posterior summaries + raw-log-std transforms, one HBM
+    read of the voxel tile, three small channel-major writes -- q never
+    leaves VMEM. The per-tile q rows (5, R) are re-split into full
+    (8, R/8) VPU tiles before the quadrature's ~150 transcendentals per
+    voxel (on (1, R) rows the VPU would pay 8x the useful sublane work);
+    the resulting voxel bijection (v = tile*R + s*(R/8) + lane) is what
+    the wrapper's minor-split reshape of the (3, rows8, R/8) outputs
+    reproduces."""
+    import math as _math
+
+    q = _encode_body(x_ref[:], wfc_ref, bfc_ref, wb_ref, bb_ref,
+                     wf_ref, bf_ref, **statics)          # (5, R) fp32
+    r = q.shape[1]
+    qs = q.reshape(5, 8, r // 8)
+
+    from .quadrature import _quad_moments, _summaries_from_moments
+
+    mu0 = qs[0]
+    t1 = jnp.tanh(qs[1])
+    ls0 = t1 * 3.0 - 1.0
+    mu1 = qs[2]
+    t3 = jnp.tanh(qs[3])
+    ls1 = t3 * 3.0 - 1.0
+    if quad["mvg"]:
+        t4 = jnp.tanh(qs[4])
+        od = t4 * _math.exp(-2.0)
+    else:
+        od = jnp.zeros_like(mu0)
+    moments = _quad_moments(mu0, ls0, mu1, ls1, od, unroll=True)
+    means, variances = _summaries_from_moments(
+        *moments, oef_range=quad["oef_range"], min_oef=quad["min_oef"],
+        dbv_range=quad["dbv_range"], min_dbv=quad["min_dbv"],
+        dw_coeff=quad["dw_coeff"])
+    mean_ref[0], mean_ref[1], mean_ref[2] = means
+    var_ref[0], var_ref[1], var_ref[2] = variances
+    raw_ref[0] = ls0
+    raw_ref[1] = ls1
+    raw_ref[2] = (od if quad["mvg"] else jnp.zeros_like(ls0))
 
 
 def _stream1_weights(enc_params, n_blocks: int):
@@ -254,3 +307,94 @@ def encode_q1_packed(images: jax.Array, enc_params, *, se_idx: int,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(x, wfc, bfc, wb, bb, wf, bf)
     return q_t
+
+
+@partial(jax.jit, static_argnames=("se_idx", "multi_image", "activation",
+                                   "n_blocks", "trunk", "rows", "interpret",
+                                   "mask_channel", "input_layout", "mvg",
+                                   "oef_range", "min_oef", "dbv_range",
+                                   "min_dbv", "dw_coeff"))
+def encode_quad_fused(images: jax.Array, enc_params, *, se_idx: int,
+                      multi_image: bool, activation: str, n_blocks: int,
+                      trunk: str, mvg: bool, oef_range: float,
+                      min_oef: float, dbv_range: float, min_dbv: float,
+                      dw_coeff: float, rows: int = _ROWS,
+                      interpret: bool = False, mask_channel: bool = False,
+                      input_layout: str = "voxel"):
+    """The single-kernel inference program: fused stream-1 encode +
+    deterministic quadrature summaries + raw-log-std transforms. Same
+    contract as ``encode_q1_packed`` for the input side; returns
+    channel-major ``(means_t (3, n_pad), vars_t (3, n_pad),
+    raw_t (3, n_pad))`` -- raw rows are (log-std0, log-std1, offdiag;
+    row 2 zero for diagonal heads); callers slice ``[:, :N]``. q never
+    touches HBM. ``rows`` must be a multiple of 8 (the in-kernel voxel
+    re-split)."""
+    if input_layout not in ("voxel", "channel"):
+        raise ValueError(f"input_layout must be voxel|channel, "
+                         f"got {input_layout!r}")
+    if rows % 8:
+        raise ValueError(f"rows must be a multiple of 8, got {rows}")
+    channel_major = input_layout == "channel"
+    if channel_major:
+        t, n = images.shape
+        x = images
+    else:
+        x = images.reshape(-1, images.shape[-1])
+        n, t = x.shape
+    n_pad = ((n + rows - 1) // rows) * rows
+    if n_pad != n:
+        pad_shape = ((t, n_pad - n) if channel_major else (n_pad - n, t))
+        x = jnp.concatenate(
+            [x, jnp.ones(pad_shape, x.dtype)],
+            axis=1 if channel_major else 0)
+
+    wfc, bfc, wb, bb, wf, bf = _stream1_weights(enc_params, n_blocks)
+    u = wfc.shape[0]
+    t_im = t - 1 if mask_channel else t
+    if wfc.shape[1] != t_im:
+        raise ValueError(
+            f"images carry {t_im} tau channels but first_conv expects "
+            f"{wfc.shape[1]}")
+    grid = n_pad // rows
+    lq = rows // 8
+
+    kernel = partial(_encode_quad_kernel, se_idx=se_idx,
+                     multi_image=multi_image, activation=activation,
+                     n_blocks=n_blocks, trunk=trunk,
+                     mask_channel=mask_channel, channel_major=channel_major,
+                     quad=dict(mvg=mvg, oef_range=oef_range, min_oef=min_oef,
+                               dbv_range=dbv_range, min_dbv=min_dbv,
+                               dw_coeff=dw_coeff))
+    full = lambda i: (0, 0)                              # noqa: E731
+    x_spec = (pl.BlockSpec((t, rows), lambda i: (0, i),
+                           memory_space=pltpu.VMEM) if channel_major
+              else pl.BlockSpec((rows, t), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((3, 8, lq), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((3, n_pad // lq, lq), jnp.float32)
+    mean_t, var_t, raw_t = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            x_spec,
+            pl.BlockSpec((u, t_im), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, u, u), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, u, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, u), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, 1), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[out_shape, out_shape, out_shape],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(x, wfc, bfc, wb, bb, wf, bf)
+    # the kernel's (5, R) -> (5, 8, R/8) split makes voxel v of tile i
+    # land at [i, s, l] with v = i*rows + s*(rows/8) + l; the row-major
+    # reshape below inverts exactly that
+    return (mean_t.reshape(3, n_pad), var_t.reshape(3, n_pad),
+            raw_t.reshape(3, n_pad))
