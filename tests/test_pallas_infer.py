@@ -58,6 +58,7 @@ def _fused_q(images, params, cfg, scan, trunk="float32"):
     (True, True, "relu", 60, 2),
     (False, True, "gelu", 30, 1),
     (True, False, "tanh", 12, 3),      # units not a multiple of 8
+    (True, False, "relu", 128, 3),     # sublane-filling wide model
 ])
 def test_encode_kernel_matches_flax(rng, mvg, multi, act, units, blocks):
     cfg = ModelConfig(use_mvg=mvg, multi_image_normalisation=multi,
@@ -74,6 +75,25 @@ def test_encode_kernel_matches_flax(rng, mvg, multi, act, units, blocks):
                                rtol=1e-5, atol=2e-5)
     if k == 4:
         assert np.all(got[..., 4] == 0.0)
+
+
+@cpu_only
+def test_encode_kernel_24tau_protocol(rng):
+    """The streamlined 24-tau protocol (reference loglinear.py:149-152):
+    a wider tau axis with a different spin-echo index."""
+    scan = ScanParams(tau_start=-0.028, tau_end=0.065, tau_step=0.004,
+                      simulate_noise=False)
+    assert scan.n_taus == 24 and scan.se_idx == 7
+    cfg = ModelConfig(use_mvg=True, multi_image_normalisation=True,
+                      activation="relu", no_units=24,
+                      no_intermediate_layers=2, compute_dtype="float32")
+    tuner = FineTuner(cfg, scan)
+    images = _images(rng, scan=scan)
+    params = tuner.init(jax.random.PRNGKey(11), images)
+    q_ref, _ = _encode_q(tuner, params, images)
+    got = _fused_q(images, params, cfg, scan)
+    np.testing.assert_allclose(got[..., :5], np.asarray(q_ref),
+                               rtol=1e-5, atol=2e-5)
 
 
 @cpu_only
