@@ -14,6 +14,11 @@ from qbold_vi_tpu.io.export_model import (export_inference, load_exported,
 from qbold_vi_tpu.models.vi import FineTuner
 
 SCAN = ScanParams(simulate_noise=False)
+# The roundtrip tests EXECUTE the blob in-process, so it must be lowered
+# for whatever backend this suite runs on (CPU in CI; the real chip
+# under QBOLD_TEST_TPU=1 -- a cpu-only blob cannot run there).
+RUN_PLATFORMS = (("tpu", "cpu")
+                 if jax.default_backend() in ("tpu", "axon") else ("cpu",))
 CFG = QBoldConfig(scan=SCAN,
                   model=ModelConfig(no_units=4, no_intermediate_layers=1,
                                     use_mvg=True, student_t_df=200.0,
@@ -35,7 +40,7 @@ class TestExportRoundtrip:
         """One polymorphic artifact must serve DIFFERENT volume
         geometries and agree with the in-process program exactly."""
         tuner, params, _ = _setup(rng)
-        exp = export_inference(tuner, params, platforms=("cpu",))
+        exp = export_inference(tuner, params, platforms=RUN_PLATFORMS)
         path = str(tmp_path / "model.stablehlo")
         n_bytes = save_exported(exp, path)
         assert n_bytes > 0
@@ -71,7 +76,7 @@ class TestExportRoundtrip:
 
     def test_static_shape_export(self, rng):
         tuner, params, vol = _setup(rng, s=1, x=6, y=6, z=2)
-        exp = export_inference(tuner, params, platforms=("cpu",),
+        exp = export_inference(tuner, params, platforms=RUN_PLATFORMS,
                                polymorphic=False,
                                example_shape=(1, 6, 6, 2))
         rt = jax.export.deserialize(exp.serialize())
