@@ -125,6 +125,21 @@ def main():
             chain_q, qf, sync)
         print(f"summarize (pallas):{dt*1e3:8.2f} ms  ({n_vox/dt/1e6:8.1f} M voxel/s)")
 
+    if dev in ("tpu", "axon"):
+        # the production inference path: ONE fused kernel (stream-1
+        # encode + quadrature summaries), channel-major serving layout
+        from qbold_vi_tpu.infer import (_fused_posterior_summaries,
+                                        to_channel_major)
+
+        data_cm = jax.device_put(jnp.asarray(
+            to_channel_major(np.asarray(data))))
+        fused = jax.jit(lambda x: _fused_posterior_summaries(
+            tuner, params, x, input_layout="channel")[0])
+        chain_cm = jax.jit(lambda out, base: base + out[0, :1][None] * 1e-9)
+        dt = timed_chained(fused, chain_cm, data_cm, sync)
+        print(f"fused enc+quad:    {dt*1e3:8.2f} ms  "
+              f"({n_vox/dt/1e6:8.1f} M voxel/s)")
+
     wls = jax.jit(lambda x: fit_wls(x, scan))
     chain_wls = jax.jit(lambda out, base: base + out[0] * 1e-9)
     dt = timed_chained(wls, chain_wls, data, sync)
