@@ -131,10 +131,14 @@ def main():
         from qbold_vi_tpu.infer import (_fused_posterior_summaries,
                                         to_channel_major)
 
-        data_cm = jax.device_put(jnp.asarray(
-            to_channel_major(np.asarray(data))))
+        # include the fused mask row: the production program reads
+        # (T+1, N) and zeroes in-kernel (posterior_maps' contract)
+        vol = np.concatenate([np.asarray(data),
+                              np.ones(shape + (1,), np.float32)], -1)
+        data_cm = jax.device_put(jnp.asarray(to_channel_major(vol)))
         fused = jax.jit(lambda x: _fused_posterior_summaries(
-            tuner, params, x, input_layout="channel")[0])
+            tuner, params, x, input_layout="channel",
+            mask_channel=True)[0])
         chain_cm = jax.jit(lambda out, base: base + out[0, :1][None] * 1e-9)
         dt = timed_chained(fused, chain_cm, data_cm, sync)
         print(f"fused enc+quad:    {dt*1e3:8.2f} ms  "

@@ -24,7 +24,8 @@ import os
 sys.path.insert(0, ".")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from validate_finetune import make_subjects  # noqa: E402  (same generator)
+from validate_finetune import (clean_checkpoints,  # noqa: E402
+                               make_subjects)
 
 
 def main():
@@ -36,10 +37,7 @@ def main():
     args = ap.parse_args()
 
     if not args.resume:
-        import glob as _glob
-        import os as _os
-        for p in _glob.glob(_os.path.join(args.outdir, "*.msgpack*")):
-            _os.remove(p)
+        clean_checkpoints(args.outdir)
 
     import dataclasses
 

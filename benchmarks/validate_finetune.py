@@ -48,6 +48,21 @@ def make_subjects(scan, n=6, x=64, y=64, z=8, seed=0):
     return data, oef, dbv, mask[..., 0]
 
 
+def clean_checkpoints(outdir):
+    """Remove stale checkpoints so a fresh run cannot auto-resume a
+    previous A/B's final_model.msgpack and silently report the OLD
+    run's quality under the new flags."""
+    import glob
+    import os
+
+    stale = glob.glob(os.path.join(outdir, "*.msgpack*"))
+    for p in stale:
+        os.remove(p)
+    if stale:
+        print(f"removed {len(stale)} stale checkpoint(s) from {outdir} "
+              "(pass --resume to reuse them)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ft-epochs", type=int, default=40)
@@ -69,14 +84,7 @@ def main():
     args = ap.parse_args()
 
     if not args.resume:
-        import glob as _glob
-        import os as _os
-        stale = _glob.glob(_os.path.join(args.outdir, "*.msgpack*"))
-        for p in stale:
-            _os.remove(p)
-        if stale:
-            print(f"removed {len(stale)} stale checkpoint(s) from "
-                  f"{args.outdir} (pass --resume to reuse them)")
+        clean_checkpoints(args.outdir)
 
     import dataclasses
 

@@ -237,10 +237,18 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
              if (method in ("quadrature", "mc") and use_first_op)
              else None)
 
+    # PRNG keys are only consumed by the MC estimator and the jnp
+    # fallback: the fused quadrature path is deterministic, and an
+    # eager per-chunk split/randint on remote backends would cost a
+    # dead tunnel dispatch (+ one RNG compile) per chunk
+    needs_key = method == "mc" or fused is None
+
     outs = []
     for i in range(0, data.shape[0], chunk):
         raw, n_blk = _pad_chunk(data[i:i + chunk], chunk)
-        key, k = jax.random.split(key)
+        k = None
+        if needs_key:
+            key, k = jax.random.split(key)
         if fused is not None:
             # upload the chunk CHANNEL-MAJOR (T+1, N): the transpose
             # rides the host->device copy and the kernel's input tiles
@@ -248,9 +256,6 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
             # at ~1/3 the rate (RESULTS.md probe). Mask zeroing is fused
             # into the kernel's first read.
             cm = jnp.asarray(to_channel_major(raw))
-            # seed only exists for the MC estimator (an eager randint
-            # would cost a dead dispatch + an RNG compile per chunk on
-            # remote backends in the default quadrature mode)
             seed = (jax.random.randint(k, (), 0, np.int32(2**31 - 1))
                     if method == "mc" else None)
             means_t, vars_t, raw_t = _fused_posterior_summaries(

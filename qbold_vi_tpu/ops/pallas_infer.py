@@ -162,36 +162,19 @@ def _encode_quad_kernel(x_ref, wfc_ref, bfc_ref, wb_ref, bb_ref, wf_ref,
     the resulting voxel bijection (v = tile*R + s*(R/8) + lane) is what
     the wrapper's minor-split reshape of the (3, rows8, R/8) outputs
     reproduces."""
-    import math as _math
+    from .quadrature import quad_tile_summaries
 
     q = _encode_body(x_ref[:], wfc_ref, bfc_ref, wb_ref, bb_ref,
                      wf_ref, bf_ref, **statics)          # (5, R) fp32
     r = q.shape[1]
     qs = q.reshape(5, 8, r // 8)
-
-    from .quadrature import _quad_moments, _summaries_from_moments
-
-    mu0 = qs[0]
-    t1 = jnp.tanh(qs[1])
-    ls0 = t1 * 3.0 - 1.0
-    mu1 = qs[2]
-    t3 = jnp.tanh(qs[3])
-    ls1 = t3 * 3.0 - 1.0
-    if quad["mvg"]:
-        t4 = jnp.tanh(qs[4])
-        od = t4 * _math.exp(-2.0)
-    else:
-        od = jnp.zeros_like(mu0)
-    moments = _quad_moments(mu0, ls0, mu1, ls1, od, unroll=True)
-    means, variances = _summaries_from_moments(
-        *moments, oef_range=quad["oef_range"], min_oef=quad["min_oef"],
-        dbv_range=quad["dbv_range"], min_dbv=quad["min_dbv"],
-        dw_coeff=quad["dw_coeff"])
+    means, variances, (ls0, ls1, od) = quad_tile_summaries(
+        qs[0], qs[1], qs[2], qs[3], qs[4], **quad)
     mean_ref[0], mean_ref[1], mean_ref[2] = means
     var_ref[0], var_ref[1], var_ref[2] = variances
     raw_ref[0] = ls0
     raw_ref[1] = ls1
-    raw_ref[2] = (od if quad["mvg"] else jnp.zeros_like(ls0))
+    raw_ref[2] = od
 
 
 def _stream1_weights(enc_params, n_blocks: int):
@@ -248,6 +231,32 @@ def encode_q1_packed(images: jax.Array, enc_params, *, se_idx: int,
     ``compute_dtype`` resolution; normalisation and the head are always
     float32 (models/encoder.py).
     """
+    x, inputs, in_specs, n_pad, grid = _prologue(
+        images, enc_params, n_blocks=n_blocks, mask_channel=mask_channel,
+        input_layout=input_layout, rows=rows, pad_multiple=pad_multiple)
+    kernel = partial(_kernel, se_idx=se_idx, multi_image=multi_image,
+                     activation=activation, n_blocks=n_blocks, trunk=trunk,
+                     mask_channel=mask_channel,
+                     channel_major=input_layout == "channel")
+    q_t = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((5, rows), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((5, n_pad), jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(x, *inputs)
+    return q_t
+
+
+def _prologue(images, enc_params, *, n_blocks: int, mask_channel: bool,
+              input_layout: str, rows: int, pad_multiple: int = 1):
+    """Shared wrapper prologue for both fused-inference kernels: layout
+    validation, voxel padding (neutral constant-1 rows), weight
+    extraction, tau-channel check, and the input BlockSpecs. Returns
+    (x, weight_arrays, in_specs, n_pad, grid)."""
     if input_layout not in ("voxel", "channel"):
         raise ValueError(f"input_layout must be voxel|channel, "
                          f"got {input_layout!r}")
@@ -273,40 +282,29 @@ def encode_q1_packed(images: jax.Array, enc_params, *, se_idx: int,
         raise ValueError(
             f"images carry {t_im} tau channels but first_conv expects "
             f"{wfc.shape[1]}")
-    grid = n_pad // rows
 
-    kernel = partial(_kernel, se_idx=se_idx, multi_image=multi_image,
-                     activation=activation, n_blocks=n_blocks, trunk=trunk,
-                     mask_channel=mask_channel, channel_major=channel_major)
     full = lambda i: (0, 0)                              # noqa: E731
     x_spec = (pl.BlockSpec((t, rows), lambda i: (0, i),
                            memory_space=pltpu.VMEM) if channel_major
               else pl.BlockSpec((rows, t), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM))
-    q_t = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[
-            x_spec,
-            pl.BlockSpec((u, t_im), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((u, 1), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_blocks, u, u), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_blocks, u, 1), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, u), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, 1), full, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((5, rows), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((5, n_pad), jnp.float32),
-        # rows >= 32768 exceeds the 16 MB scoped-VMEM default (the fp32
-        # normalise + (U, R) activations); v5e carries 128 MB
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=pltpu.InterpretParams() if interpret else False,
-    )(x, wfc, bfc, wb, bb, wf, bf)
-    return q_t
+    in_specs = [
+        x_spec,
+        pl.BlockSpec((u, t_im), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((u, 1), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_blocks, u, u), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_blocks, u, 1), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((5, u), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((5, 1), full, memory_space=pltpu.VMEM),
+    ]
+    return x, (wfc, bfc, wb, bb, wf, bf), in_specs, n_pad, n_pad // rows
+
+
+# rows >= 32768 exceeds the 16 MB scoped-VMEM default (the fp32
+# normalise + (U, R) activations); v5e carries 128 MB
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 @partial(jax.jit, static_argnames=("se_idx", "multi_image", "activation",
@@ -329,70 +327,33 @@ def encode_quad_fused(images: jax.Array, enc_params, *, se_idx: int,
     row 2 zero for diagonal heads); callers slice ``[:, :N]``. q never
     touches HBM. ``rows`` must be a multiple of 8 (the in-kernel voxel
     re-split)."""
-    if input_layout not in ("voxel", "channel"):
-        raise ValueError(f"input_layout must be voxel|channel, "
-                         f"got {input_layout!r}")
     if rows % 8:
         raise ValueError(f"rows must be a multiple of 8, got {rows}")
-    channel_major = input_layout == "channel"
-    if channel_major:
-        t, n = images.shape
-        x = images
-    else:
-        x = images.reshape(-1, images.shape[-1])
-        n, t = x.shape
-    n_pad = ((n + rows - 1) // rows) * rows
-    if n_pad != n:
-        pad_shape = ((t, n_pad - n) if channel_major else (n_pad - n, t))
-        x = jnp.concatenate(
-            [x, jnp.ones(pad_shape, x.dtype)],
-            axis=1 if channel_major else 0)
-
-    wfc, bfc, wb, bb, wf, bf = _stream1_weights(enc_params, n_blocks)
-    u = wfc.shape[0]
-    t_im = t - 1 if mask_channel else t
-    if wfc.shape[1] != t_im:
-        raise ValueError(
-            f"images carry {t_im} tau channels but first_conv expects "
-            f"{wfc.shape[1]}")
-    grid = n_pad // rows
+    x, inputs, in_specs, n_pad, grid = _prologue(
+        images, enc_params, n_blocks=n_blocks, mask_channel=mask_channel,
+        input_layout=input_layout, rows=rows)
     lq = rows // 8
 
     kernel = partial(_encode_quad_kernel, se_idx=se_idx,
                      multi_image=multi_image, activation=activation,
                      n_blocks=n_blocks, trunk=trunk,
-                     mask_channel=mask_channel, channel_major=channel_major,
+                     mask_channel=mask_channel,
+                     channel_major=input_layout == "channel",
                      quad=dict(mvg=mvg, oef_range=oef_range, min_oef=min_oef,
                                dbv_range=dbv_range, min_dbv=min_dbv,
                                dw_coeff=dw_coeff))
-    full = lambda i: (0, 0)                              # noqa: E731
-    x_spec = (pl.BlockSpec((t, rows), lambda i: (0, i),
-                           memory_space=pltpu.VMEM) if channel_major
-              else pl.BlockSpec((rows, t), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((3, 8, lq), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((3, n_pad // lq, lq), jnp.float32)
     mean_t, var_t, raw_t = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            x_spec,
-            pl.BlockSpec((u, t_im), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((u, 1), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_blocks, u, u), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_blocks, u, 1), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, u), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, 1), full, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[out_spec, out_spec, out_spec],
         out_shape=[out_shape, out_shape, out_shape],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=_COMPILER_PARAMS,
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(x, wfc, bfc, wb, bb, wf, bf)
+    )(x, *inputs)
     # the kernel's (5, R) -> (5, 8, R/8) split makes voxel v of tile i
     # land at [i, s, l] with v = i*rows + s*(rows/8) + l; the row-major
     # reshape below inverts exactly that

@@ -410,27 +410,42 @@ def posterior_summaries_quadrature(params: jax.Array, *, mvg: bool = True,
 
 
 
+def quad_tile_summaries(q0, q1, q2, q3, q4, *, mvg: bool,
+                        oef_range: float, min_oef: float,
+                        dbv_range: float, min_dbv: float,
+                        dw_coeff: float, unroll: bool = True):
+    """One tile of raw head rows -> (means 3-tuple, variances 3-tuple,
+    squashed (ls0, ls1, od)). The single owner of the raw->squashed
+    transforms + quadrature math shared by the standalone quadrature
+    kernel and the merged encode+quadrature inference kernel
+    (ops/pallas_infer.py) -- identical math to the jnp path, so all
+    three agree to fp tolerance (gated exactly in tests)."""
+    mu0 = q0
+    ls0 = jnp.tanh(q1) * 3.0 - 1.0                 # dist transform_std
+    mu1 = q2
+    ls1 = jnp.tanh(q3) * 3.0 - 1.0
+    od = (jnp.tanh(q4) * math.exp(-2.0) if mvg     # transform_offdiag
+          else jnp.zeros_like(mu0))
+
+    moments = _quad_moments(mu0, ls0, mu1, ls1, od, unroll=unroll)
+    means, variances = _summaries_from_moments(
+        *moments, oef_range=oef_range, min_oef=min_oef,
+        dbv_range=dbv_range, min_dbv=min_dbv, dw_coeff=dw_coeff)
+    return means, variances, (ls0, ls1, od)
+
+
 def _quad_kernel(params_ref, mean_ref, var_ref, *, mvg: bool,
                  oef_range: float, min_oef: float, dbv_range: float,
                  min_dbv: float, dw_coeff: float):
-    """Shares _quad_moments with the jnp path (identical math, so the
-    two agree to fp tolerance; gated exactly in tests). All loops are
-    Python-unrolled with baked constants: three 16-node 1-D passes plus
-    their 16-node Laguerre splits ~ a few hundred vector instructions
-    -- far below the instruction-count regime where remote Mosaic
-    compiles stall (the old 16x16 tensor grid needed a fori_loop with
-    SMEM node loads for exactly that reason; the od-Taylor cross
-    moments removed the grid)."""
-    mu0 = params_ref[0]
-    ls0 = jnp.tanh(params_ref[1]) * 3.0 - 1.0
-    mu1 = params_ref[2]
-    ls1 = jnp.tanh(params_ref[3]) * 3.0 - 1.0
-    od = (jnp.tanh(params_ref[4]) * math.exp(-2.0) if mvg
-          else jnp.zeros_like(mu0))
-
-    moments = _quad_moments(mu0, ls0, mu1, ls1, od, unroll=True)
-    means, variances = _summaries_from_moments(
-        *moments, oef_range=oef_range, min_oef=min_oef,
+    """All loops are Python-unrolled with baked constants: three
+    16-node 1-D passes plus their 16-node Laguerre splits ~ a few
+    hundred vector instructions -- far below the instruction-count
+    regime where remote Mosaic compiles stall (the old 16x16 tensor
+    grid needed a fori_loop with SMEM node loads for exactly that
+    reason; the od-Taylor cross moments removed the grid)."""
+    means, variances, _ = quad_tile_summaries(
+        params_ref[0], params_ref[1], params_ref[2], params_ref[3],
+        params_ref[4], mvg=mvg, oef_range=oef_range, min_oef=min_oef,
         dbv_range=dbv_range, min_dbv=min_dbv, dw_coeff=dw_coeff)
     mean_ref[0], mean_ref[1], mean_ref[2] = means
     var_ref[0], var_ref[1], var_ref[2] = variances

@@ -78,6 +78,42 @@ def test_encode_kernel_matches_flax(rng, mvg, multi, act, units, blocks):
 
 
 @cpu_only
+def test_merged_kernel_multi_tile_bijection(rng):
+    """The merged kernel's per-tile (5, R) -> (5, 8, R/8) voxel re-split
+    and the wrapper's inverting reshape must agree ACROSS grid tiles:
+    gate a ragged N spanning several small tiles against the jnp path
+    voxel by voxel (a bijection bug that only scrambles across tile
+    boundaries would pass any single-tile test)."""
+    from qbold_vi_tpu.ops.pallas_infer import encode_quad_fused
+    from qbold_vi_tpu.ops.quadrature import posterior_summaries_quadrature
+
+    cfg = dataclasses.replace(OPTIMAL.model, compute_dtype="float32")
+    tuner = FineTuner(cfg, SCAN)
+    images = _images(rng, shape=(1, 19, 17, 1))   # N=323 over 64-row tiles
+    params = tuner.init(jax.random.PRNGKey(12), images)
+    dwc = float(SCAN.dw_coeff * SCAN.hct)
+    m_t, v_t, _ = encode_quad_fused(
+        images, params["encoder"], se_idx=SCAN.se_idx,
+        multi_image=cfg.multi_image_normalisation,
+        activation=cfg.activation, n_blocks=cfg.no_intermediate_layers,
+        trunk="float32", mvg=cfg.use_mvg, oef_range=cfg.oef_range,
+        min_oef=cfg.min_oef, dbv_range=cfg.dbv_range,
+        min_dbv=cfg.min_dbv, dw_coeff=dwc, rows=64, interpret=True)
+    q_ref, _ = _encode_q(tuner, params, images)
+    means_ref, vars_ref = posterior_summaries_quadrature(
+        q_ref, mvg=cfg.use_mvg, oef_range=cfg.oef_range,
+        min_oef=cfg.min_oef, dbv_range=cfg.dbv_range,
+        min_dbv=cfg.min_dbv, dw_coeff=dwc)
+    n = int(np.prod(images.shape[:-1]))
+    np.testing.assert_allclose(
+        np.asarray(m_t)[:, :n].T,
+        np.asarray(means_ref).reshape(-1, 3), rtol=1e-4, atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(v_t)[:, :n].T,
+        np.asarray(vars_ref).reshape(-1, 3), rtol=1e-3, atol=3e-5)
+
+
+@cpu_only
 def test_encode_kernel_24tau_protocol(rng):
     """The streamlined 24-tau protocol (reference loglinear.py:149-152):
     a wider tau axis with a different spin-echo index."""
