@@ -2,11 +2,19 @@
 
 The recurring RESULTS.md benchmark (rounds 1-3): physically-generated
 fake brains at full-brain geometry, streaming pretrain (30 epochs),
-the published 40x100 fine-tune, then full-cohort posterior maps via
-``save_predictions``'s default stream-1 path (reference model.py:776:
-``model.predict(...)[0]`` -- the ``use_first_op=True`` summaries, which
-on TPU run the fused inference kernels). Reports wall per stage and
-masked posterior-mean quality vs the generating truth.
+the published 40x100 fine-tune, then full-cohort posterior maps twice:
+
+* stream-1 (``use_first_op=True``): ``save_predictions``'s default and
+  the reference's PRETRAIN-export semantics (model.py:776 +
+  train.py:248-250) -- on TPU this runs the fused inference kernels,
+  so this line is the cohort PERF measurement;
+* stream-2 (``use_first_op=False``): the reference's FINE-TUNED-export
+  semantics (train.py:272-278 passes ``use_first_op=False``) -- the
+  maps the fine-tune phase directly optimises, so this line is the
+  cohort QUALITY measurement (matches validate_finetune.py's).
+
+Reports wall per stage and masked posterior-mean quality vs the
+generating truth for both streams.
 
     python benchmarks/cohort_e2e.py [--outdir DIR] [--ft-epochs N]
 """
@@ -70,18 +78,25 @@ def main():
           f"{time.time() - t0:.1f}s")
 
     t0 = time.time()
-    maps = posterior_maps(tr.tuner, tr.state.params, data,
-                          jax.random.PRNGKey(9))
+    maps1 = posterior_maps(tr.tuner, tr.state.params, data,
+                           jax.random.PRNGKey(9))
     dt = time.time() - t0
     print(f"full-cohort posterior maps (stream-1/fused): {dt:.1f}s "
           f"({n_vox / dt / 1e6:.1f} M voxel/s incl. host transfer)")
 
+    t0 = time.time()
+    maps2 = posterior_maps(tr.tuner, tr.state.params, data,
+                           jax.random.PRNGKey(9), use_first_op=False)
+    print(f"full-cohort posterior maps (stream-2, the reference's "
+          f"fine-tuned-export head): {time.time() - t0:.1f}s")
+
     m = mask > 0
-    for name, got, true in (("OEF", maps["oef"][..., 0], oef_true),
-                            ("DBV", maps["dbv"][..., 0], dbv_true)):
-        err = np.abs(got - true)[m].mean()
-        corr = np.corrcoef(got[m], true[m])[0, 1]
-        print(f"{name}: |err|={err:.4f} corr={corr:.3f}")
+    for label, maps in (("stream-1", maps1), ("stream-2", maps2)):
+        for name, got, true in (("OEF", maps["oef"][..., 0], oef_true),
+                                ("DBV", maps["dbv"][..., 0], dbv_true)):
+            err = np.abs(got - true)[m].mean()
+            corr = np.corrcoef(got[m], true[m])[0, 1]
+            print(f"{label} {name}: |err|={err:.4f} corr={corr:.3f}")
 
 
 if __name__ == "__main__":
