@@ -489,6 +489,16 @@ class Trainer:
                     losses.append(m["loss"])
             metrics = eval_fn(state.params, self._next_key(), val_batch)
             metrics = dict(metrics)
+            if cfg.model.infer_inv_gamma:
+                # the reference logs the learned inverse-gamma hyperprior
+                # as pretrain metrics (train.py:395-413: oef/dbv alpha+beta
+                # read off the broadcast channels); ours live on the
+                # encoder's hyperprior leaf
+                a_o, b_o, a_d, b_d = np.exp(np.asarray(
+                    state.params["encoder"]["inv_gamma_raw"],
+                    dtype=np.float64))
+                metrics.update(oef_alpha=a_o, oef_beta=b_o,
+                               dbv_alpha=a_d, dbv_beta=b_d)
             # float() forces device sync so the timing is honest
             metrics["loss"] = float(jnp.mean(jnp.concatenate(
                 [jnp.atleast_1d(x) for x in losses])))

@@ -183,6 +183,24 @@ class TestTrainer:
         with pytest.raises(NaNLossError):
             t2._log("test", 0, {"loss": float("nan")})
 
+    def test_inv_gamma_hyperprior_metrics_logged(self, tmp_path, rng):
+        """With the learned inverse-gamma hyperprior on, pretrain logs
+        the four learned alpha/beta values each epoch (reference:
+        train.py:395-413 reads them off the broadcast channels as
+        oef/dbv alpha+beta metrics)."""
+        cfg = tiny_cfg(tmp_path, infer_inv_gamma=True)
+        logged = []
+        t = Trainer(cfg, logger=lambda p, s, m: logged.append((p, m)))
+        t.pretrain()
+        pt = [m for p, m in logged if p == "pretrain"]
+        assert pt, "no pretrain epochs logged"
+        for k, init in (("oef_alpha", 20.0), ("oef_beta", 2.5),
+                        ("dbv_alpha", 20.0), ("dbv_beta", 2.5)):
+            v = pt[-1][k]
+            assert np.isfinite(v) and v > 0
+            # one tiny epoch: the learned value stays near its init
+            assert abs(v - init) < 0.5 * init
+
     def test_population_stats(self, tmp_path, rng):
         cfg = tiny_cfg(tmp_path)
         t = Trainer(cfg)
