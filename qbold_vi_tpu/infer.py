@@ -173,6 +173,46 @@ def _fused_posterior_summaries(tuner: FineTuner, params, images,
     return means_t[:, :n], vars_t[:, :n], raw_t[:, :n]
 
 
+@partial(jax.jit, static_argnames=("tuner", "no_samples", "use_first_op",
+                                   "method", "use_pallas", "antithetic"))
+def _chunk_maps(tuner: FineTuner, params, block, k, no_samples: int,
+                use_first_op: bool, method: str, use_pallas: bool,
+                antithetic: bool = True):
+    """ONE device program per non-fused subject chunk: mask zeroing,
+    encoder pass, posterior summaries and the map reshapes. Keeping the
+    whole chunk under a single jit matters on remote (tunnel) backends,
+    where every eager op between jitted calls costs a dispatch
+    round-trip (~35-40 ms each; CLAUDE.md) -- the round-3 stream-2
+    cohort export spent seconds in exactly those seams."""
+    cfg = tuner.cfg
+    masked = block[..., :-1] * block[..., -1:]
+    if not use_pallas:
+        return _summarize(tuner, params, k, masked, no_samples=no_samples,
+                          use_first_op=use_first_op, method=method)
+    q, raw_log_stds = _encode_q(tuner, params, masked,
+                                use_first_op=use_first_op)
+    dwc = float(tuner.scan.dw_coeff * tuner.scan.hct)
+    if method == "quadrature":
+        from .ops.quadrature import quad_posterior_summaries
+
+        means, variances = quad_posterior_summaries(
+            q.reshape(-1, q.shape[-1]), mvg=cfg.use_mvg,
+            oef_range=cfg.oef_range, min_oef=cfg.min_oef,
+            dbv_range=cfg.dbv_range, min_dbv=cfg.min_dbv, dw_coeff=dwc)
+    else:
+        from .ops.pallas_summarize import mc_posterior_summaries
+
+        seed = jax.random.randint(k, (), 0, np.int32(2**31 - 1))
+        means, variances = mc_posterior_summaries(
+            q.reshape(-1, q.shape[-1]), seed, no_samples=no_samples,
+            mvg=cfg.use_mvg, oef_range=cfg.oef_range, min_oef=cfg.min_oef,
+            dbv_range=cfg.dbv_range, min_dbv=cfg.min_dbv, dw_coeff=dwc,
+            antithetic=antithetic)
+    return {"means": means.reshape(q.shape[:-1] + (3,)),
+            "stds": variances.reshape(q.shape[:-1] + (3,)),
+            "raw_log_stds": raw_log_stds}
+
+
 @partial(jax.jit, static_argnames=("tuner", "use_first_op"))
 def _encode_q(tuner: FineTuner, params, images, use_first_op: bool = True):
     """Encoder pass + raw-log-std maps (the deterministic half of
@@ -243,7 +283,13 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
     # dead tunnel dispatch (+ one RNG compile) per chunk
     needs_key = method == "mc" or fused is None
 
-    outs = []
+    # Two-phase chunk loop: DISPATCH every chunk's device program first
+    # (uploads + async execution pipeline through the backend), then
+    # GATHER the host copies. A single-phase loop serialises
+    # upload(i+1) behind download(i) -- through the remote TPU tunnel
+    # that is one dead round-trip latency + transfer per chunk (the
+    # stream-2 cohort export's dominant warm cost, RESULTS.md).
+    staged = []
     for i in range(0, data.shape[0], chunk):
         raw, n_blk = _pad_chunk(data[i:i + chunk], chunk)
         k = None
@@ -262,54 +308,30 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
                 tuner, params, cm, interpret=fused, mask_channel=True,
                 input_layout="channel", method=method, seed=seed,
                 no_samples=no_samples, antithetic=antithetic)
-            shape = raw.shape[:-1]
+            staged.append((n_blk, raw.shape[:-1],
+                           {"means": means_t, "stds": vars_t,
+                            "raw_log_stds": raw_t}))
+        else:
+            out = _chunk_maps(tuner, params, jnp.asarray(raw), k,
+                              no_samples=no_samples,
+                              use_first_op=use_first_op, method=method,
+                              use_pallas=use_pallas, antithetic=antithetic)
+            staged.append((n_blk, None, out))
+
+    outs = []
+    for n_blk, cm_shape, out in staged:
+        if cm_shape is not None:
             # channel-major device arrays -> host-side transpose (a
             # device-side (N, 3) write would re-pay the padded-minor
             # tile layout the fused path exists to avoid)
-            out = {
+            outs.append({
                 k2: np.moveaxis(np.asarray(v), 0, -1).reshape(
-                    shape + (v.shape[0],))
-                for k2, v in (("means", means_t), ("stds", vars_t),
-                              ("raw_log_stds", raw_t))
-            }
-            outs.append({k2: v[:n_blk] for k2, v in out.items()})
-            continue
-        block = jnp.asarray(raw)
-        masked = block[..., :-1] * block[..., -1:]
-        if use_pallas:
-            q, raw_log_stds = _encode_q(tuner, params, masked,
-                                        use_first_op=use_first_op)
-            cfg = tuner.cfg
-            dwc = float(tuner.scan.dw_coeff * tuner.scan.hct)
-            if method == "quadrature":
-                from .ops.quadrature import quad_posterior_summaries
-
-                means, variances = quad_posterior_summaries(
-                    q.reshape(-1, q.shape[-1]), mvg=cfg.use_mvg,
-                    oef_range=cfg.oef_range, min_oef=cfg.min_oef,
-                    dbv_range=cfg.dbv_range, min_dbv=cfg.min_dbv,
-                    dw_coeff=dwc)
-            else:
-                from .ops.pallas_summarize import mc_posterior_summaries
-
-                seed = jax.random.randint(k, (), 0, np.int32(2**31 - 1))
-                means, variances = mc_posterior_summaries(
-                    q.reshape(-1, q.shape[-1]), seed,
-                    no_samples=no_samples, mvg=cfg.use_mvg,
-                    oef_range=cfg.oef_range, min_oef=cfg.min_oef,
-                    dbv_range=cfg.dbv_range, min_dbv=cfg.min_dbv,
-                    dw_coeff=dwc, antithetic=antithetic)
-            out = {
-                "means": means.reshape(q.shape[:-1] + (3,)),
-                "stds": variances.reshape(q.shape[:-1] + (3,)),
-                "raw_log_stds": raw_log_stds,
-            }
+                    cm_shape + (v.shape[0],))[:n_blk]
+                for k2, v in out.items()
+            })
         else:
-            out = _summarize(tuner, params, k, masked,
-                             no_samples=no_samples,
-                             use_first_op=use_first_op, method=method)
-        outs.append(jax.tree_util.tree_map(
-            lambda x: np.asarray(x)[:n_blk], out))
+            outs.append(jax.tree_util.tree_map(
+                lambda x, n=n_blk: np.asarray(x)[:n], out))
     cat = {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
     means = cat["means"]
     return {
@@ -322,11 +344,14 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
                                    "kl_samples", "use_pallas_kl",
                                    "with_kl"))
 def _elbo_maps_one(tuner: FineTuner, cfg: QBoldConfig, params, key,
-                   images, mask, priors, no_samples: int = 100,
+                   block, priors, no_samples: int = 100,
                    kl_samples: int = 100, use_pallas_kl: bool = False,
                    with_kl: bool = True):
     """Per-voxel likelihood / KL maps from the fine-tuned model
-    (reference: model.py:805-847), fused on device.
+    (reference: model.py:805-847), fused on device. ``block`` is the
+    raw (B, X, Y, Z, taus+1) chunk with the mask channel attached --
+    the mask split and zeroing run under the same jit, so a chunk is
+    ONE remote dispatch.
 
     The S stochastic decoder passes STREAM through a fori_loop with
     O(voxels) state -- one posterior draw, one physics decode and one
@@ -338,6 +363,8 @@ def _elbo_maps_one(tuner: FineTuner, cfg: QBoldConfig, params, key,
     RESULTS.md workload (round-2 verdict weak #5)."""
     from .ops import physics
 
+    mask = block[..., -1:]
+    images = block[..., :-1] * mask
     k_dec, k_kl = jax.random.split(key)
     _, q, im_sigma = tuner.encode(params, images)
     if not cfg.model.heteroscedastic_noise:
@@ -551,21 +578,22 @@ def elbo_maps(tuner: FineTuner, cfg: QBoldConfig, params, data: np.ndarray,
     if use_pallas_kl is None:
         use_pallas_kl = jax.default_backend() in ("tpu", "axon")
     with_kl = priors is not None or cfg.model.use_population_prior
-    outs = []
+    # dispatch all chunks, then gather (see posterior_maps: a
+    # single-phase loop serialises every chunk behind the previous
+    # chunk's download through the tunnel)
+    staged = []
     for i in range(0, data.shape[0], chunk):
         raw, n_blk = _pad_chunk(data[i:i + chunk], chunk)
-        block = jnp.asarray(raw)
-        mask = block[..., -1:]
-        images = block[..., :-1] * mask
         p = None
         if priors is not None:
             p = jnp.asarray(_pad_chunk(priors[i:i + chunk], chunk)[0])
         key, k = jax.random.split(key)
-        outs.append(jax.tree_util.tree_map(
-            lambda x: np.asarray(x)[:n_blk],
-            _elbo_maps_one(tuner, cfg, params, k, images, mask, p,
-                           no_samples=no_samples,
-                           use_pallas_kl=use_pallas_kl, with_kl=with_kl)))
+        staged.append((n_blk, _elbo_maps_one(
+            tuner, cfg, params, k, jnp.asarray(raw), p,
+            no_samples=no_samples, use_pallas_kl=use_pallas_kl,
+            with_kl=with_kl)))
+    outs = [jax.tree_util.tree_map(lambda x, n=n_blk: np.asarray(x)[:n], out)
+            for n_blk, out in staged]
     return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
 
 
