@@ -13,24 +13,15 @@ Usage: python benchmarks/probe_bf16_input.py [--reps R] [--blocks B]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-
-def timed_chained(fn, perturb, x0, sync, reps, warmup=2):
-    x = x0
-    for _ in range(warmup):
-        x = perturb(fn(x), x0)
-    sync(x)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        x = perturb(fn(x), x0)
-    sync(x)
-    return (time.perf_counter() - t0) / reps
+from breakdown import timed_chained  # noqa: E402 (shared timing recipe)
 
 
 def main():
@@ -64,17 +55,17 @@ def main():
     cm16 = jax.device_put(jnp.asarray(to_channel_major(vol),
                                       dtype=jnp.bfloat16))
 
-    def make(x):
-        f = jax.jit(lambda d: _fused_posterior_summaries(
-            tuner, params, d, input_layout="channel", mask_channel=True)[0])
-        chain = jax.jit(lambda out, base: (
-            base + (out[0, :1][None] * 1e-9).astype(base.dtype)))
-        return f, chain, x
+    # ONE jitted pair reused across every block/dtype -- rebuilding
+    # jit(lambda) wrappers per block discards their caches and re-pays
+    # tracing each iteration
+    f = jax.jit(lambda d: _fused_posterior_summaries(
+        tuner, params, d, input_layout="channel", mask_channel=True)[0])
+    chain = jax.jit(lambda out, base: (
+        base + (out[0, :1][None] * 1e-9).astype(base.dtype)))
 
     # map-level error first (one dispatch each)
-    f32, _, _ = make(cm32)
-    m32 = np.asarray(jax.device_get(f32(cm32)))[:, :n_vox]
-    m16 = np.asarray(jax.device_get(f32(cm16)))[:, :n_vox]
+    m32 = np.asarray(jax.device_get(f(cm32)))[:, :n_vox]
+    m16 = np.asarray(jax.device_get(f(cm16)))[:, :n_vox]
     err = np.abs(m16 - m32)
     for i, name in enumerate(("oef", "dbv", "r2p")):
         scalem = np.abs(m32[i]).mean()
@@ -83,8 +74,7 @@ def main():
 
     for blk in range(args.blocks):
         out = {}
-        for name, x in (("fp32", cm32), ("bf16", cm16)):
-            f, chain, x0 = make(x)
+        for name, x0 in (("fp32", cm32), ("bf16", cm16)):
             dt = timed_chained(f, chain, x0, sync, args.reps)
             out[name] = dt
             print(f"block {blk} {name}: {dt*1e3:7.3f} ms "

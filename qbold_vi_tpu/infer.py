@@ -173,17 +173,24 @@ def _fused_posterior_summaries(tuner: FineTuner, params, images,
     return means_t[:, :n], vars_t[:, :n], raw_t[:, :n]
 
 
-@partial(jax.jit, static_argnames=("tuner", "no_samples", "use_first_op",
-                                   "method", "use_pallas", "antithetic"))
-def _chunk_maps(tuner: FineTuner, params, block, k, no_samples: int,
-                use_first_op: bool, method: str, use_pallas: bool,
-                antithetic: bool = True):
-    """ONE device program per non-fused subject chunk: mask zeroing,
-    encoder pass, posterior summaries and the map reshapes. Keeping the
-    whole chunk under a single jit matters on remote (tunnel) backends,
-    where every eager op between jitted calls costs a dispatch
-    round-trip (~35-40 ms each; CLAUDE.md) -- the round-3 stream-2
-    cohort export spent seconds in exactly those seams."""
+# Bound on chunks staged ahead of the gather phase: inputs + outputs of
+# at most this many chunks live on the device at once (beyond that the
+# oldest chunk is gathered before the next is dispatched). Deep enough
+# to keep the upload->compute->download pipeline full through the
+# tunnel; bounded so a several-hundred-subject cohort cannot
+# accumulate its whole input stack in HBM.
+_MAX_IN_FLIGHT = 8
+
+
+def _chunk_maps_impl(tuner: FineTuner, params, block, k, no_samples: int,
+                     use_first_op: bool, method: str, use_pallas: bool,
+                     antithetic: bool = True):
+    """Shared body of the non-fused per-chunk map program: mask zeroing,
+    encoder pass, posterior summaries and the map reshapes. Jitted
+    whole by _chunk_maps for the chunked host loop; called per-device
+    inside posterior_maps_sharded's shard_map (single owner of the
+    estimator dispatch, so the chunked and sharded paths cannot
+    diverge)."""
     cfg = tuner.cfg
     masked = block[..., :-1] * block[..., -1:]
     if not use_pallas:
@@ -211,6 +218,20 @@ def _chunk_maps(tuner: FineTuner, params, block, k, no_samples: int,
     return {"means": means.reshape(q.shape[:-1] + (3,)),
             "stds": variances.reshape(q.shape[:-1] + (3,)),
             "raw_log_stds": raw_log_stds}
+
+
+@partial(jax.jit, static_argnames=("tuner", "no_samples", "use_first_op",
+                                   "method", "use_pallas", "antithetic"))
+def _chunk_maps(tuner: FineTuner, params, block, k, no_samples: int,
+                use_first_op: bool, method: str, use_pallas: bool,
+                antithetic: bool = True):
+    """ONE device program per non-fused subject chunk. Keeping the
+    whole chunk under a single jit matters on remote (tunnel) backends,
+    where every eager op between jitted calls costs a dispatch
+    round-trip (~35-40 ms each; CLAUDE.md) -- the round-3 stream-2
+    cohort export spent seconds in exactly those seams."""
+    return _chunk_maps_impl(tuner, params, block, k, no_samples,
+                            use_first_op, method, use_pallas, antithetic)
 
 
 @partial(jax.jit, static_argnames=("tuner", "use_first_op"))
@@ -283,13 +304,28 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
     # dead tunnel dispatch (+ one RNG compile) per chunk
     needs_key = method == "mc" or fused is None
 
-    # Two-phase chunk loop: DISPATCH every chunk's device program first
-    # (uploads + async execution pipeline through the backend), then
-    # GATHER the host copies. A single-phase loop serialises
-    # upload(i+1) behind download(i) -- through the remote TPU tunnel
-    # that is one dead round-trip latency + transfer per chunk (the
-    # stream-2 cohort export's dominant warm cost, RESULTS.md).
-    staged = []
+    # Pipelined chunk loop: DISPATCH chunks ahead of the gather so the
+    # backend overlaps uploads, compute and downloads (a single-phase
+    # loop serialises upload(i+1) behind download(i) -- through the
+    # remote TPU tunnel that is one dead round-trip latency + transfer
+    # per chunk, the stream-2 cohort export's dominant warm cost,
+    # RESULTS.md). At most _MAX_IN_FLIGHT chunks are staged at once so
+    # device memory stays bounded on arbitrarily large cohorts.
+    def _gather(item):
+        n_blk, cm_shape, out = item
+        if cm_shape is not None:
+            # channel-major device arrays -> host-side transpose (a
+            # device-side (N, 3) write would re-pay the padded-minor
+            # tile layout the fused path exists to avoid)
+            return {
+                k2: np.moveaxis(np.asarray(v), 0, -1).reshape(
+                    cm_shape + (v.shape[0],))[:n_blk]
+                for k2, v in out.items()
+            }
+        return jax.tree_util.tree_map(
+            lambda x: np.asarray(x)[:n_blk], out)
+
+    staged, outs = [], []
     for i in range(0, data.shape[0], chunk):
         raw, n_blk = _pad_chunk(data[i:i + chunk], chunk)
         k = None
@@ -317,21 +353,9 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
                               use_first_op=use_first_op, method=method,
                               use_pallas=use_pallas, antithetic=antithetic)
             staged.append((n_blk, None, out))
-
-    outs = []
-    for n_blk, cm_shape, out in staged:
-        if cm_shape is not None:
-            # channel-major device arrays -> host-side transpose (a
-            # device-side (N, 3) write would re-pay the padded-minor
-            # tile layout the fused path exists to avoid)
-            outs.append({
-                k2: np.moveaxis(np.asarray(v), 0, -1).reshape(
-                    cm_shape + (v.shape[0],))[:n_blk]
-                for k2, v in out.items()
-            })
-        else:
-            outs.append(jax.tree_util.tree_map(
-                lambda x, n=n_blk: np.asarray(x)[:n], out))
+        if len(staged) >= _MAX_IN_FLIGHT:
+            outs.append(_gather(staged.pop(0)))
+    outs.extend(_gather(s) for s in staged)
     cat = {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
     means = cat["means"]
     return {
@@ -471,7 +495,6 @@ def posterior_maps_sharded(tuner: FineTuner, params, data: np.ndarray, key,
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
     cfg = tuner.cfg
-    dwc = float(tuner.scan.dw_coeff * tuner.scan.hct)
     fused = (_resolve_fused_infer(cfg, use_pallas)
              if (method in ("quadrature", "mc") and use_first_op)
              else None)
@@ -516,34 +539,11 @@ def posterior_maps_sharded(tuner: FineTuner, params, data: np.ndarray, key,
         }
 
     def local(block, k):
-        masked = block[..., :-1] * block[..., -1:]
-        if use_pallas:
-            q, raw_log_stds = _encode_q(tuner, params, masked,
-                                        use_first_op=use_first_op)
-            if method == "quadrature":
-                from .ops.quadrature import quad_posterior_summaries
-
-                means, variances = quad_posterior_summaries(
-                    q.reshape(-1, q.shape[-1]), mvg=cfg.use_mvg,
-                    oef_range=cfg.oef_range, min_oef=cfg.min_oef,
-                    dbv_range=cfg.dbv_range, min_dbv=cfg.min_dbv,
-                    dw_coeff=dwc)
-            else:
-                from .ops.pallas_summarize import mc_posterior_summaries
-
-                seed = jax.random.randint(k[0], (), 0, np.int32(2**31 - 1))
-                means, variances = mc_posterior_summaries(
-                    q.reshape(-1, q.shape[-1]), seed,
-                    no_samples=no_samples, mvg=cfg.use_mvg,
-                    oef_range=cfg.oef_range, min_oef=cfg.min_oef,
-                    dbv_range=cfg.dbv_range, min_dbv=cfg.min_dbv,
-                    dw_coeff=dwc, antithetic=antithetic)
-            return {"means": means.reshape(q.shape[:-1] + (3,)),
-                    "stds": variances.reshape(q.shape[:-1] + (3,)),
-                    "raw_log_stds": raw_log_stds}
-        return _summarize(tuner, params, k[0], masked,
-                          no_samples=no_samples, use_first_op=use_first_op,
-                          method=method)
+        return _chunk_maps_impl(tuner, params, block, k[0],
+                                no_samples=no_samples,
+                                use_first_op=use_first_op, method=method,
+                                use_pallas=use_pallas,
+                                antithetic=antithetic)
 
     spec = P(pmesh.DATA_AXIS)
     fn = shard_map(local, mesh=mesh,
@@ -578,10 +578,15 @@ def elbo_maps(tuner: FineTuner, cfg: QBoldConfig, params, data: np.ndarray,
     if use_pallas_kl is None:
         use_pallas_kl = jax.default_backend() in ("tpu", "axon")
     with_kl = priors is not None or cfg.model.use_population_prior
-    # dispatch all chunks, then gather (see posterior_maps: a
-    # single-phase loop serialises every chunk behind the previous
-    # chunk's download through the tunnel)
-    staged = []
+    # dispatch chunks ahead of the gather, bounded in-flight window
+    # (see posterior_maps: a single-phase loop serialises every chunk
+    # behind the previous chunk's download through the tunnel)
+    def _gather(item):
+        n_blk, out = item
+        return jax.tree_util.tree_map(
+            lambda x: np.asarray(x)[:n_blk], out)
+
+    staged, outs = [], []
     for i in range(0, data.shape[0], chunk):
         raw, n_blk = _pad_chunk(data[i:i + chunk], chunk)
         p = None
@@ -592,8 +597,9 @@ def elbo_maps(tuner: FineTuner, cfg: QBoldConfig, params, data: np.ndarray,
             tuner, cfg, params, k, jnp.asarray(raw), p,
             no_samples=no_samples, use_pallas_kl=use_pallas_kl,
             with_kl=with_kl)))
-    outs = [jax.tree_util.tree_map(lambda x, n=n_blk: np.asarray(x)[:n], out)
-            for n_blk, out in staged]
+        if len(staged) >= _MAX_IN_FLIGHT:
+            outs.append(_gather(staged.pop(0)))
+    outs.extend(_gather(s) for s in staged)
     return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
 
 

@@ -116,9 +116,10 @@ def _encode_body(x, wfc_ref, bfc_ref, wb_ref, bb_ref, wf_ref, bf_ref, *,
         x = x.T                                          # (T[+1], R)
     if mask_channel:
         x = x[:-1, :] * x[-1:, :]
-    # bf16 serving inputs (infer_input_dtype) halve the kernel's HBM
-    # read; all normalisation math still runs fp32 (no-op cast for the
-    # default fp32 inputs)
+    # tolerate bf16 input volumes (halves the kernel's HBM read, but a
+    # measured net loss: benchmarks/probe_bf16_input.py -- fp32 stays
+    # the serving dtype); all normalisation math runs fp32 either way
+    # (no-op cast for the default fp32 inputs)
     x = x.astype(jnp.float32)
     x = jnp.clip(x, 1e-2, 1e8)
     if multi_image:

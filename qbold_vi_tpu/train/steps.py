@@ -461,6 +461,16 @@ def make_pretrain_eval(tuner: FineTuner, cfg: QBoldConfig):
             # the diagonal head (4+4), not MVG (5+4)
         metrics = posterior_mse_metrics(k2, tuner, out1, batch["y"])
         metrics["val_loss"] = loss
+        if cfg.model.infer_inv_gamma:
+            # the learned inverse-gamma hyperprior, logged per epoch like
+            # the reference (train.py:395-413); computed in the same
+            # jitted program so it rides the existing eval dispatch (an
+            # eager param fetch costs its own ~35-40 ms tunnel
+            # round-trip per epoch)
+            a_o, b_o, a_d, b_d = jnp.exp(
+                params["encoder"]["inv_gamma_raw"].astype(jnp.float32))
+            metrics.update(oef_alpha=a_o, oef_beta=b_o,
+                           dbv_alpha=a_d, dbv_beta=b_d)
         return metrics
 
     return jax.jit(evaluate)

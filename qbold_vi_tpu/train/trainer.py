@@ -487,18 +487,10 @@ class Trainer:
                     batch = self._put_eval_batch(batch)
                     state, m = step_fn(state, self._next_key(), batch)
                     losses.append(m["loss"])
-            metrics = eval_fn(state.params, self._next_key(), val_batch)
-            metrics = dict(metrics)
-            if cfg.model.infer_inv_gamma:
-                # the reference logs the learned inverse-gamma hyperprior
-                # as pretrain metrics (train.py:395-413: oef/dbv alpha+beta
-                # read off the broadcast channels); ours live on the
-                # encoder's hyperprior leaf
-                a_o, b_o, a_d, b_d = np.exp(np.asarray(
-                    state.params["encoder"]["inv_gamma_raw"],
-                    dtype=np.float64))
-                metrics.update(oef_alpha=a_o, oef_beta=b_o,
-                               dbv_alpha=a_d, dbv_beta=b_d)
+            # (inverse-gamma hyperprior metrics, when configured, come
+            # back inside eval_fn's jitted program -- steps.py)
+            metrics = dict(eval_fn(state.params, self._next_key(),
+                                   val_batch))
             # float() forces device sync so the timing is honest
             metrics["loss"] = float(jnp.mean(jnp.concatenate(
                 [jnp.atleast_1d(x) for x in losses])))

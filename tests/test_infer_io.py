@@ -232,6 +232,20 @@ class TestReviewRegressions:
             assert a[k].shape[0] == 3
             np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-7)
 
+    def test_posterior_maps_beyond_in_flight_window(self, rng):
+        """More chunks than the pipelined dispatch window
+        (infer._MAX_IN_FLIGHT): the bounded gather-as-you-go loop must
+        produce the same maps, in subject order, as one big chunk."""
+        from qbold_vi_tpu import infer as infer_mod
+
+        n = infer_mod._MAX_IN_FLIGHT + 3
+        tuner, params, data, key = _setup(rng, s=n, x=4, y=4, z=1)
+        a = posterior_maps(tuner, params, data, key, chunk=1)
+        b = posterior_maps(tuner, params, data, key, chunk=n)
+        for k in a:
+            assert a[k].shape[0] == n
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6)
+
     def test_elbo_maps_ragged_chunk_matches(self, rng):
         """Zero-padding the ragged final chunk must not contaminate the
         real subjects: identical key chain and compiled shapes as a
