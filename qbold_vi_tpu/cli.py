@@ -199,10 +199,49 @@ def cmd_baseline(args) -> int:
     return 0
 
 
+def _load_volumes(path: str) -> np.ndarray:
+    """Load an export request's volume stack: .npy, or .npz (the 'x'
+    entry when present, else the archive's first array -- the layout
+    `synth -o` and the reference's synthetic_data.npz use)."""
+    arr = np.load(path)
+    if hasattr(arr, "files"):
+        key = "x" if "x" in arr.files else arr.files[0]
+        arr = arr[key]
+    return np.asarray(arr)
+
+
+def _infer_export(trainer, cfg: QBoldConfig, data: np.ndarray, output: str,
+                  transform_directory: Optional[str], method: str) -> dict:
+    """Shared one-volume-stack export body of ``infer`` and ``serve``
+    (reference: model.py:772-887 driven by train.py:241-279). The KL map
+    evaluates against per-voxel priors predicted by the PRETRAINED
+    encoder (reference train.py:26-31); recover them from the pt
+    checkpoint next to the final one when no population prior carries
+    them in-model (save_predictions warns and skips _kl if neither
+    exists)."""
+    import jax
+
+    from . import infer
+    from .train.trainer import WeightStatus
+
+    fine_tuned = trainer.status is WeightStatus.FULL_TRAINED
+    priors = None
+    if fine_tuned and not cfg.model.use_population_prior:
+        encode = trainer.pretrained_encode_fn()
+        if encode is not None:
+            from .train import data as data_pipe
+
+            priors = data_pipe.predict_priors(
+                encode, data, 5 if cfg.model.use_mvg else 4)
+    return infer.save_predictions(
+        trainer.tuner, cfg, trainer.state.params, data, output,
+        jax.random.PRNGKey(7), transform_directory=transform_directory,
+        use_first_op=not fine_tuned, fine_tuned=fine_tuned, priors=priors,
+        method=method)
+
+
 def cmd_infer(args) -> int:
     """Posterior map export from a checkpoint (reference: model.py:772-887)."""
-    import jax
-    from . import infer
     from .train.trainer import Trainer, WeightStatus
 
     cfg = _load_cfg(args)
@@ -210,31 +249,93 @@ def cmd_infer(args) -> int:
     if trainer.status is WeightStatus.NOT_TRAINED:
         print("no checkpoint found in save_directory", file=sys.stderr)
         return 1
-    data = np.load(args.data)
-    fine_tuned = trainer.status is WeightStatus.FULL_TRAINED
-    # The KL map evaluates against per-voxel priors predicted by the
-    # PRETRAINED encoder (reference train.py:26-31); recover them from
-    # the pt checkpoint next to the final one when no population prior
-    # carries them in-model (save_predictions warns and skips _kl if
-    # neither exists).
-    priors = None
-    if fine_tuned and not cfg.model.use_population_prior:
-        pt_params = trainer.pretrained_params()
-        if pt_params is not None:
-            from .train import data as data_pipe
-            tuner = trainer.tuner
+    _infer_export(trainer, cfg, _load_volumes(args.data), args.output,
+                  args.transform_directory, args.method)
+    return 0
 
-            @jax.jit
-            def encode(images):
-                return tuner.encode(pt_params, images)
 
-            priors = data_pipe.predict_priors(
-                encode, data, 5 if cfg.model.use_mvg else 4)
-    infer.save_predictions(
-        trainer.tuner, cfg, trainer.state.params, data, args.output,
-        jax.random.PRNGKey(7), transform_directory=args.transform_directory,
-        use_first_op=not fine_tuned, fine_tuned=fine_tuned, priors=priors,
-        method=args.method)
+def cmd_serve(args) -> int:
+    """Warm inference server: load the checkpoint ONCE, then stream
+    export requests as JSON lines on stdin, one ack line per request on
+    stdout.
+
+    Why this exists: the per-program cost of a one-shot export is the
+    remote/XLA compile, not the compute -- the 14-subject cohort export
+    runs in ~3 s warm but 28-460 s cold through a remote compile
+    service (benchmarks/RESULTS.md "Stream-2 wall autopsy").
+    Repeated-export serving should hold ONE process warm; this is that
+    process. The reference can only export by re-running its training
+    script end to end (train.py:241-279).
+
+    Protocol (one JSON object per line):
+      {"data": "vols.npy", "output": "out/subj"}      -> export request
+        optional keys: "transform_directory", "method" ("quadrature"|"mc")
+      {"cmd": "ping"}                                  -> readiness probe
+      {"cmd": "shutdown"}  (or stdin EOF)              -> clean exit
+    Ack lines: {"ok": true, "output": ..., "subjects": N, "voxels": N,
+    "wall_s": T} or {"ok": false, "error": "..."}. Errors in one
+    request never kill the server.
+
+    ``--warm S X Y Z`` pre-compiles the export programs for that volume
+    geometry at startup (zeros through the same code path), so the
+    first real request is already warm.
+    """
+    import time
+
+    from .train.trainer import Trainer, WeightStatus
+
+    cfg = _load_cfg(args)
+    trainer = Trainer(cfg)
+    if trainer.status is WeightStatus.NOT_TRAINED:
+        print("no checkpoint found in save_directory", file=sys.stderr)
+        return 1
+
+    def ack(obj: dict) -> None:
+        print(json.dumps(obj), flush=True)
+
+    if args.warm:
+        s, x, y, z = args.warm
+        import tempfile
+
+        t0 = time.time()
+        vols = np.zeros((s, x, y, z, cfg.scan.n_taus + 1), np.float32)
+        vols[..., -1] = 1.0
+        with tempfile.TemporaryDirectory() as td:
+            _infer_export(trainer, cfg, vols, os.path.join(td, "warm"),
+                          None, args.method)
+        print(f"warmed ({s},{x},{y},{z}) export programs in "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
+
+    ack({"ok": True, "ready": True,
+         "fine_tuned": trainer.status is WeightStatus.FULL_TRAINED})
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError as e:
+            ack({"ok": False, "error": f"bad json: {e}"})
+            continue
+        if req.get("cmd") == "shutdown":
+            ack({"ok": True, "shutdown": True})
+            break
+        if req.get("cmd") == "ping":
+            ack({"ok": True, "ready": True})
+            continue
+        try:
+            data = _load_volumes(req["data"])
+            t0 = time.time()
+            _infer_export(trainer, cfg, data, req["output"],
+                          req.get("transform_directory"),
+                          req.get("method", args.method))
+            ack({"ok": True, "output": req["output"],
+                 "subjects": int(data.shape[0]),
+                 "voxels": int(np.prod(data.shape[:-1])),
+                 "wall_s": round(time.time() - t0, 3)})
+        except Exception as e:   # noqa: BLE001 -- a bad request must
+            # never kill the warm process (its warmth is the point)
+            ack({"ok": False, "error": f"{type(e).__name__}: {e}"})
     return 0
 
 
@@ -498,6 +599,19 @@ def build_parser() -> argparse.ArgumentParser:
                          "or the reference's 200-sample MC "
                          "(model.py:326-343)")
     sp.set_defaults(fn=cmd_infer)
+
+    sp = add("serve", help="warm inference server: JSON-line export "
+                           "requests on stdin, one ack per line on "
+                           "stdout (compile once, export many)")
+    sp.add_argument("--method", choices=("quadrature", "mc"),
+                    default="quadrature",
+                    help="default posterior summary estimator "
+                         "(per-request 'method' overrides)")
+    sp.add_argument("--warm", type=int, nargs=4, default=None,
+                    metavar=("S", "X", "Y", "Z"),
+                    help="pre-compile the export programs for this "
+                         "volume geometry before accepting requests")
+    sp.set_defaults(fn=cmd_serve)
 
     sp = add("export-model", help="serialize inference to a StableHLO "
                                   "serving artifact (jax.export)")

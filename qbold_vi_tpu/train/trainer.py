@@ -181,6 +181,7 @@ class Trainer:
         self._ft_eval_fn = None
         self._pt_eval_fn = None
         self._encode_jit = None
+        self._pt_params_cache = None
         self._maybe_resume()
 
     # ---- checkpointing -----------------------------------------------------------
@@ -530,6 +531,25 @@ class Trainer:
             self._encode_jit = jax.jit(
                 lambda p, images: tuner.encode(p, images))
         enc, params = self._encode_jit, self.state.params
+        return lambda images: enc(params, images)
+
+    def pretrained_encode_fn(self):
+        """Jitted encoder pass bound to the PRETRAINED checkpoint's
+        params (the encoder the reference predicts per-voxel priors
+        with, train.py:26-31); None when no pt checkpoint exists.
+        Shares _encode_fn's compiled (params, images) program -- params
+        enter as an argument -- and caches the loaded pt pytree, so a
+        long-lived process (cli.cmd_serve) neither re-reads the
+        checkpoint nor recompiles per request."""
+        if self._pt_params_cache is None:
+            self._pt_params_cache = self.pretrained_params()
+            if self._pt_params_cache is None:
+                return None
+        if self._encode_jit is None:
+            tuner = self.tuner
+            self._encode_jit = jax.jit(
+                lambda p, images: tuner.encode(p, images))
+        enc, params = self._encode_jit, self._pt_params_cache
         return lambda images: enc(params, images)
 
     def prepare_real(self, train_data: np.ndarray, *, blank_crop: bool = True):

@@ -108,6 +108,67 @@ def test_train_smoke_and_infer_roundtrip(tmp_path):
         assert os.path.isfile(out + suffix + ".nii.gz")
 
 
+def test_serve_command(tmp_path, monkeypatch, capsys):
+    """The warm inference server: one process, many export requests as
+    JSON lines; per-request errors never kill it (its warmth is the
+    point -- benchmarks/RESULTS.md 'Stream-2 wall autopsy')."""
+    import io
+
+    save = str(tmp_path / "run")
+    rc = main(["train", "--smoke",
+               "--set", f"save_directory={save}",
+               "--set", "d=/tmp/definitely_missing"])
+    assert rc == 0
+
+    rng = np.random.default_rng(4)
+    data = np.abs(rng.normal(size=(1, 4, 4, 2, 12))
+                  ).astype(np.float32) * 50 + 100
+    data[..., -1] = 1.0
+    dpath = str(tmp_path / "subj.npy")
+    np.save(dpath, data)
+    out1, out2 = str(tmp_path / "m1"), str(tmp_path / "m2")
+
+    reqs = "\n".join([
+        json.dumps({"cmd": "ping"}),
+        json.dumps({"data": dpath, "output": out1}),
+        "this is not json",
+        json.dumps({"data": str(tmp_path / "missing.npy"),
+                    "output": out2}),
+        json.dumps({"data": dpath, "output": out2, "method": "mc"}),
+        json.dumps({"cmd": "shutdown"}),
+        json.dumps({"data": dpath, "output": out2}),  # after shutdown:
+        # must never be processed
+    ]) + "\n"
+    monkeypatch.setattr("sys.stdin", io.StringIO(reqs))
+    capsys.readouterr()  # drop the smoke-train log lines
+    rc = main(["serve", "--warm", "1", "4", "4", "2",
+               "--set", f"save_directory={save}",
+               "--set", "no_units=8", "--set", "no_intermediate_layers=1"])
+    assert rc == 0
+    lines = [json.loads(ln)
+             for ln in capsys.readouterr().out.strip().splitlines()]
+    # ready, ping ack, export ok, bad json, missing file, mc ok, shutdown
+    assert lines[0]["ok"] and lines[0]["ready"]
+    assert not lines[0]["fine_tuned"]  # smoke run pretrains only
+    assert lines[1]["ok"] and lines[1]["ready"]
+    assert lines[2]["ok"] and lines[2]["subjects"] == 1
+    assert lines[2]["voxels"] == 32 and lines[2]["wall_s"] >= 0
+    assert not lines[3]["ok"] and "bad json" in lines[3]["error"]
+    assert not lines[4]["ok"]
+    assert lines[5]["ok"] and lines[5]["output"] == out2
+    assert lines[6]["ok"] and lines[6]["shutdown"]
+    assert len(lines) == 7  # nothing after shutdown
+    for suffix in ("_oef", "_dbv", "_r2p", "_logstds"):
+        assert os.path.isfile(out1 + suffix + ".nii.gz")
+        assert os.path.isfile(out2 + suffix + ".nii.gz")
+
+    # a missing checkpoint is a clean error, not a traceback
+    monkeypatch.setattr("sys.stdin", io.StringIO(""))
+    rc = main(["serve", "--set",
+               f"save_directory={tmp_path / 'nothing'}"])
+    assert rc == 1
+
+
 def test_export_model_command(tmp_path):
     """export-model writes a loadable, shape-polymorphic StableHLO
     serving artifact from a trained checkpoint."""
