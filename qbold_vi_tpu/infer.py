@@ -62,6 +62,17 @@ def _summarize(tuner: FineTuner, params, key, images,
     return {"means": means, "stds": stds, "raw_log_stds": raw_log_stds}
 
 
+def _check_method(method: str) -> None:
+    """Validate the estimator name at the API boundary: the internal
+    dispatches are 'quadrature'-vs-everything-else, so a typo ('quad',
+    'Quadrature') would otherwise silently select the stochastic MC
+    estimator and return PRNG-dependent maps the caller believes are
+    deterministic."""
+    if method not in ("quadrature", "mc"):
+        raise ValueError(
+            f"method must be 'quadrature' or 'mc', got {method!r}")
+
+
 def to_channel_major(data: np.ndarray) -> np.ndarray:
     """The fused serving-layout transform: ``(..., C)`` volumes ->
     contiguous channel-major ``(C, N)`` (voxels on the minor axis).
@@ -292,6 +303,7 @@ def posterior_maps(tuner: FineTuner, params, data: np.ndarray, key,
     Returns numpy maps: oef, dbv, r2p (each (S,X,Y,Z,1)), stds
     (S,X,Y,Z,3), raw_log_stds (S,X,Y,Z,2|3).
     """
+    _check_method(method)
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
     fused = (_resolve_fused_infer(tuner.cfg, use_pallas)
@@ -480,6 +492,7 @@ def posterior_maps_sharded(tuner: FineTuner, params, data: np.ndarray, key,
     some devices) and the padded rows are sliced off the returned maps.
     Returns the same map dict as posterior_maps.
     """
+    _check_method(method)
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 

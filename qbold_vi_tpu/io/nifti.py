@@ -109,6 +109,11 @@ def load_nifti(path: str) -> np.ndarray:
 
 
 def save_nifti(data: np.ndarray, path: str, header=None) -> None:
+    # a fresh output prefix (`infer -o new_dir/maps`) must not crash
+    # after the whole compute because new_dir does not exist yet
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     if have_nibabel():
         import nibabel as nib
         nib.save(nib.Nifti1Image(np.asarray(data), affine=None,

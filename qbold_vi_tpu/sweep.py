@@ -74,6 +74,7 @@ def run_wandb_agent(sweep_id: str, cfg: QBoldConfig,
 
     def _one_trial():
         run = wandb.init()
+        exit_code = 0
         try:
             overrides = dict(run.config)
             # key the trial directory on the wandb run id, NOT a local
@@ -92,9 +93,24 @@ def run_wandb_agent(sweep_id: str, cfg: QBoldConfig,
             if metric not in metrics and "val_loss" in metrics:
                 metrics[metric] = metrics["val_loss"]
             run.log(metrics)
-            done["n"] += 1
+        except Exception as e:  # noqa: BLE001 -- same isolation as the
+            # local search loops (_run_trial): one diverging / OOMing
+            # proposal must not abort the agent session's remaining
+            # trials, and the hosted Bayes sweep needs to see the run
+            # FAIL (exit_code=1) rather than finish cleanly with no
+            # metric, or it cannot learn the config was bad
+            exit_code = 1
+            run.log({"status": "failed",
+                     "error": f"{type(e).__name__}: {e}"})
+            import sys
+            print(f"sweep agent trial failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
         finally:
-            run.finish()
+            done["n"] += 1
+            try:
+                run.finish(exit_code=exit_code)
+            except TypeError:   # older wandb without the kwarg
+                run.finish()
 
     wandb.agent(sweep_id, function=_one_trial, count=count)
     return done["n"]

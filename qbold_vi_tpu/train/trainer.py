@@ -105,17 +105,31 @@ class CheckpointMismatchError(RuntimeError):
 _CKPT_SCHEMA = 1
 
 
+# Documented runtime-only switches: they select HOW a checkpoint is
+# executed (kernel routing, trunk dtype, quadrature rule, data-gen
+# noise), never the shape or meaning of its pytrees -- flipping them at
+# inference/export time (`--set compute_dtype=float32`, `quad_rule=gj16`,
+# `fused_infer=off`, ...) must NOT invalidate an existing checkpoint.
+_RUNTIME_ONLY_MODEL_KEYS = ("compute_dtype", "quad_rule", "fused_infer")
+_RUNTIME_ONLY_SCAN_KEYS = ("simulate_noise", "snr")
+
+
 def _config_fingerprint(cfg: QBoldConfig) -> np.uint64:
     """Stable 64-bit fingerprint of everything that determines the
     meaning/shape of the checkpointed pytrees: the model architecture
-    and the scan (tau grid -> channel counts) configs."""
+    and the scan (tau grid -> channel counts) configs, minus the
+    runtime-only execution switches above."""
     import dataclasses
     import hashlib
     import json
 
-    blob = json.dumps({"model": dataclasses.asdict(cfg.model),
-                       "scan": dataclasses.asdict(cfg.scan)},
-                      sort_keys=True)
+    model = dataclasses.asdict(cfg.model)
+    scan = dataclasses.asdict(cfg.scan)
+    for k in _RUNTIME_ONLY_MODEL_KEYS:
+        model.pop(k, None)
+    for k in _RUNTIME_ONLY_SCAN_KEYS:
+        scan.pop(k, None)
+    blob = json.dumps({"model": model, "scan": scan}, sort_keys=True)
     return np.uint64(int.from_bytes(
         hashlib.sha256(blob.encode()).digest()[:8], "big"))
 
@@ -519,18 +533,21 @@ class Trainer:
 
     # ---- phase 2: real-data fine-tuning -------------------------------------------
 
-    def _encode_fn(self):
-        """Jitted encoder pass bound to the CURRENT params. The
-        underlying (params, images) program compiles once per Trainer
-        and shape -- a fresh closure per call would discard the jit
-        cache and pay a minutes-long remote recompile on every use
-        (priors for train/study/export are all predicted through
-        this)."""
+    def _shared_encode_jit(self):
+        """The ONE compiled (params, images) encoder program, built
+        lazily and shared by every caller that binds params -- a fresh
+        closure per call would discard the jit cache and pay a
+        minutes-long remote recompile on every use (priors for
+        train/study/export are all predicted through this)."""
         if self._encode_jit is None:
             tuner = self.tuner
             self._encode_jit = jax.jit(
                 lambda p, images: tuner.encode(p, images))
-        enc, params = self._encode_jit, self.state.params
+        return self._encode_jit
+
+    def _encode_fn(self):
+        """Jitted encoder pass bound to the CURRENT params."""
+        enc, params = self._shared_encode_jit(), self.state.params
         return lambda images: enc(params, images)
 
     def pretrained_encode_fn(self):
@@ -545,11 +562,7 @@ class Trainer:
             self._pt_params_cache = self.pretrained_params()
             if self._pt_params_cache is None:
                 return None
-        if self._encode_jit is None:
-            tuner = self.tuner
-            self._encode_jit = jax.jit(
-                lambda p, images: tuner.encode(p, images))
-        enc, params = self._encode_jit, self._pt_params_cache
+        enc, params = self._shared_encode_jit(), self._pt_params_cache
         return lambda images: enc(params, images)
 
     def prepare_real(self, train_data: np.ndarray, *, blank_crop: bool = True):

@@ -46,6 +46,21 @@ class TestPosteriorMaps:
         approx = dwc * maps["oef"] * maps["dbv"]
         np.testing.assert_allclose(maps["r2p"], approx, rtol=0.35)
 
+    def test_unknown_method_raises(self, rng):
+        """Typo'd estimator names must raise at the API boundary -- the
+        internal dispatch is 'quadrature'-vs-else, so 'Quadrature' /
+        'quad' would otherwise silently run the stochastic MC estimator."""
+        from qbold_vi_tpu.infer import posterior_maps_sharded
+        from qbold_vi_tpu.parallel.mesh import make_mesh
+
+        tuner, params, data, key = _setup(rng)
+        for bad in ("Quadrature", "quad", "MC", ""):
+            with pytest.raises(ValueError, match="method"):
+                posterior_maps(tuner, params, data, key, method=bad)
+        with pytest.raises(ValueError, match="method"):
+            posterior_maps_sharded(tuner, params, data, key,
+                                   make_mesh(), method="quad")
+
     def test_elbo_maps(self, rng):
         tuner, params, data, key = _setup(rng)
         priors = rng.normal(size=data.shape[:-1] + (5,)).astype(np.float32) * 0.3
@@ -142,6 +157,16 @@ class TestSavePredictions:
             logstds,
             np.moveaxis(maps["stds"], 0, -2).reshape(
                 data.shape[1:4] + (-1,)), rtol=1e-6)
+
+    def test_fresh_output_directory_is_created(self, rng, tmp_path):
+        """`infer -o new_dir/maps` with a not-yet-existing directory must
+        create it, not crash after the whole compute (save_nifti
+        makedirs the parent)."""
+        from qbold_vi_tpu.io.nifti import save_nifti
+
+        p = tmp_path / "does" / "not" / "exist" / "m.nii.gz"
+        save_nifti(rng.normal(size=(3, 3, 2)).astype(np.float32), str(p))
+        assert p.is_file()
 
     def test_fine_tuned_artifacts(self, rng, tmp_path):
         tuner, params, data, key = _setup(rng, s=1)

@@ -316,8 +316,9 @@ class TestWandbAgent:
         def log(self, m):
             self.logged.append(m)
 
-        def finish(self):
+        def finish(self, exit_code=0):
             self.finished = True
+            self.exit_code = exit_code
 
     class FakeWandb:
         """Stand-in for the wandb module: agent() drives the callback
@@ -385,19 +386,32 @@ class TestWandbAgent:
         assert len(seen_dirs) == len(set(seen_dirs)) == 2
         assert all(f"/agent_r" in d for d in seen_dirs)
 
-    def test_agent_run_finishes_even_on_failure(self, tmp_path):
+    def test_agent_trial_failure_is_isolated(self, tmp_path, capsys):
+        """One diverging proposal must not abort the agent session: the
+        failed run finishes with exit_code=1 (so the hosted Bayes sweep
+        learns the config was bad instead of seeing a clean run with no
+        metric) and the REMAINING trials still execute."""
         from qbold_vi_tpu.sweep import run_wandb_agent
 
         cfg = QBoldConfig(train=TrainConfig(save_directory=str(tmp_path)))
-        fake = self.FakeWandb([{"gate_offset": -2.0}])
+        fake = self.FakeWandb([{"gate_offset": -2.0},
+                               {"gate_offset": -3.0}])
+        calls = {"n": 0}
 
-        def boom(_cfg):
-            raise RuntimeError("trial exploded")
+        def boom_once(_cfg):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("trial exploded")
+            return {"val_elbo": 0.5}
 
-        with pytest.raises(RuntimeError, match="trial exploded"):
-            run_wandb_agent("id", cfg, count=1, run_fn=boom,
+        n = run_wandb_agent("id", cfg, count=2, run_fn=boom_once,
                             wandb_module=fake)
-        assert fake.runs[0].finished   # run.finish() ran in the finally
+        assert n == 2 and calls["n"] == 2
+        assert fake.runs[0].finished and fake.runs[0].exit_code == 1
+        assert fake.runs[0].logged[-1]["status"] == "failed"
+        assert fake.runs[1].finished and fake.runs[1].exit_code == 0
+        assert fake.runs[1].logged[0]["val_elbo"] == 0.5
+        assert "trial exploded" in capsys.readouterr().err
 
 
 class TestFullRunObjective:

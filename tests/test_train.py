@@ -770,6 +770,27 @@ class TestCheckpointSchema:
         with pytest.raises(CheckpointMismatchError, match="steps/epoch"):
             t2.finetune(real)
 
+    def test_runtime_only_switches_do_not_invalidate(self, tmp_path, rng):
+        """The documented runtime switches (compute_dtype, quad_rule,
+        fused_infer; scan simulate_noise/snr) select HOW a checkpoint
+        executes, not its pytree shapes/meaning -- `infer --set
+        compute_dtype=float32` (etc.) on an existing run directory must
+        load, not raise CheckpointMismatchError."""
+        import dataclasses
+
+        cfg = tiny_cfg(tmp_path)
+        t = Trainer(cfg)
+        t.pretrain()
+
+        changed = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, compute_dtype="float32",
+                                      quad_rule="gj16", fused_infer="off"),
+            scan=dataclasses.replace(cfg.scan, simulate_noise=False,
+                                     snr=77.0))
+        t2 = Trainer(changed)
+        assert t2.status is WeightStatus.PRE_TRAINED
+
     def test_unversioned_checkpoint_still_loads(self, tmp_path, rng):
         """Round-2 checkpoints (no __meta__) and imports saved without a
         config (fingerprint 0) restore without error."""
