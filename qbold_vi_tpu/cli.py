@@ -166,7 +166,9 @@ def cmd_baseline(args) -> int:
     from .io import fsl, nifti
 
     cfg = _load_cfg(args)
-    data = np.load(args.data)
+    # _load_volumes also reads the .npz layout `synth -o` writes (bare
+    # np.load would hand an NpzFile to the slicing below)
+    data = _load_volumes(args.data)
     if args.strip_channels:
         data = data[..., :-args.strip_channels]
 
@@ -224,6 +226,11 @@ def _infer_export(trainer, cfg: QBoldConfig, data: np.ndarray, output: str,
     from . import infer
     from .train.trainer import WeightStatus
 
+    # reject a typo'd estimator name BEFORE any device work: on a
+    # fine-tuned checkpoint the priors pass below is a full encoder
+    # sweep over the cohort, seconds of compute that posterior_maps'
+    # own validation would otherwise throw away
+    infer._check_method(method)
     fine_tuned = trainer.status is WeightStatus.FULL_TRAINED
     priors = None
     if fine_tuned and not cfg.model.use_population_prior:
@@ -295,6 +302,10 @@ def cmd_serve(args) -> int:
 
     if args.warm:
         s, x, y, z = args.warm
+        if min(s, x, y, z) < 1:
+            print(f"--warm dimensions must be >= 1, got {args.warm}",
+                  file=sys.stderr)
+            return 1
         import tempfile
 
         t0 = time.time()
@@ -316,6 +327,13 @@ def cmd_serve(args) -> int:
             req = json.loads(line)
         except json.JSONDecodeError as e:
             ack({"ok": False, "error": f"bad json: {e}"})
+            continue
+        if not isinstance(req, dict):
+            # valid JSON but not an object ("[]", "42", "null"): the
+            # errors-never-kill-the-server contract covers this too
+            ack({"ok": False,
+                 "error": f"request must be a JSON object, "
+                          f"got {type(req).__name__}"})
             continue
         if req.get("cmd") == "shutdown":
             ack({"ok": True, "shutdown": True})

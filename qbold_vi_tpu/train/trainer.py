@@ -114,21 +114,27 @@ _RUNTIME_ONLY_MODEL_KEYS = ("compute_dtype", "quad_rule", "fused_infer")
 _RUNTIME_ONLY_SCAN_KEYS = ("simulate_noise", "snr")
 
 
-def _config_fingerprint(cfg: QBoldConfig) -> np.uint64:
+def _config_fingerprint(cfg: QBoldConfig, *, legacy: bool = False) -> np.uint64:
     """Stable 64-bit fingerprint of everything that determines the
     meaning/shape of the checkpointed pytrees: the model architecture
     and the scan (tau grid -> channel counts) configs, minus the
-    runtime-only execution switches above."""
+    runtime-only execution switches above.
+
+    ``legacy=True`` keeps the runtime-only keys in the hash -- the
+    fingerprint written before those keys were excluded. Restores accept
+    it so checkpoints from earlier builds of THIS framework keep
+    loading under an unchanged config."""
     import dataclasses
     import hashlib
     import json
 
     model = dataclasses.asdict(cfg.model)
     scan = dataclasses.asdict(cfg.scan)
-    for k in _RUNTIME_ONLY_MODEL_KEYS:
-        model.pop(k, None)
-    for k in _RUNTIME_ONLY_SCAN_KEYS:
-        scan.pop(k, None)
+    if not legacy:
+        for k in _RUNTIME_ONLY_MODEL_KEYS:
+            model.pop(k, None)
+        for k in _RUNTIME_ONLY_SCAN_KEYS:
+            scan.pop(k, None)
     blob = json.dumps({"model": model, "scan": scan}, sort_keys=True)
     return np.uint64(int.from_bytes(
         hashlib.sha256(blob.encode()).digest()[:8], "big"))
@@ -243,7 +249,11 @@ class Trainer:
                     f"framework to restore it")
             have = np.uint64(meta["fingerprint"])
             want = _config_fingerprint(self.cfg)
-            if int(have) not in (0, int(want)):
+            # also accept the pre-runtime-key-exclusion fingerprint, so
+            # checkpoints written by earlier builds still load under an
+            # unchanged config
+            legacy = _config_fingerprint(self.cfg, legacy=True)
+            if int(have) not in (0, int(want), int(legacy)):
                 raise CheckpointMismatchError(
                     f"checkpoint {path} was trained with model/scan config "
                     f"fingerprint {int(have):#018x}, the current config "
@@ -354,12 +364,22 @@ class Trainer:
 
     # ---- logging -----------------------------------------------------------------
 
+    # Diagnostic metrics the NaN tripwire ignores: the learned
+    # inverse-gamma hyperprior is logged as exp(raw) in fp32, which
+    # saturates to inf for raw > ~88.7 -- an extreme-but-loggable
+    # hyperprior, not a diverged run (the reference logs it the same way
+    # and only tripwires the LOSS, train.py:395-413,423; true divergence
+    # still surfaces through val_loss, which prices these params).
+    _TRIPWIRE_EXEMPT = frozenset(
+        {"oef_alpha", "oef_beta", "dbv_alpha", "dbv_beta"})
+
     def _log(self, phase: str, step: int, metrics: dict) -> None:
         metrics = {k: float(v) for k, v in metrics.items()}
         self.logger(phase, step, metrics)
         if self.wandb_run is not None:
             self.wandb_run.log(metrics)
-        if not all(np.isfinite(v) for v in metrics.values()):
+        if not all(np.isfinite(v) for k, v in metrics.items()
+                   if k not in self._TRIPWIRE_EXEMPT):
             raise NaNLossError(f"non-finite metrics at {phase} step {step}: "
                                f"{metrics}")
 

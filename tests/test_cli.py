@@ -31,6 +31,19 @@ def test_baseline_command(tmp_path):
         assert os.path.isfile(out + suffix + ".nii.gz")
 
 
+def test_baseline_reads_npz(tmp_path):
+    """`baseline` must read the .npz layout `synth -o` writes (the 'x'
+    entry), not crash slicing an NpzFile."""
+    rng = np.random.default_rng(0)
+    vols = np.abs(rng.normal(size=(1, 4, 4, 2, 13))).astype(np.float32) + 0.5
+    path = str(tmp_path / "vols.npz")
+    np.savez(path, x=vols, y=np.zeros((1,), np.float32))
+    out = str(tmp_path / "wlsz")
+    rc = main(["baseline", path, "--output", out])
+    assert rc == 0
+    assert os.path.isfile(out + "_oef.nii.gz")
+
+
 def test_transfer_command(tmp_path):
     save = str(tmp_path / "src")
     rc = main(["train", "--smoke",
@@ -132,8 +145,10 @@ def test_serve_command(tmp_path, monkeypatch, capsys):
         json.dumps({"cmd": "ping"}),
         json.dumps({"data": dpath, "output": out1}),
         "this is not json",
+        json.dumps([1, 2]),   # valid JSON, not an object
         json.dumps({"data": str(tmp_path / "missing.npy"),
                     "output": out2}),
+        json.dumps({"data": dpath, "output": out2, "method": "quad"}),
         json.dumps({"data": dpath, "output": out2, "method": "mc"}),
         json.dumps({"cmd": "shutdown"}),
         json.dumps({"data": dpath, "output": out2}),  # after shutdown:
@@ -147,17 +162,20 @@ def test_serve_command(tmp_path, monkeypatch, capsys):
     assert rc == 0
     lines = [json.loads(ln)
              for ln in capsys.readouterr().out.strip().splitlines()]
-    # ready, ping ack, export ok, bad json, missing file, mc ok, shutdown
+    # ready, ping ack, export ok, bad json, non-object, missing file,
+    # bad method, mc ok, shutdown
     assert lines[0]["ok"] and lines[0]["ready"]
     assert not lines[0]["fine_tuned"]  # smoke run pretrains only
     assert lines[1]["ok"] and lines[1]["ready"]
     assert lines[2]["ok"] and lines[2]["subjects"] == 1
     assert lines[2]["voxels"] == 32 and lines[2]["wall_s"] >= 0
     assert not lines[3]["ok"] and "bad json" in lines[3]["error"]
-    assert not lines[4]["ok"]
-    assert lines[5]["ok"] and lines[5]["output"] == out2
-    assert lines[6]["ok"] and lines[6]["shutdown"]
-    assert len(lines) == 7  # nothing after shutdown
+    assert not lines[4]["ok"] and "JSON object" in lines[4]["error"]
+    assert not lines[5]["ok"]
+    assert not lines[6]["ok"] and "method" in lines[6]["error"]
+    assert lines[7]["ok"] and lines[7]["output"] == out2
+    assert lines[8]["ok"] and lines[8]["shutdown"]
+    assert len(lines) == 9  # nothing after shutdown
     for suffix in ("_oef", "_dbv", "_r2p", "_logstds"):
         assert os.path.isfile(out1 + suffix + ".nii.gz")
         assert os.path.isfile(out2 + suffix + ".nii.gz")
@@ -167,6 +185,14 @@ def test_serve_command(tmp_path, monkeypatch, capsys):
     rc = main(["serve", "--set",
                f"save_directory={tmp_path / 'nothing'}"])
     assert rc == 1
+
+    # degenerate --warm geometry: clean error before any compile
+    monkeypatch.setattr("sys.stdin", io.StringIO(""))
+    rc = main(["serve", "--warm", "0", "4", "4", "2",
+               "--set", f"save_directory={save}",
+               "--set", "no_units=8", "--set", "no_intermediate_layers=1"])
+    assert rc == 1
+    assert "--warm dimensions" in capsys.readouterr().err
 
 
 def test_export_model_command(tmp_path):

@@ -803,6 +803,43 @@ class TestCheckpointSchema:
         t2 = Trainer(cfg)
         assert t2.status is WeightStatus.PRE_TRAINED
 
+    def test_legacy_full_dict_fingerprint_still_loads(self, tmp_path, rng):
+        """Checkpoints written BEFORE the runtime-only keys were
+        excluded from the fingerprint carry the full-dict hash; an
+        unchanged config must still load them (no migration, no
+        retrain)."""
+        from flax import serialization
+
+        from qbold_vi_tpu.train.trainer import _config_fingerprint
+
+        cfg = tiny_cfg(tmp_path)
+        t = Trainer(cfg)
+        t.pretrain()
+
+        legacy = _config_fingerprint(cfg, legacy=True)
+        assert int(legacy) != int(_config_fingerprint(cfg))
+        with open(t.pt_path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        raw["__meta__"]["fingerprint"] = legacy
+        with open(t.pt_path, "wb") as f:
+            f.write(serialization.msgpack_serialize(raw))
+
+        t2 = Trainer(cfg)
+        assert t2.status is WeightStatus.PRE_TRAINED
+
+    def test_tripwire_ignores_hyperprior_saturation(self, tmp_path, rng):
+        """An inf inverse-gamma hyperprior metric (exp(raw) saturating
+        fp32 for raw > ~88.7) is an extreme-but-loggable diagnostic, not
+        a diverged run: _log must not raise. True divergence (NaN loss)
+        still trips."""
+        from qbold_vi_tpu.train.trainer import NaNLossError
+
+        t = Trainer(tiny_cfg(tmp_path))
+        t._log("pt", 0, {"val_loss": 1.0, "oef_alpha": float("inf"),
+                         "dbv_beta": float("inf")})
+        with pytest.raises(NaNLossError):
+            t._log("pt", 0, {"val_loss": float("nan")})
+
 
 class TestMvgInvGammaEval:
     def test_pretrain_eval_with_mvg_hyperprior_head(self, tmp_path, rng):
