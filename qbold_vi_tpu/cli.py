@@ -207,8 +207,11 @@ def _load_volumes(path: str) -> np.ndarray:
     `synth -o` and the reference's synthetic_data.npz use)."""
     arr = np.load(path)
     if hasattr(arr, "files"):
-        key = "x" if "x" in arr.files else arr.files[0]
-        arr = arr[key]
+        # close the NpzFile's zip handle deterministically: the serve
+        # loop opens one per request for the process's whole lifetime
+        with arr:
+            key = "x" if "x" in arr.files else arr.files[0]
+            return np.asarray(arr[key])
     return np.asarray(arr)
 
 
@@ -291,6 +294,14 @@ def cmd_serve(args) -> int:
 
     from .train.trainer import Trainer, WeightStatus
 
+    # validate --warm geometry BEFORE Trainer(cfg): restoring the
+    # checkpoint includes a jax.jit(tuner.init) template compile, which
+    # is minutes through a cold remote-compile tunnel (CLAUDE.md)
+    if args.warm and min(args.warm) < 1:
+        print(f"--warm dimensions must be >= 1, got {args.warm}",
+              file=sys.stderr)
+        return 1
+
     cfg = _load_cfg(args)
     trainer = Trainer(cfg)
     if trainer.status is WeightStatus.NOT_TRAINED:
@@ -302,10 +313,6 @@ def cmd_serve(args) -> int:
 
     if args.warm:
         s, x, y, z = args.warm
-        if min(s, x, y, z) < 1:
-            print(f"--warm dimensions must be >= 1, got {args.warm}",
-                  file=sys.stderr)
-            return 1
         import tempfile
 
         t0 = time.time()
@@ -340,6 +347,11 @@ def cmd_serve(args) -> int:
             break
         if req.get("cmd") == "ping":
             ack({"ok": True, "ready": True})
+            continue
+        if "cmd" in req:
+            # an unrecognized command must not fall through to the
+            # export path, where it would ack a misleading KeyError
+            ack({"ok": False, "error": f"unknown cmd: {req['cmd']!r}"})
             continue
         try:
             data = _load_volumes(req["data"])

@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 import shutil
 import subprocess
+import sys
 from typing import Sequence
 
 import numpy as np
@@ -25,7 +26,17 @@ def have_fsl() -> bool:
 
 
 def _run(cmd: Sequence[str]) -> None:
-    subprocess.run(list(cmd), check=True)
+    # Capture the tools' output and forward it to OUR stderr: `serve`
+    # speaks a JSON-lines ack protocol on stdout, and applywarp/fslmerge
+    # chatter must never interleave with it.
+    res = subprocess.run(list(cmd), capture_output=True, text=True)
+    if res.stdout:
+        print(res.stdout, end="", file=sys.stderr)
+    if res.stderr:
+        print(res.stderr, end="", file=sys.stderr)
+    if res.returncode:
+        raise subprocess.CalledProcessError(
+            res.returncode, list(cmd), res.stdout, res.stderr)
 
 
 def applywarp(in_path: str, out_path: str, warp: str, ref: str) -> None:

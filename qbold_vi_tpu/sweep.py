@@ -107,9 +107,27 @@ def run_wandb_agent(sweep_id: str, cfg: QBoldConfig,
                   file=sys.stderr)
         finally:
             done["n"] += 1
+            # Detect kwarg support up front instead of catching
+            # TypeError around the call: finish() can raise TypeError
+            # internally, and catching it would double-finish the run.
             try:
+                import inspect
+
+                params = inspect.signature(run.finish).parameters
+                has_kwarg = ("exit_code" in params or any(
+                    p.kind is inspect.Parameter.VAR_KEYWORD
+                    for p in params.values()))
+            except (TypeError, ValueError):  # C-impl / mock signatures
+                has_kwarg = True
+            if has_kwarg:
                 run.finish(exit_code=exit_code)
-            except TypeError:   # older wandb without the kwarg
+            else:
+                if exit_code:
+                    import sys
+
+                    print("wandb run.finish() lacks exit_code: the "
+                          "failed trial will appear finished to the "
+                          "hosted sweep", file=sys.stderr)
                 run.finish()
 
     wandb.agent(sweep_id, function=_one_trial, count=count)

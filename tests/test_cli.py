@@ -143,6 +143,8 @@ def test_serve_command(tmp_path, monkeypatch, capsys):
 
     reqs = "\n".join([
         json.dumps({"cmd": "ping"}),
+        json.dumps({"cmd": "status"}),   # unknown command: clean error,
+        # not a fall-through to the export path's KeyError
         json.dumps({"data": dpath, "output": out1}),
         "this is not json",
         json.dumps([1, 2]),   # valid JSON, not an object
@@ -162,20 +164,21 @@ def test_serve_command(tmp_path, monkeypatch, capsys):
     assert rc == 0
     lines = [json.loads(ln)
              for ln in capsys.readouterr().out.strip().splitlines()]
-    # ready, ping ack, export ok, bad json, non-object, missing file,
-    # bad method, mc ok, shutdown
+    # ready, ping ack, unknown cmd, export ok, bad json, non-object,
+    # missing file, bad method, mc ok, shutdown
     assert lines[0]["ok"] and lines[0]["ready"]
     assert not lines[0]["fine_tuned"]  # smoke run pretrains only
     assert lines[1]["ok"] and lines[1]["ready"]
-    assert lines[2]["ok"] and lines[2]["subjects"] == 1
-    assert lines[2]["voxels"] == 32 and lines[2]["wall_s"] >= 0
-    assert not lines[3]["ok"] and "bad json" in lines[3]["error"]
-    assert not lines[4]["ok"] and "JSON object" in lines[4]["error"]
-    assert not lines[5]["ok"]
-    assert not lines[6]["ok"] and "method" in lines[6]["error"]
-    assert lines[7]["ok"] and lines[7]["output"] == out2
-    assert lines[8]["ok"] and lines[8]["shutdown"]
-    assert len(lines) == 9  # nothing after shutdown
+    assert not lines[2]["ok"] and "unknown cmd: 'status'" in lines[2]["error"]
+    assert lines[3]["ok"] and lines[3]["subjects"] == 1
+    assert lines[3]["voxels"] == 32 and lines[3]["wall_s"] >= 0
+    assert not lines[4]["ok"] and "bad json" in lines[4]["error"]
+    assert not lines[5]["ok"] and "JSON object" in lines[5]["error"]
+    assert not lines[6]["ok"]
+    assert not lines[7]["ok"] and "method" in lines[7]["error"]
+    assert lines[8]["ok"] and lines[8]["output"] == out2
+    assert lines[9]["ok"] and lines[9]["shutdown"]
+    assert len(lines) == 10  # nothing after shutdown
     for suffix in ("_oef", "_dbv", "_r2p", "_logstds"):
         assert os.path.isfile(out1 + suffix + ".nii.gz")
         assert os.path.isfile(out2 + suffix + ".nii.gz")

@@ -2,6 +2,7 @@
 adapters (commands verified by capture, no FSL needed)."""
 
 import os
+import sys
 
 import numpy as np
 import pytest
@@ -44,6 +45,25 @@ class TestFslAdapter:
                              "--warp=warp.nii", "--ref=ref.nii"]]
         fsl.fslmerge("merged", ["a", "b"])
         assert captured[1] == ["fslmerge", "-t", "merged", "a", "b"]
+
+    def test_run_keeps_stdout_clean(self, capfd):
+        """Subprocess chatter must reach stderr, never stdout: `serve`
+        speaks a JSON-lines ack protocol on stdout, and FSL tools print
+        warnings to their stdout mid-export."""
+        import subprocess
+
+        from qbold_vi_tpu.io import fsl
+
+        fsl._run([sys.executable, "-c", "print('tool chatter')"])
+        out, err = capfd.readouterr()
+        assert out == ""
+        assert "tool chatter" in err
+
+        with pytest.raises(subprocess.CalledProcessError):
+            fsl._run([sys.executable, "-c",
+                      "import sys; print('x'); sys.exit(3)"])
+        out, err = capfd.readouterr()
+        assert out == "" and "x" in err
 
 
 class TestPrepareImage:
