@@ -23,10 +23,19 @@ from .config import OPTIMAL, QBoldConfig, apply_flat_overrides, load_yaml_config
 
 def _load_cfg(args) -> QBoldConfig:
     base = OPTIMAL if args.preset == "optimal" else QBoldConfig()
-    cfg = load_yaml_config(args.config, base=base) if args.config else base
+    if getattr(args, "ini", None):
+        # lossless reference-INI migration: scanner constants AND the
+        # synthetic-population section (reference config:1-61)
+        from .config import load_ini_config
+        base = load_ini_config(args.ini, base)
+    strict = not getattr(args, "allow_unknown_keys", False)
+    cfg = (load_yaml_config(args.config, base=base, strict=strict)
+           if args.config else base)
     overrides = dict(kv.split("=", 1) for kv in (args.set or []))
     if overrides:
-        cfg = apply_flat_overrides(cfg, overrides)
+        # a typo'd --set key raises with a did-you-mean
+        # (config.UnknownConfigKeyError) unless --allow-unknown-keys
+        cfg = apply_flat_overrides(cfg, overrides, strict=strict)
     return cfg
 
 
@@ -414,6 +423,13 @@ def cmd_dryrun(args) -> int:
     absent, and remote single-chip backends (or env sitecustomize hooks
     that force them) cannot host a mesh. Must run before any JAX backend
     initialisation in this process.
+
+    ``--processes N`` additionally certifies the MULTI-PROCESS
+    (multi-host) path: N coordinated local processes (jax.distributed +
+    CPU gloo collectives standing in for DCN) run the sharded train
+    steps over a global mesh with per-host data feeding, and every
+    metric is gated against this process's single-process mesh
+    (parallel/multihost.py).
     """
     import importlib.util
     import os as _os
@@ -421,6 +437,13 @@ def cmd_dryrun(args) -> int:
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", int(args.devices))
+
+    if args.processes > 1:
+        from .parallel import multihost
+        out = multihost.certify(args.processes, args.devices)
+        print(json.dumps(out))
+        return 0
+
     spec = importlib.util.spec_from_file_location(
         "__graft_entry__",
         _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
@@ -530,8 +553,10 @@ def cmd_sweep(args) -> int:
           f"{'two-phase (real-data val_elbo)' if run_fn else 'pretrain (synthetic val loss)'}",
           file=sys.stderr)
     if run_fn is not None and args.parallel_trials > 1:
-        print("two-phase objective runs trials serially; "
-              "--parallel-trials ignored", file=sys.stderr)
+        # both objectives have population executors now
+        # (sweep.population_full_run for the two-phase program)
+        print(f"two-phase objective: vmapped populations of "
+              f"{args.parallel_trials} trials per dispatch", file=sys.stderr)
     if getattr(args, "agent", None):
         from .sweep import run_wandb_agent
         n = run_wandb_agent(args.agent, cfg, count=args.trials or None,
@@ -579,7 +604,17 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--preset", default="default",
                         choices=["default", "optimal"])
     common.add_argument("--set", action="append", metavar="KEY=VAL",
-                        help="flat config overrides (reference-style keys)")
+                        help="flat config overrides (reference-style keys); "
+                             "unknown keys raise with a did-you-mean")
+    common.add_argument("--ini", default=None, metavar="CONFIG",
+                        help="reference-style INI config file: loads the "
+                             "scanner constants AND the synthetic-"
+                             "population section (lossless migration of "
+                             "the reference's `config` file)")
+    common.add_argument("--allow-unknown-keys", action="store_true",
+                        help="ignore (with a warning) config keys this "
+                             "build does not know instead of raising "
+                             "(forward-compat YAML escape)")
 
     p = argparse.ArgumentParser(prog="qbold_vi_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -596,6 +631,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = add("dryrun", help="multi-device sharding dry run")
     sp.add_argument("--devices", type=int, default=8)
+    sp.add_argument("--processes", type=int, default=1,
+                    help="certify the multi-process (multi-host) path: "
+                         "spawn this many coordinated processes "
+                         "(jax.distributed over localhost; --devices "
+                         "split across them) and gate loss/grad parity "
+                         "against the single-process mesh")
     sp.set_defaults(fn=cmd_dryrun)
 
     sp = add("synth", help="generate synthetic dataset")

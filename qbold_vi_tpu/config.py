@@ -25,6 +25,10 @@ __all__ = [
     "QBoldConfig",
     "load_yaml_config",
     "load_ini_scan_params",
+    "load_ini_synth_params",
+    "load_ini_config",
+    "known_flat_keys",
+    "UnknownConfigKeyError",
     "OPTIMAL",
 ]
 
@@ -188,9 +192,12 @@ class TrainConfig:
     # (CPU tests). Gradient-exact vs the jnp path.
     fused_decode_nll: str = "auto"
     # Fully fused Pallas ELBO (ops/pallas_elbo.py): posterior sampling +
-    # physics decode + NLL + the 70-sample MC KL in one VMEM pass per
-    # voxel block (completes SURVEY.md §7.8; MVG posteriors only --
-    # others fall back to fused_decode_nll/jnp). Modes: "auto" = on-chip
+    # physics decode + NLL + the KL in one VMEM pass per voxel block
+    # (completes SURVEY.md §7.8). MVG posteriors run the 70-sample MC KL
+    # in-kernel; diagonal posteriors the analytic logit-Normal KL. The
+    # one exclusion: diagonal + population prior (its KL adds a
+    # whole-map hyperprior cost) falls back to fused_decode_nll/jnp.
+    # Modes: "auto" = on-chip
     # PRNG noise on TPU backends where covered; "on"/"off" force;
     # "host" = normals drawn in XLA with the jnp path's exact key stream
     # (bit-compatible with fused off, slightly more HBM traffic);
@@ -292,8 +299,45 @@ def _coerce(current: Any, new: Any) -> Any:
     return type(current)(new)
 
 
-def apply_flat_overrides(cfg: QBoldConfig, overrides: Mapping[str, Any]) -> QBoldConfig:
-    """Apply a flat dict of reference-style keys onto a QBoldConfig."""
+def known_flat_keys() -> set:
+    """Every key ``apply_flat_overrides`` can route: the reference-style
+    flat keys plus the exact field names of all four config groups."""
+    keys = set(_FLAT_KEY_MAP)
+    for klass in (ScanParams, SynthParams, ModelConfig, TrainConfig):
+        keys.update(f.name for f in dataclasses.fields(klass))
+    return keys
+
+
+class UnknownConfigKeyError(KeyError):
+    """An override key that routes nowhere. The reference silently stores
+    unknowns in its args dict (utils.py:109-116), so a typo'd
+    ``--set pt_lrr=...`` no-ops -- and a typo'd sweep-space dimension has
+    every trial silently train the SAME config while the optimiser
+    'tunes' noise. Failing loudly (with a did-you-mean) strictly gains
+    safety; ``strict=False`` keeps the permissive behaviour for
+    forward-compat YAML files."""
+
+
+def _unknown_key_error(key: str) -> UnknownConfigKeyError:
+    import difflib
+
+    close = difflib.get_close_matches(str(key), sorted(known_flat_keys()),
+                                      n=3, cutoff=0.6)
+    hint = f" -- did you mean {' / '.join(close)}?" if close else ""
+    return UnknownConfigKeyError(
+        f"unknown config key {key!r}{hint} (known keys: flat reference "
+        f"keys and ScanParams/SynthParams/ModelConfig/TrainConfig field "
+        f"names; pass strict=False to ignore unknown keys)")
+
+
+def apply_flat_overrides(cfg: QBoldConfig, overrides: Mapping[str, Any],
+                         *, strict: bool = True) -> QBoldConfig:
+    """Apply a flat dict of reference-style keys onto a QBoldConfig.
+
+    ``strict`` (default): unknown keys raise ``UnknownConfigKeyError``
+    with a did-you-mean hint; ``strict=False`` warns and ignores them
+    (the forward-compat escape for YAML written against a newer build).
+    """
     groups = {
         "scan": dict(dataclasses.asdict(cfg.scan)),
         "synth": dict(dataclasses.asdict(cfg.synth)),
@@ -312,12 +356,16 @@ def apply_flat_overrides(cfg: QBoldConfig, overrides: Mapping[str, Any]) -> QBol
             # Fall back to exact field-name matches across the groups
             # (scan constants like tau_start, synth population keys like
             # sample_size / oef_mean -- the reference's INI `config` keys).
-            # Unknown keys are ignored (the reference stores them in args;
-            # we have no dynamic attribute bag on a frozen dataclass).
             for group in ("scan", "synth", "model", "train"):
                 if key in groups[group]:
                     groups[group][key] = _coerce(groups[group][key], val)
                     break
+            else:
+                if strict:
+                    raise _unknown_key_error(key)
+                import warnings
+                warnings.warn(f"ignoring unknown config key {key!r}",
+                              stacklevel=2)
     # Enforce the reference's floors (train.py:431-432).
     groups["model"]["no_intermediate_layers"] = max(1, int(groups["model"]["no_intermediate_layers"]))
     groups["model"]["no_units"] = max(1, int(groups["model"]["no_units"]))
@@ -330,13 +378,18 @@ def apply_flat_overrides(cfg: QBoldConfig, overrides: Mapping[str, Any]) -> QBol
     )
 
 
-def load_yaml_config(path: str, base: QBoldConfig | None = None) -> QBoldConfig:
-    """Load a reference-style flat YAML file over the defaults."""
+def load_yaml_config(path: str, base: QBoldConfig | None = None,
+                     *, strict: bool = True) -> QBoldConfig:
+    """Load a reference-style flat YAML file over the defaults.
+
+    ``strict=False`` ignores (with a warning) keys this build does not
+    know -- the escape for YAML written against a newer framework."""
     import yaml
 
     with open(path) as f:
         overrides = yaml.safe_load(f) or {}
-    return apply_flat_overrides(base or QBoldConfig(), overrides)
+    return apply_flat_overrides(base or QBoldConfig(), overrides,
+                                strict=strict)
 
 
 def load_ini_scan_params(path: str) -> ScanParams:
@@ -354,6 +407,52 @@ def load_ini_scan_params(path: str) -> ScanParams:
         nb=float(p.get("nb", "0.775")),
         simulate_noise=p.get("simulate_noise", "True") == "True",
         snr=float(p.get("snr", "10")),
+    )
+
+
+def load_ini_synth_params(path: str,
+                          base: SynthParams | None = None) -> SynthParams:
+    """Load the synthetic-population section of a reference-style INI
+    ``config`` file: oef/dbv ranges, means, stds and ``sample_size``
+    (reference: config:48-61, consumed by signals.py:255-268).
+
+    Keys the INI does not carry (``uniform_prop``, ``misalign_prob``,
+    ``variable_hct`` -- the reference passes those as function arguments,
+    signals.py:251) keep ``base``'s values, so the INI round-trip is
+    lossless over everything the reference's file actually stores."""
+    cp = configparser.ConfigParser()
+    cp.read(path)
+    p = cp["DEFAULT"]
+    base = base or SynthParams()
+
+    def f(key: str, cur: float) -> float:
+        return float(p.get(key, cur))
+
+    return dataclasses.replace(
+        base,
+        oef_start=f("oef_start", base.oef_start),
+        oef_end=f("oef_end", base.oef_end),
+        oef_mean=f("oef_mean", base.oef_mean),
+        oef_std=f("oef_std", base.oef_std),
+        dbv_start=f("dbv_start", base.dbv_start),
+        dbv_end=f("dbv_end", base.dbv_end),
+        dbv_mean=f("dbv_mean", base.dbv_mean),
+        dbv_std=f("dbv_std", base.dbv_std),
+        sample_size=int(float(p.get("sample_size", base.sample_size))),
+    )
+
+
+def load_ini_config(path: str, base: QBoldConfig | None = None) -> QBoldConfig:
+    """Load EVERYTHING a reference INI ``config`` file carries -- the
+    scanner constants AND the synthetic-population section -- over
+    ``base``. The lossless migration entry point for a reference user's
+    own INI (``--ini`` on the CLI): ``load_ini_scan_params`` alone
+    silently reverted the synth settings to defaults."""
+    base = base or QBoldConfig()
+    return dataclasses.replace(
+        base,
+        scan=load_ini_scan_params(path),
+        synth=load_ini_synth_params(path, base.synth),
     )
 
 

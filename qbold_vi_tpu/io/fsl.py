@@ -26,17 +26,30 @@ def have_fsl() -> bool:
 
 
 def _run(cmd: Sequence[str]) -> None:
-    # Capture the tools' output and forward it to OUR stderr: `serve`
-    # speaks a JSON-lines ack protocol on stdout, and applywarp/fslmerge
-    # chatter must never interleave with it.
-    res = subprocess.run(list(cmd), capture_output=True, text=True)
-    if res.stdout:
-        print(res.stdout, end="", file=sys.stderr)
-    if res.stderr:
-        print(res.stderr, end="", file=sys.stderr)
+    # Redirect the tools' output to OUR stderr LIVE (no buffering):
+    # `serve` speaks a JSON-lines ack protocol on stdout, so FSL chatter
+    # must never interleave with it -- but long-running tools (fsl_anat
+    # runs minutes) should still show progress as it happens, with
+    # stdout/stderr interleaving preserved by sharing one stream.
+    try:
+        sys.stderr.flush()
+        stderr_fd = sys.stderr.fileno()
+    except (OSError, ValueError, AttributeError):
+        # sys.stderr replaced by a fd-less object (capture wrappers):
+        # fall back to buffered capture + replay
+        res = subprocess.run(list(cmd), capture_output=True, text=True)
+        if res.stdout:
+            print(res.stdout, end="", file=sys.stderr)
+        if res.stderr:
+            print(res.stderr, end="", file=sys.stderr)
+        if res.returncode:
+            raise subprocess.CalledProcessError(
+                res.returncode, list(cmd), res.stdout, res.stderr)
+        return
+    res = subprocess.run(list(cmd), stdout=stderr_fd,
+                         stderr=subprocess.STDOUT)
     if res.returncode:
-        raise subprocess.CalledProcessError(
-            res.returncode, list(cmd), res.stdout, res.stderr)
+        raise subprocess.CalledProcessError(res.returncode, list(cmd))
 
 
 def applywarp(in_path: str, out_path: str, warp: str, ref: str) -> None:

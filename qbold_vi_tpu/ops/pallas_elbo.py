@@ -81,11 +81,18 @@ def fused_elbo_available(cfg: ModelConfig, scan: ScanParams,
                          full_model: bool, use_blood: bool) -> bool:
     """The ELBO kernel covers the decode+NLL kernel's configuration
     space (full SDR model, heteroscedastic noise, interior spin-echo
-    window) restricted to the MVG posterior, whose KL is the sampled
-    one (reference model.py:658-665; the published optimal.yaml runs
-    use_mvg=True). Diagonal posteriors keep the decode+NLL kernel +
-    the cheap analytic KL."""
-    return fused_available(cfg, scan, full_model, use_blood) and cfg.use_mvg
+    window) for BOTH posterior families: MVG (sampled KL, reference
+    model.py:592-610,658-665 -- the published optimal.yaml) and
+    diagonal (the analytic logit-Normal KL folded into the same kernel,
+    reference model.py:685-710 -- 4 exps + FMAs per voxel next to the
+    decode). The one exclusion: a diagonal posterior WITH a population
+    prior -- its KL adds a whole-map hyperprior cost on the prior stds
+    (model.py:712-716, a scalar over the map, not a per-voxel row), so
+    it keeps the decode+NLL kernel + the jnp KL (documented in
+    config.py's fused_elbo help)."""
+    if not fused_available(cfg, scan, full_model, use_blood):
+        return False
+    return cfg.use_mvg or not cfg.use_population_prior
 
 
 def _elbo_consts(cfg: ModelConfig, scan: ScanParams, use_blood: bool) -> dict:
@@ -95,19 +102,25 @@ def _elbo_consts(cfg: ModelConfig, scan: ScanParams, use_blood: bool) -> dict:
     return C
 
 
-def _unpack_q(ref):
-    """Raw (5, 8, L) head tile -> squashed pieces + tanh chain factors
-    (dist/logit_mvn.py transform_std / transform_offdiag)."""
+def _unpack_q(ref, mvg: bool = True):
+    """Raw (5|4, 8, L) head tile -> squashed pieces + tanh chain factors
+    (dist/logit_mvn.py transform_std / transform_offdiag). Diagonal
+    heads carry no off-diagonal channel: od = 0 (its chain factor is a
+    dead 0 so the gradient writes below stay uniform)."""
     mu0 = ref[0, 0]
     t1 = jnp.tanh(ref[0, 1])
     ls0 = t1 * 3.0 - 1.0
     mu1 = ref[0, 2]
     t3 = jnp.tanh(ref[0, 3])
     ls1 = t3 * 3.0 - 1.0
-    t4 = jnp.tanh(ref[0, 4])
-    od = t4 * _EXP_M2
-    chains = (3.0 * (1.0 - t1 * t1), 3.0 * (1.0 - t3 * t3),
-              _EXP_M2 * (1.0 - t4 * t4))
+    if mvg:
+        t4 = jnp.tanh(ref[0, 4])
+        od = t4 * _EXP_M2
+        c4 = _EXP_M2 * (1.0 - t4 * t4)
+    else:
+        od = jnp.zeros_like(mu0)
+        c4 = jnp.zeros_like(mu0)
+    chains = (3.0 * (1.0 - t1 * t1), 3.0 * (1.0 - t3 * t3), c4)
     return (mu0, ls0, mu1, ls1, od), chains
 
 
@@ -118,17 +131,21 @@ def _unpack_q(ref):
 # (420 per voxel at the published s_kl=70).
 
 
-def _elbo_fwd_kernel(*refs, C, s_nll, s_kl, host_noise):
-    if host_noise:
+def _elbo_fwd_kernel(*refs, C, s_nll, s_kl, host_noise, mvg=True):
+    if host_noise and mvg:
         (q_ref, p_ref, y_ref, sig_ref, mask_ref, zn_ref, zk_ref,
+         nll_ref, kl_ref) = refs
+    elif host_noise:
+        # diagonal: the KL is analytic -- no injected KL normals
+        (q_ref, p_ref, y_ref, sig_ref, mask_ref, zn_ref,
          nll_ref, kl_ref) = refs
     else:
         (seed_ref, q_ref, p_ref, y_ref, sig_ref, mask_ref,
          nll_ref, kl_ref) = refs
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * jnp.int32(7919))
 
-    (q_mu0, q_ls0, q_mu1, q_ls1, q_od), _ = _unpack_q(q_ref)
-    (p_mu0, p_ls0, p_mu1, p_ls1, p_od), _ = _unpack_q(p_ref)
+    (q_mu0, q_ls0, q_mu1, q_ls1, q_od), _ = _unpack_q(q_ref, mvg)
+    (p_mu0, p_ls0, p_mu1, p_ls1, p_od), _ = _unpack_q(p_ref, mvg)
     q_std0 = jnp.exp(q_ls0)
     q_std1 = jnp.exp(q_ls1)
     mask = mask_ref[0]
@@ -160,42 +177,58 @@ def _elbo_fwd_kernel(*refs, C, s_nll, s_kl, host_noise):
         nll_acc = jax.lax.fori_loop(0, s_nll, nll_draw,
                                     jnp.zeros_like(q_mu0))
 
-    # ---- sampled KL over S_kl draws (reduced form, clip on the logit
-    # draw -- dist/logit_mvn.py::_mvg_kl_streamed). Whitening factors
-    # are draw-independent: hoisted, the loop body is FMAs + the draw.
-    qf = _whiten_factors(q_ls0, q_ls1, q_od)
-    pf = _whiten_factors(p_ls0, p_ls1, p_od)
+    if mvg:
+        # ---- sampled KL over S_kl draws (reduced form, clip on the
+        # logit draw -- dist/logit_mvn.py::_mvg_kl_streamed). Whitening
+        # factors are draw-independent: hoisted, the loop body is FMAs
+        # + the draw.
+        qf = _whiten_factors(q_ls0, q_ls1, q_od)
+        pf = _whiten_factors(p_ls0, p_ls1, p_od)
 
-    def kl_term(z0, z1):
-        l0 = jnp.clip(q_mu0 + z0 * q_std0, -_KL_BOUND, _KL_BOUND)
-        l1 = jnp.clip(q_mu1 + z0 * q_od + z1 * q_std1,
-                      -_KL_BOUND, _KL_BOUND)
-        _, _, wq0, wq1 = _whiten_apply(l0, l1, q_mu0, q_mu1, qf)
-        _, _, wp0, wp1 = _whiten_apply(l0, l1, p_mu0, p_mu1, pf)
-        return 0.5 * ((wp0 * wp0 + wp1 * wp1) - (wq0 * wq0 + wq1 * wq1))
+        def kl_term(z0, z1):
+            l0 = jnp.clip(q_mu0 + z0 * q_std0, -_KL_BOUND, _KL_BOUND)
+            l1 = jnp.clip(q_mu1 + z0 * q_od + z1 * q_std1,
+                          -_KL_BOUND, _KL_BOUND)
+            _, _, wq0, wq1 = _whiten_apply(l0, l1, q_mu0, q_mu1, qf)
+            _, _, wp0, wp1 = _whiten_apply(l0, l1, p_mu0, p_mu1, pf)
+            return 0.5 * ((wp0 * wp0 + wp1 * wp1) - (wq0 * wq0 + wq1 * wq1))
 
-    if host_noise:
-        # fori_loop with DYNAMIC loads of the injected normals: a
-        # Python-unrolled 70-iteration loop made the Mosaic compile of
-        # the host kernels impractically slow (>9 min remote)
-        def body(s, acc):
-            return acc + kl_term(zk_ref[0, 2 * s], zk_ref[0, 2 * s + 1])
+        if host_noise:
+            # fori_loop with DYNAMIC loads of the injected normals: a
+            # Python-unrolled 70-iteration loop made the Mosaic compile
+            # of the host kernels impractically slow (>9 min remote)
+            def body(s, acc):
+                return acc + kl_term(zk_ref[0, 2 * s], zk_ref[0, 2 * s + 1])
+        else:
+            def body(_, acc):
+                z0, z1 = _box_muller(q_mu0.shape)
+                return acc + kl_term(z0, z1)
+
+        kl_acc = jax.lax.fori_loop(0, s_kl, body, jnp.zeros_like(q_mu0))
+
+        kl = kl_acc * (1.0 / float(s_kl)) + ((p_ls0 + p_ls1)
+                                             - (q_ls0 + q_ls1))
     else:
-        def body(_, acc):
-            z0, z1 = _box_muller(q_mu0.shape)
-            return acc + kl_term(z0, z1)
-
-    kl_acc = jax.lax.fori_loop(0, s_kl, body, jnp.zeros_like(q_mu0))
-
-    kl = kl_acc * (1.0 / float(s_kl)) + ((p_ls0 + p_ls1)
-                                         - (q_ls0 + q_ls1))
+        # ---- analytic diagonal KL (dist/logit_mvn.py::diag_kl /
+        # normal_kl; reference model.py:692-710 via tfp.LogitNormal.
+        # kl_divergence, exact under the shared sigmoid bijector): 4
+        # exps + FMAs per voxel, free next to the decode.
+        vr0 = jnp.exp(2.0 * (q_ls0 - p_ls0))
+        vr1 = jnp.exp(2.0 * (q_ls1 - p_ls1))
+        d0 = (q_mu0 - p_mu0) * jnp.exp(-p_ls0)
+        d1 = (q_mu1 - p_mu1) * jnp.exp(-p_ls1)
+        kl = (0.5 * (vr0 + d0 * d0 - 1.0) + p_ls0 - q_ls0
+              + 0.5 * (vr1 + d1 * d1 - 1.0) + p_ls1 - q_ls1)
     nll_ref[0] = nll_acc * mask
     kl_ref[0] = jnp.where(mask > 0, kl, 0.0)
 
 
-def _elbo_bwd_kernel(*refs, C, s_nll, s_kl, host_noise):
-    if host_noise:
+def _elbo_bwd_kernel(*refs, C, s_nll, s_kl, host_noise, mvg=True):
+    if host_noise and mvg:
         (q_ref, p_ref, y_ref, sig_ref, mask_ref, zn_ref, zk_ref,
+         ctn_ref, ctk_ref, dq_ref, dp_ref, dsig_ref, dy_ref) = refs
+    elif host_noise:
+        (q_ref, p_ref, y_ref, sig_ref, mask_ref, zn_ref,
          ctn_ref, ctk_ref, dq_ref, dp_ref, dsig_ref, dy_ref) = refs
     else:
         (seed_ref, q_ref, p_ref, y_ref, sig_ref, mask_ref,
@@ -205,8 +238,10 @@ def _elbo_bwd_kernel(*refs, C, s_nll, s_kl, host_noise):
         # recomputed samples are bit-identical.
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * jnp.int32(7919))
 
-    (q_mu0, q_ls0, q_mu1, q_ls1, q_od), (qc1, qc3, qc4) = _unpack_q(q_ref)
-    (p_mu0, p_ls0, p_mu1, p_ls1, p_od), (pc1, pc3, pc4) = _unpack_q(p_ref)
+    (q_mu0, q_ls0, q_mu1, q_ls1, q_od), (qc1, qc3, qc4) = _unpack_q(q_ref,
+                                                                    mvg)
+    (p_mu0, p_ls0, p_mu1, p_ls1, p_od), (pc1, pc3, pc4) = _unpack_q(p_ref,
+                                                                    mvg)
     q_std0 = jnp.exp(q_ls0)
     q_std1 = jnp.exp(q_ls1)
     mask = mask_ref[0]
@@ -250,63 +285,89 @@ def _elbo_bwd_kernel(*refs, C, s_nll, s_kl, host_noise):
         nll_grads = jax.lax.fori_loop(0, s_nll, nll_draw_grads, nll_acc0)
     (g_mu0, g_ls0, g_mu1, g_ls1, g_od), dsig_acc, dy_acc = nll_grads
 
-    # ---- KL side: closed-form per-draw grads (the algebra of
-    # dist/logit_mvn.py::_mvg_kl_streamed_bwd; clip is straight-through,
-    # q's own params stop-gradiented inside swr_q). All whitening
-    # factors and the p off-diag exp are draw-independent: hoisted.
-    q_itl, q_ibr, q_ibl = qf = _whiten_factors(q_ls0, q_ls1, q_od)
-    p_itl, p_ibr, p_ibl = pf = _whiten_factors(p_ls0, p_ls1, p_od)
-    p_ee = jnp.exp(-p_ls0 - p_ls1)
+    if mvg:
+        # ---- KL side: closed-form per-draw grads (the algebra of
+        # dist/logit_mvn.py::_mvg_kl_streamed_bwd; clip is straight-
+        # through, q's own params stop-gradiented inside swr_q). All
+        # whitening factors and the p off-diag exp are draw-independent:
+        # hoisted.
+        q_itl, q_ibr, q_ibl = qf = _whiten_factors(q_ls0, q_ls1, q_od)
+        p_itl, p_ibr, p_ibl = pf = _whiten_factors(p_ls0, p_ls1, p_od)
+        p_ee = jnp.exp(-p_ls0 - p_ls1)
 
-    def kl_grads(z0, z1, acc):
+        def kl_grads(z0, z1, acc):
+            (k_qm0, k_qls0, k_qm1, k_qls1, k_qod,
+             k_pm0, k_pls0, k_pm1, k_pls1, k_pod) = acc
+            l0 = jnp.clip(q_mu0 + z0 * q_std0, -_KL_BOUND, _KL_BOUND)
+            l1 = jnp.clip(q_mu1 + z0 * q_od + z1 * q_std1,
+                          -_KL_BOUND, _KL_BOUND)
+            rp0, _rp1, wp0, wp1 = _whiten_apply(l0, l1, p_mu0, p_mu1, pf)
+            _, _, wq0, wq1 = _whiten_apply(l0, l1, q_mu0, q_mu1, qf)
+            dp_l0 = wp0 * p_itl + wp1 * p_ibl
+            dp_l1 = wp1 * p_ibr
+            dl0 = dp_l0 - (wq0 * q_itl + wq1 * q_ibl)
+            dl1 = dp_l1 - wq1 * q_ibr
+            return (k_qm0 + dl0, k_qls0 + dl0 * z0 * q_std0, k_qm1 + dl1,
+                    k_qls1 + dl1 * z1 * q_std1, k_qod + dl1 * z0,
+                    k_pm0 - dp_l0,
+                    k_pls0 - (wp0 * wp0 + wp1 * rp0 * p_ibl),
+                    k_pm1 - dp_l1,
+                    k_pls1 - wp1 * wp1,
+                    k_pod - wp1 * rp0 * p_ee)
+
+        acc0 = (zero,) * 10
+        if host_noise:
+            def body(s, acc):
+                return kl_grads(zk_ref[0, 2 * s], zk_ref[0, 2 * s + 1], acc)
+        else:
+            def body(_, acc):
+                z0, z1 = _box_muller(q_mu0.shape)
+                return kl_grads(z0, z1, acc)
+
+        acc = jax.lax.fori_loop(0, s_kl, body, acc0)
+
+        inv_n = 1.0 / float(s_kl)
         (k_qm0, k_qls0, k_qm1, k_qls1, k_qod,
-         k_pm0, k_pls0, k_pm1, k_pls1, k_pod) = acc
-        l0 = jnp.clip(q_mu0 + z0 * q_std0, -_KL_BOUND, _KL_BOUND)
-        l1 = jnp.clip(q_mu1 + z0 * q_od + z1 * q_std1,
-                      -_KL_BOUND, _KL_BOUND)
-        rp0, _rp1, wp0, wp1 = _whiten_apply(l0, l1, p_mu0, p_mu1, pf)
-        _, _, wq0, wq1 = _whiten_apply(l0, l1, q_mu0, q_mu1, qf)
-        dp_l0 = wp0 * p_itl + wp1 * p_ibl
-        dp_l1 = wp1 * p_ibr
-        dl0 = dp_l0 - (wq0 * q_itl + wq1 * q_ibl)
-        dl1 = dp_l1 - wq1 * q_ibr
-        return (k_qm0 + dl0, k_qls0 + dl0 * z0 * q_std0, k_qm1 + dl1,
-                k_qls1 + dl1 * z1 * q_std1, k_qod + dl1 * z0,
-                k_pm0 - dp_l0,
-                k_pls0 - (wp0 * wp0 + wp1 * rp0 * p_ibl),
-                k_pm1 - dp_l1,
-                k_pls1 - wp1 * wp1,
-                k_pod - wp1 * rp0 * p_ee)
-
-    acc0 = (zero,) * 10
-    if host_noise:
-        def body(s, acc):
-            return kl_grads(zk_ref[0, 2 * s], zk_ref[0, 2 * s + 1], acc)
+         k_pm0, k_pls0, k_pm1, k_pls1, k_pod) = [a * inv_n for a in acc]
+        # det term: + (p_ls0 + p_ls1); the q logdet is stop-gradiented
+        # (reference model.py:596 semantics), so no q-side det
+        # contribution.
+        k_pls0 = k_pls0 + 1.0
+        k_pls1 = k_pls1 + 1.0
     else:
-        def body(_, acc):
-            z0, z1 = _box_muller(q_mu0.shape)
-            return kl_grads(z0, z1, acc)
-
-    acc = jax.lax.fori_loop(0, s_kl, body, acc0)
-
-    inv_n = 1.0 / float(s_kl)
-    (k_qm0, k_qls0, k_qm1, k_qls1, k_qod,
-     k_pm0, k_pls0, k_pm1, k_pls1, k_pod) = [a * inv_n for a in acc]
-    # det term: + (p_ls0 + p_ls1); the q logdet is stop-gradiented
-    # (reference model.py:596 semantics), so no q-side det contribution.
-    k_pls0 = k_pls0 + 1.0
-    k_pls1 = k_pls1 + 1.0
+        # ---- analytic diagonal KL grads (exact derivatives of
+        # normal_kl, both channels; no stop-gradients in the jnp
+        # diag path -- losses.kl_loss -> dist.diag_kl):
+        #   d/dq_mu  =  (q_mu - p_mu) e^{-2 p_ls}
+        #   d/dq_ls  =  e^{2(q_ls - p_ls)} - 1
+        #   d/dp_mu  = -(q_mu - p_mu) e^{-2 p_ls}
+        #   d/dp_ls  =  1 - e^{2(q_ls - p_ls)} - (q_mu - p_mu)^2 e^{-2 p_ls}
+        vr0 = jnp.exp(2.0 * (q_ls0 - p_ls0))
+        vr1 = jnp.exp(2.0 * (q_ls1 - p_ls1))
+        ip0 = jnp.exp(-2.0 * p_ls0)
+        ip1 = jnp.exp(-2.0 * p_ls1)
+        dm0 = (q_mu0 - p_mu0) * ip0
+        dm1 = (q_mu1 - p_mu1) * ip1
+        k_qm0, k_qm1 = dm0, dm1
+        k_qls0, k_qls1 = vr0 - 1.0, vr1 - 1.0
+        k_pm0, k_pm1 = -dm0, -dm1
+        k_pls0 = 1.0 - vr0 - (q_mu0 - p_mu0) * dm0
+        k_pls1 = 1.0 - vr1 - (q_mu1 - p_mu1) * dm1
+        k_qod = zero
+        k_pod = zero
 
     dq_ref[0, 0] = ct_n * g_mu0 + ct_k * k_qm0
     dq_ref[0, 1] = (ct_n * g_ls0 + ct_k * k_qls0) * qc1
     dq_ref[0, 2] = ct_n * g_mu1 + ct_k * k_qm1
     dq_ref[0, 3] = (ct_n * g_ls1 + ct_k * k_qls1) * qc3
-    dq_ref[0, 4] = (ct_n * g_od + ct_k * k_qod) * qc4
+    if mvg:
+        dq_ref[0, 4] = (ct_n * g_od + ct_k * k_qod) * qc4
     dp_ref[0, 0] = ct_k * k_pm0
     dp_ref[0, 1] = ct_k * k_pls0 * pc1
     dp_ref[0, 2] = ct_k * k_pm1
     dp_ref[0, 3] = ct_k * k_pls1 * pc3
-    dp_ref[0, 4] = ct_k * k_pod * pc4
+    if mvg:
+        dp_ref[0, 4] = ct_k * k_pod * pc4
     for t in range(T):
         dsig_ref[0, t] = ct_n * dsig_acc[t]
         dy_ref[0, t] = ct_n * dy_acc[t]
@@ -327,14 +388,18 @@ def make_fused_elbo(cfg: ModelConfig, scan: ScanParams,
                     lanes: int = _LANES):
     """Build the fused sample+decode+NLL+KL op for a configuration.
 
-    Returns f(q, p, y, sigma, mask, seed | z_nll, z_kl) ->
-    (nll_rows (N,), kl_rows (N,)) with a closed-form custom VJP w.r.t.
-    (q, p, y, sigma). Inputs flat: q/p (N, 5) raw head/prior maps,
-    y/sigma (N, T), mask (N,). ``noise='device'`` draws on-chip (seed:
-    int32 scalar, PRNG replay in the backward); ``noise='host'`` takes
-    z_nll (s_nll, N, 2) and z_kl (s_kl, N, 2) standard normals and is
-    then bit-compatible with the jnp path (exactness gates,
-    tests/test_pallas_elbo.py).
+    MVG posteriors (cfg.use_mvg): returns
+    f(q, p, y, sigma, mask, seed | z_nll, z_kl) with the S_kl-sample MC
+    KL in-kernel. Diagonal posteriors: returns
+    f(q, p, y, sigma, mask, seed | z_nll) -- the KL is the ANALYTIC
+    logit-Normal KL (reference model.py:692-710), no KL noise consumed.
+    Either way -> (nll_rows (N,), kl_rows (N,)) with a closed-form
+    custom VJP w.r.t. (q, p, y, sigma). Inputs flat: q/p (N, 5|4) raw
+    head/prior maps, y/sigma (N, T), mask (N,). ``noise='device'``
+    draws on-chip (seed: int32 scalar, PRNG replay in the backward);
+    ``noise='host'`` takes z_nll (s_nll, N, 2) (and z_kl (s_kl, N, 2)
+    for MVG) standard normals and is then bit-compatible with the jnp
+    path (exactness gates, tests/test_pallas_elbo.py).
 
     Loss assembly (matches train/steps.py::_finetune_terms):
         nll = sum(nll_rows) / (s_nll * sum(mask))
@@ -351,6 +416,8 @@ def make_fused_elbo(cfg: ModelConfig, scan: ScanParams,
         # is separately gated bit-exact on the real Mosaic compile
         # (tests/test_pallas.py::test_elbo_kernel_chip_host_noise_exact).
         lanes = min(lanes, 256)
+    mvg = bool(cfg.use_mvg)
+    K = 5 if mvg else 4
     C = _elbo_consts(cfg, scan, use_blood)
     T = len(C["taus"])
     host = noise == "host"
@@ -381,17 +448,19 @@ def make_fused_elbo(cfg: ModelConfig, scan: ScanParams,
 
     def _run_fwd(n, n_pad, packed, seed):
         nb = n_pad // (_SUB * lanes)
-        in_specs = [chan_spec(5), chan_spec(5), chan_spec(T), chan_spec(T),
+        in_specs = [chan_spec(K), chan_spec(K), chan_spec(T), chan_spec(T),
                     row_spec()]
         args = packed
         if host:
-            in_specs += [chan_spec(2 * s_nll), chan_spec(2 * s_kl)]
+            in_specs += [chan_spec(2 * s_nll)]
+            if mvg:
+                in_specs += [chan_spec(2 * s_kl)]
         else:
             in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
             args = _seed_arg(seed) + packed
         nll, kl = pl.pallas_call(
             partial(_elbo_fwd_kernel, C=C, s_nll=s_nll, s_kl=s_kl,
-                    host_noise=host),
+                    host_noise=host, mvg=mvg),
             grid=(nb,),
             in_specs=in_specs,
             out_specs=[row_spec(), row_spec()],
@@ -404,11 +473,13 @@ def make_fused_elbo(cfg: ModelConfig, scan: ScanParams,
 
     def _run_bwd(n, n_pad, packed, seed, ct_n, ct_k):
         nb = n_pad // (_SUB * lanes)
-        in_specs = [chan_spec(5), chan_spec(5), chan_spec(T), chan_spec(T),
+        in_specs = [chan_spec(K), chan_spec(K), chan_spec(T), chan_spec(T),
                     row_spec()]
         args = packed
         if host:
-            in_specs += [chan_spec(2 * s_nll), chan_spec(2 * s_kl)]
+            in_specs += [chan_spec(2 * s_nll)]
+            if mvg:
+                in_specs += [chan_spec(2 * s_kl)]
         else:
             in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
             args = _seed_arg(seed) + packed
@@ -417,14 +488,14 @@ def make_fused_elbo(cfg: ModelConfig, scan: ScanParams,
                        _pack_rows(ct_k, n_pad, lanes))
         dq, dp, dsig, dy = pl.pallas_call(
             partial(_elbo_bwd_kernel, C=C, s_nll=s_nll, s_kl=s_kl,
-                    host_noise=host),
+                    host_noise=host, mvg=mvg),
             grid=(nb,),
             in_specs=in_specs,
-            out_specs=[chan_spec(5), chan_spec(5), chan_spec(T),
+            out_specs=[chan_spec(K), chan_spec(K), chan_spec(T),
                        chan_spec(T)],
             out_shape=[
-                jax.ShapeDtypeStruct((nb, 5, _SUB, lanes), jnp.float32),
-                jax.ShapeDtypeStruct((nb, 5, _SUB, lanes), jnp.float32),
+                jax.ShapeDtypeStruct((nb, K, _SUB, lanes), jnp.float32),
+                jax.ShapeDtypeStruct((nb, K, _SUB, lanes), jnp.float32),
                 jax.ShapeDtypeStruct((nb, T, _SUB, lanes), jnp.float32),
                 jax.ShapeDtypeStruct((nb, T, _SUB, lanes), jnp.float32),
             ],
@@ -436,10 +507,10 @@ def make_fused_elbo(cfg: ModelConfig, scan: ScanParams,
         def unpack(x, c):
             return x.transpose(0, 2, 3, 1).reshape(n_pad, c)[:n]
 
-        return (unpack(dq, 5), unpack(dp, 5), unpack(dy, T),
+        return (unpack(dq, K), unpack(dp, K), unpack(dy, T),
                 unpack(dsig, T))
 
-    if host:
+    if host and mvg:
         @jax.custom_vjp
         def rows(q, p, y, sigma, mask, z_nll, z_kl):
             n, n_pad, packed = _packed(q, p, y, sigma, mask, z_nll, z_kl)
@@ -456,6 +527,21 @@ def make_fused_elbo(cfg: ModelConfig, scan: ScanParams,
             return (dq, dp, dy, dsig, zeros,
                     jnp.zeros((s_nll, n, 2), jnp.float32),
                     jnp.zeros((s_kl, n, 2), jnp.float32))
+    elif host:
+        @jax.custom_vjp
+        def rows(q, p, y, sigma, mask, z_nll):
+            n, n_pad, packed = _packed(q, p, y, sigma, mask, z_nll)
+            return _run_fwd(n, n_pad, packed, None)
+
+        def rows_fwd(q, p, y, sigma, mask, z_nll):
+            n, n_pad, packed = _packed(q, p, y, sigma, mask, z_nll)
+            return _run_fwd(n, n_pad, packed, None), (n, n_pad, packed)
+
+        def rows_bwd(res, cts):
+            n, n_pad, packed = res
+            dq, dp, dy, dsig = _run_bwd(n, n_pad, packed, None, *cts)
+            return (dq, dp, dy, dsig, jnp.zeros((n,), jnp.float32),
+                    jnp.zeros((s_nll, n, 2), jnp.float32))
     else:
         @jax.custom_vjp
         def rows(q, p, y, sigma, mask, seed):

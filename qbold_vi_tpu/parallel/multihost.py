@@ -1,0 +1,329 @@
+"""Multi-process (multi-host) execution, exercised for real.
+
+The reference has no distributed runtime at all (SURVEY.md SS2.3); this
+framework's multi-host story is ``jax.distributed`` + a global device
+mesh + per-host data feeding (SURVEY.md SS5.8: "DCN for multi-host input
+pipelines"). This module makes that path EXECUTE rather than exist as a
+wrapper: it spawns N local processes, each with its own set of CPU
+devices, connects them through a localhost coordinator (CPU collectives
+over gloo stand in for DCN/ICI), and runs the production sharded train
+steps over the resulting global mesh:
+
+* the shard_map fine-tune epoch (steps.make_finetune_epoch_sharded) --
+  its psum gradient reduction now crosses PROCESS boundaries;
+* the shard_map streaming pretrain step (per-device synthetic
+  generation, zero host transfer);
+* a per-host-fed eval batch: every process materialises ONLY its own
+  leading-axis rows (mesh.shard_batch_local), so no host ever loads or
+  ships another host's data.
+
+``certify`` compares every metric across processes and against the
+identical single-process run -- gradient/loss parity is the done
+criterion (round-3 verdict #1). Drive it via ``python -m qbold_vi_tpu
+dryrun --processes N`` or tests/test_multihost.py; the driver's
+``dryrun_multichip`` runs it as its final stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["workload_metrics", "launch_workers", "certify"]
+
+
+# ---- the shared workload -------------------------------------------------------------
+#
+# Identical in the single-process reference and every worker: tiny
+# shapes, deterministic host data (np rng(0)), params from PRNGKey(0).
+# All reported metrics are REPLICATED scalars/vectors, so every process
+# fetches the same values and cross-process equality is meaningful.
+
+
+def _tiny_cfg(batch: int):
+    from ..config import (ModelConfig, QBoldConfig, ScanParams, SynthParams,
+                          TrainConfig)
+
+    return QBoldConfig(
+        scan=ScanParams(simulate_noise=False),
+        synth=SynthParams(sample_size=8),
+        model=ModelConfig(no_units=8, no_intermediate_layers=1,
+                          use_mvg=True, student_t_df=200.0,
+                          predict_log_data=False),
+        train=TrainConfig(ft_batch_size=batch, crop_size=6,
+                          pt_batch_size=batch),
+    )
+
+
+def workload_metrics(n_steps: int = 2) -> dict:
+    """Run the multi-host certification workload on the CURRENT backend
+    (single- or multi-process) over a global mesh of ALL devices and
+    return its replicated metrics."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.vi import FineTuner
+    from ..train import optim, steps
+    from . import mesh as pmesh
+
+    n_dev = len(jax.devices())
+    mesh = pmesh.make_mesh(jax.devices())
+    cfg = _tiny_cfg(batch=n_dev + 1)   # non-dividing: pad-and-mask live
+    tuner = FineTuner(cfg.model, cfg.scan)
+
+    rng = np.random.default_rng(0)
+    vols = np.abs(rng.normal(size=(3, 10, 10, 2, cfg.scan.n_taus + 1))
+                  ).astype(np.float32) * 50 + 100
+    vols[..., -1] = (rng.uniform(size=vols.shape[:-1]) > 0.1)
+    priors = rng.normal(size=(3, 10, 10, 2, 5)).astype(np.float32) * 0.3
+
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(tuner.init)(
+        key, jnp.zeros((1, 6, 6, 2, cfg.scan.n_taus), jnp.float32))
+
+    def _fresh(p_src):
+        # explicit copy: device_put may ALIAS the device-0 shard of the
+        # source, and the epoch/step fns donate their state -- donating
+        # an aliased buffer deletes `params` out from under later stages
+        return jax.tree_util.tree_map(jnp.copy, p_src)
+
+    # 1. shard_map fine-tune epoch: psum'd grads across the process
+    # boundary, params replicated bit-exactly
+    optimizer = optim.make_finetune_optimizer(cfg.train)
+    p1 = _fresh(params)
+    state = pmesh.replicate(mesh, steps.TrainState(
+        p1, optimizer.init(p1), None, jnp.zeros([], jnp.int32)))
+    epoch_fn = steps.make_finetune_epoch_sharded(tuner, cfg, optimizer,
+                                                 n_steps, mesh)
+    dv = pmesh.replicate(mesh, vols)
+    dp = pmesh.replicate(mesh, priors)
+    state, m = epoch_fn(state, key, dv, dp)
+    ft_loss = np.asarray(jax.device_get(m["loss"]), np.float64)
+
+    @jax.jit
+    def param_norm(p):
+        return jnp.sqrt(sum(jnp.vdot(l, l).real for l in
+                            jax.tree_util.tree_leaves(p)))
+
+    pnorm = float(jax.device_get(param_norm(state.params)))
+
+    # 2. shard_map streaming pretrain step (per-device generation)
+    popt = optim.make_pretrain_optimizer(cfg.train)
+    p2 = _fresh(params)
+    pstate = pmesh.replicate(mesh, steps.TrainState(
+        p2, popt.init(p2), optim.swa_init(p2),
+        jnp.zeros([], jnp.int32)))
+    stream_fn = steps.make_pretrain_stream_step_sharded(tuner, cfg, popt,
+                                                        mesh)
+    _, pm = stream_fn(pstate, key)
+    stream_loss = float(jax.device_get(pm["loss"]))
+
+    # 3. per-host-fed eval: each process materialises ONLY its local
+    # rows of a deterministic global batch (the per-host data-sharding
+    # story for the host-fed paths, SURVEY SS5.8) and the jitted global
+    # eval reduces across processes
+    g_rows = n_dev * 2
+    xr = np.random.default_rng(1)
+    gx = np.abs(xr.normal(size=(g_rows, 2, 2, 1, cfg.scan.n_taus))
+                ).astype(np.float32) + 0.5
+    oef = xr.uniform(0.1, 0.7, size=(g_rows, 2, 2, 1, 1)).astype(np.float32)
+    dbv = xr.uniform(0.01, 0.18, size=(g_rows, 2, 2, 1, 1)).astype(np.float32)
+    r2p = np.float32(cfg.scan.dw_coeff * cfg.scan.hct) * oef * dbv
+    gy = np.concatenate([oef, dbv, r2p], -1)
+    sh = pmesh.batch_sharding(mesh, gx.ndim)
+    lo, hi = pmesh.host_local_rows(sh, gx.shape)
+    local = {"x": gx[lo:hi], "y": gy[lo:hi]}   # only OUR rows exist here
+    batch = pmesh.shard_batch_local(mesh, local, g_rows)
+    eval_fn = steps.make_pretrain_eval(tuner, cfg)
+    ev = eval_fn(params, jax.random.PRNGKey(0), batch)
+    eval_loss = float(jax.device_get(ev["val_loss"]))
+
+    return {
+        "process_count": jax.process_count(),
+        "process_index": jax.process_index(),
+        "global_devices": n_dev,
+        "ft_loss": [float(v) for v in ft_loss],
+        "param_norm": pnorm,
+        "stream_loss": stream_loss,
+        "eval_loss": eval_loss,
+        "local_eval_rows": [int(lo), int(hi)],
+    }
+
+
+# ---- worker entry --------------------------------------------------------------------
+
+
+def _worker_main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--coordinator", required=True)
+    p.add_argument("--num-processes", type=int, required=True)
+    p.add_argument("--process-id", type=int, required=True)
+    p.add_argument("--devices-per-process", type=int, required=True)
+    p.add_argument("--steps", type=int, default=2)
+    p.add_argument("--out", required=True)
+    args = p.parse_args(argv)
+
+    import jax
+
+    # Same stanza as tests/conftest.py: the environment's sitecustomize
+    # forces a remote axon backend via jax_platforms; only
+    # jax.config.update after import wins. CPU collectives need gloo to
+    # cross process boundaries.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", args.devices_per_process)
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:   # older/newer jaxlib spelling -- initialize decides
+        pass
+    jax.distributed.initialize(args.coordinator, args.num_processes,
+                               args.process_id)
+
+    out = workload_metrics(n_steps=args.steps)
+    with open(args.out + ".tmp", "w") as f:
+        json.dump(out, f)
+    os.replace(args.out + ".tmp", args.out)   # atomic: parent polls
+    print(f"[multihost worker {args.process_id}] ok: {out}", flush=True)
+    return 0
+
+
+# ---- launcher / certification --------------------------------------------------------
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def launch_workers(n_processes: int, devices_per_process: int,
+                   n_steps: int = 2, timeout_s: float = 900.0,
+                   workdir: Optional[str] = None) -> list:
+    """Spawn the worker processes, wait, and return their metric dicts
+    (ordered by process id). Workers are killed by direct Popen handle
+    on timeout (never by pattern)."""
+    workdir = workdir or tempfile.mkdtemp(prefix="qbold_multihost_")
+    port = _free_port()
+    procs, outs, logs = [], [], []
+    env = dict(os.environ)   # keep PYTHONPATH: replacing it drops the
+    # environment's sitecustomize and with it backend registration
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    for pid in range(n_processes):
+        out = os.path.join(workdir, f"proc{pid}.json")
+        log_path = os.path.join(workdir, f"proc{pid}.log")
+        log = open(log_path, "w")
+        cmd = [sys.executable, "-m", "qbold_vi_tpu.parallel.multihost",
+               "--coordinator", f"localhost:{port}",
+               "--num-processes", str(n_processes),
+               "--process-id", str(pid),
+               "--devices-per-process", str(devices_per_process),
+               "--steps", str(n_steps), "--out", out]
+        procs.append(subprocess.Popen(cmd, stdout=log, stderr=log, env=env))
+        outs.append(out)
+        logs.append(log_path)
+    deadline = time.time() + timeout_s
+    try:
+        for proc, log_path in zip(procs, logs):
+            remaining = max(1.0, deadline - time.time())
+            try:
+                rc = proc.wait(timeout=remaining)
+            except subprocess.TimeoutExpired:
+                for pr in procs:
+                    pr.kill()
+                raise RuntimeError(
+                    f"multihost worker timed out after {timeout_s}s "
+                    f"(log: {log_path})")
+            if rc != 0:
+                for pr in procs:
+                    pr.kill()
+                with open(log_path) as f:
+                    tail = f.read()[-2000:]
+                raise RuntimeError(
+                    f"multihost worker exited {rc}; log tail:\n{tail}")
+    finally:
+        for pr in procs:
+            if pr.poll() is None:
+                pr.kill()
+    results = []
+    for out in outs:
+        with open(out) as f:
+            results.append(json.load(f))
+    return results
+
+
+def certify(n_processes: int, n_devices_total: int, n_steps: int = 2,
+            timeout_s: float = 900.0, reference: Optional[dict] = None,
+            rtol: float = 2e-5) -> dict:
+    """End-to-end multi-process certification with gradient/loss parity.
+
+    Runs the workload single-process (``reference``, computed here over
+    the CURRENT backend's devices unless passed in), spawns
+    ``n_processes`` workers whose device counts sum to
+    ``n_devices_total``, and asserts every replicated metric agrees (a)
+    bit-for-bit across worker processes and (b) with the single-process
+    mesh within fp tolerance (collective reduction order may differ).
+    Returns the machine-readable certification dict."""
+    if n_devices_total % n_processes:
+        raise ValueError(f"{n_devices_total} devices do not split over "
+                         f"{n_processes} processes")
+    if reference is None:
+        import jax
+        if len(jax.devices()) != n_devices_total:
+            raise RuntimeError(
+                f"reference run needs {n_devices_total} local devices, "
+                f"have {len(jax.devices())}")
+        reference = workload_metrics(n_steps=n_steps)
+    workers = launch_workers(n_processes, n_devices_total // n_processes,
+                             n_steps=n_steps, timeout_s=timeout_s)
+
+    keys = ("ft_loss", "param_norm", "stream_loss", "eval_loss")
+    w0 = workers[0]
+    assert w0["process_count"] == n_processes, w0
+    assert w0["global_devices"] == n_devices_total, w0
+    for w in workers[1:]:
+        for k in keys:
+            np.testing.assert_allclose(
+                w[k], w0[k], rtol=0, atol=0,
+                err_msg=f"{k} differs BETWEEN processes -- replicated "
+                        f"state diverged")
+    for k in keys:
+        np.testing.assert_allclose(
+            w0[k], reference[k], rtol=rtol, atol=1e-6,
+            err_msg=f"{k}: multi-process vs single-process parity")
+    # per-host feeding really was per-host: the local row ranges tile
+    # [0, global_rows) without overlap
+    ranges = sorted(w["local_eval_rows"] for w in workers)
+    assert ranges[0][0] == 0
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi == b_lo, f"eval row ranges overlap/gap: {ranges}"
+
+    return {
+        "processes": n_processes,
+        "devices_per_process": n_devices_total // n_processes,
+        "global_devices": n_devices_total,
+        "steps": n_steps,
+        "ft_loss": w0["ft_loss"],
+        "stream_loss": w0["stream_loss"],
+        "eval_loss": w0["eval_loss"],
+        "param_norm": w0["param_norm"],
+        "single_process_ft_loss": reference["ft_loss"],
+        "parity_rtol": rtol,
+        "per_host_eval_rows": [w["local_eval_rows"] for w in workers],
+        "ok": True,
+    }
+
+
+if __name__ == "__main__":
+    raise SystemExit(_worker_main())

@@ -542,8 +542,11 @@ def _fused_elbo_fn(tuner: FineTuner, cfg: QBoldConfig, s_nll: int,
             raise ValueError(
                 "fused_elbo was forced on but the configuration is not "
                 "covered by the kernel (needs the full SDR model, "
-                "heteroscedastic noise, an MVG posterior, and an interior "
-                "spin-echo window for multi-image normalisation)")
+                "heteroscedastic noise, an interior spin-echo window for "
+                "multi-image normalisation, and either an MVG posterior "
+                "or a diagonal one WITHOUT a population prior -- the "
+                "diag+population-prior KL carries a whole-map hyperprior "
+                "cost the per-voxel kernel cannot express)")
         return None
     host = mode in ("host", "host-interpret")
     fn = pallas_elbo.make_fused_elbo(
@@ -612,20 +615,27 @@ def _finetune_terms(params, key, batch, tuner: FineTuner, cfg: QBoldConfig,
                  if cfg.model.use_population_prior else batch["priors"])
         t = tuner.scan.n_taus
         n = q.size // q.shape[-1]
-        qf = q.reshape(-1, 5)
-        pf = prior.reshape(-1, 5)
+        k_chan = 5 if cfg.model.use_mvg else 4
+        qf = q.reshape(-1, k_chan)
+        pf = prior.reshape(-1, k_chan)
         yf = images.reshape(-1, t)
         sf = sigma.reshape(-1, t)
         mf = mask.reshape(-1)
         if host_noise:
             # Same key-split structure as the jnp path (sample_many /
             # mvg_kl_samples), so values and gradients are bit-compatible
-            # with fused_elbo='off' given the same step key.
+            # with fused_elbo='off' given the same step key. Diagonal
+            # posteriors need no KL normals: their KL is analytic
+            # in-kernel (pallas_elbo.py).
             z_nll = jax.vmap(lambda k: jax.random.normal(k, (n, 2)))(
                 jax.random.split(k_draw, s))
-            z_kl = jax.vmap(lambda k: jax.random.normal(k, (n, 2)))(
-                jax.random.split(k_kl, kl_samples))
-            nll_rows, kl_rows = fused_fn(qf, pf, yf, sf, mf, z_nll, z_kl)
+            if cfg.model.use_mvg:
+                z_kl = jax.vmap(lambda k: jax.random.normal(k, (n, 2)))(
+                    jax.random.split(k_kl, kl_samples))
+                nll_rows, kl_rows = fused_fn(qf, pf, yf, sf, mf, z_nll,
+                                             z_kl)
+            else:
+                nll_rows, kl_rows = fused_fn(qf, pf, yf, sf, mf, z_nll)
         else:
             seed = jax.random.randint(k_draw, (), 0, np.int32(2**31 - 1))
             nll_rows, kl_rows = fused_fn(qf, pf, yf, sf, mf, seed)

@@ -656,10 +656,19 @@ class Trainer:
             t0 = time.time()
             state, m = epoch_fn(state, self._next_key(),
                                 dev_volumes, dev_priors)
-            # float() forces device sync so the timing is honest
-            loss_val = float(jnp.mean(m["loss"]))
-            metrics = {"loss": loss_val,
+            # ONE device_get of the whole (T,)-per-term aux dict: it
+            # forces device sync (honest timing) and surfaces the
+            # per-term training curves the reference's Keras fit +
+            # WandbCallback logs every epoch (train.py:313-320,370-375)
+            # -- nll/kl/smoothness/sigma were previously computed in the
+            # epoch scan and then discarded. Per-key float() fetches
+            # would cost a ~35-40 ms tunnel round-trip EACH.
+            host_m = jax.device_get(m)
+            metrics = {"loss": float(np.mean(host_m["loss"])),
                        "epoch_time_s": time.time() - t0}
+            for term in ("nll", "kl", "smoothness", "sigma"):
+                if term in host_m:
+                    metrics[term] = float(np.mean(host_m[term]))
             if eval_sampler is not None:
                 metrics.update(self._elbo_eval(eval_fn, eval_sampler,
                                                state.params))

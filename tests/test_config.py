@@ -80,9 +80,34 @@ class TestOverrides:
         assert cfg.model.no_units == 1
         assert cfg.model.no_intermediate_layers == 1
 
-    def test_unknown_keys_ignored(self):
-        cfg = apply_flat_overrides(QBoldConfig(), {"bogus_key": 7})
+    def test_unknown_key_raises_with_did_you_mean(self):
+        """A typo'd override must fail loudly (the reference silently
+        stores unknowns, utils.py:109-116 -- a deviation that loses
+        safety: a typo'd --set or sweep dimension would no-op while the
+        run 'tunes' noise)."""
+        from qbold_vi_tpu.config import UnknownConfigKeyError
+
+        with pytest.raises(UnknownConfigKeyError, match="bogus_key"):
+            apply_flat_overrides(QBoldConfig(), {"bogus_key": 7})
+        # did-you-mean hint for a near-miss
+        with pytest.raises(UnknownConfigKeyError, match="pt_lr"):
+            apply_flat_overrides(QBoldConfig(), {"pt_lrr": 1e-3})
+
+    def test_unknown_keys_ignored_when_not_strict(self):
+        """strict=False keeps the permissive behaviour (forward-compat
+        YAML escape), with a warning."""
+        with pytest.warns(UserWarning, match="bogus_key"):
+            cfg = apply_flat_overrides(QBoldConfig(), {"bogus_key": 7},
+                                       strict=False)
         assert cfg == QBoldConfig()
+
+    def test_known_flat_keys_cover_reference_and_fields(self):
+        from qbold_vi_tpu.config import known_flat_keys
+
+        keys = known_flat_keys()
+        for k in ("no_units", "pt_lr", "tau_start", "sample_size",
+                  "fused_elbo", "d", "name"):
+            assert k in keys
 
 
 class TestReferenceDefaultsParity:
@@ -147,6 +172,43 @@ class TestLoaders:
         assert s.n_taus == 11
         assert s.simulate_noise is False
         assert s.snr == pytest.approx(100.0)
+
+    def test_ini_synth_section_roundtrip_reference_config(self):
+        """Lossless INI migration: the reference's OWN `config` file's
+        synthetic-population section (reference config:48-61, consumed
+        by signals.py:255-268) must survive the load -- round 3's
+        scan-only loader silently reverted it to defaults."""
+        from qbold_vi_tpu.config import load_ini_config, load_ini_synth_params
+
+        sp = load_ini_synth_params("/root/reference/config")
+        assert sp.oef_start == pytest.approx(0.05)
+        assert sp.oef_end == pytest.approx(0.8)
+        assert sp.oef_mean == pytest.approx(0.4)
+        assert sp.oef_std == pytest.approx(0.2)
+        assert sp.dbv_start == pytest.approx(0.003)
+        assert sp.dbv_end == pytest.approx(0.195)
+        assert sp.dbv_mean == pytest.approx(0.025)
+        assert sp.dbv_std == pytest.approx(0.02)
+        assert sp.sample_size == 2500
+        # function-argument keys the INI does not carry keep base values
+        assert sp.uniform_prop == pytest.approx(0.1)
+
+        cfg = load_ini_config("/root/reference/config")
+        assert cfg.scan.n_taus == 11
+        assert cfg.synth.sample_size == 2500
+
+    def test_ini_synth_missing_keys_keep_base(self, tmp_path):
+        import dataclasses
+
+        from qbold_vi_tpu.config import SynthParams, load_ini_synth_params
+
+        p = tmp_path / "config"
+        p.write_text("[DEFAULT]\noef_mean = 0.5\n")
+        base = dataclasses.replace(SynthParams(), sample_size=99)
+        sp = load_ini_synth_params(str(p), base)
+        assert sp.oef_mean == pytest.approx(0.5)
+        assert sp.sample_size == 99
+        assert sp.dbv_mean == pytest.approx(base.dbv_mean)
 
     def test_optimal_preset_values(self):
         """Spot-check the published optimal hyperparameters

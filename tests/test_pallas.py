@@ -248,6 +248,125 @@ def test_elbo_kernel_chip_host_noise_exact(rng):
 
 
 @tpu_only
+def test_elbo_kernel_chip_host_noise_grads_exact(rng):
+    """The PRODUCTION training gradient -- the fused ELBO kernel's
+    analytic replay-VJP (ops/pallas_elbo.py backward) -- certified on
+    the real Mosaic compile, not just the CPU interpreter (round-3
+    verdict #2): jax.grad of the host-noise fused loss must match the
+    jnp path's gradients for the q, prior, y and sigma cotangents to
+    fp32 tolerance (identical injected normals on both sides; reference
+    semantics: model.py:592-610 + 527-568)."""
+    from qbold_vi_tpu.config import ModelConfig
+    from qbold_vi_tpu.ops import physics
+    from qbold_vi_tpu.ops.pallas_elbo import make_fused_elbo
+    from qbold_vi_tpu.train import losses
+
+    cfg = ModelConfig(use_mvg=True, student_t_df=200.0,
+                      multi_image_normalisation=False,
+                      predict_log_data=False)
+    n, s_nll, s_kl = 2048, 1, 8
+    q = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32) * 0.5)
+    p = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32) * 0.5)
+    y = jnp.asarray((np.abs(rng.normal(size=(n, SCAN.n_taus))) * 0.4 + 0.4
+                     ).astype(np.float32))
+    sigma = jnp.full((n, SCAN.n_taus), 0.08, jnp.float32)
+    mask = jnp.asarray((rng.uniform(size=n) > 0.25).astype(np.float32))
+    k_nll, k_kl = jax.random.split(jax.random.PRNGKey(5))
+    z_nll = jax.vmap(lambda k: jax.random.normal(k, (n, 2)))(
+        jax.random.split(k_nll, s_nll))
+    z_kl = jax.vmap(lambda k: jax.random.normal(k, (n, 2)))(
+        jax.random.split(k_kl, s_kl))
+
+    fused = make_fused_elbo(cfg, SCAN, s_nll=s_nll, s_kl=s_kl,
+                            noise="host")
+
+    def fused_loss(q, p, y, sigma):
+        nll_rows, kl_rows = fused(q, p, y, sigma, mask, z_nll, z_kl)
+        msum = jnp.sum(mask)
+        return (jnp.sum(nll_rows) / (s_nll * msum)
+                + jnp.sum(kl_rows) / msum)
+
+    def jnp_loss(q, p, y, sigma):
+        def draw(z):
+            l0 = q[:, 0] + z[:, 0] * jnp.exp(DIST.transform_std(q[:, 1]))
+            l1 = (q[:, 2] + z[:, 0] * DIST.transform_offdiag(q[:, 4])
+                  + z[:, 1] * jnp.exp(DIST.transform_std(q[:, 3])))
+            return DIST.forward_transform(jnp.stack([l0, l1], -1))
+
+        samples = jax.vmap(draw)(z_nll)
+        nll = 0.0
+        for s in range(s_nll):
+            pred = physics.ase_signal(samples[s, :, 0], samples[s, :, 1],
+                                      SCAN, full_model=True,
+                                      include_blood=True)
+            nll = nll + jnp.sum(losses.fine_tune_nll(
+                cfg, SCAN.se_idx, y, pred, sigma, mask[:, None],
+                return_mean=False))
+        # same key -> mvg_kl_samples draws exactly z_kl internally
+        kl = DIST.mvg_kl_samples(k_kl, q, p, no_samples=s_kl)
+        kl = jnp.sum(jnp.where(mask > 0, kl, 0.0))
+        msum = jnp.sum(mask)
+        return nll / (s_nll * msum) + kl / msum
+
+    vf, gf = jax.jit(jax.value_and_grad(fused_loss, argnums=(0, 1, 2, 3))
+                     )(q, p, y, sigma)
+    vj, gj = jax.jit(jax.value_and_grad(jnp_loss, argnums=(0, 1, 2, 3))
+                     )(q, p, y, sigma)
+    np.testing.assert_allclose(float(vf), float(vj), rtol=1e-4, atol=1e-4)
+    for name, a, b in zip(("q", "prior", "y", "sigma"), gf, gj):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, rtol=5e-4,
+                                   atol=1e-4, err_msg=f"{name} cotangent")
+
+
+@tpu_only
+def test_elbo_kernel_chip_diag_exact(rng):
+    """The DIAGONAL kernel variant (analytic in-kernel KL, round-4
+    extension) on the real Mosaic compile: KL rows equal dist.diag_kl
+    exactly, and the q/p gradients match -- auto mode routes every
+    non-population-prior diagonal config through this kernel on TPU."""
+    from qbold_vi_tpu.config import ModelConfig
+    from qbold_vi_tpu.ops.pallas_elbo import make_fused_elbo
+
+    cfg = ModelConfig(use_mvg=False, student_t_df=200.0,
+                      multi_image_normalisation=False,
+                      predict_log_data=False)
+    n = 2048
+    q = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32) * 0.5)
+    p = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32) * 0.5)
+    y = jnp.asarray((np.abs(rng.normal(size=(n, SCAN.n_taus))) * 0.4 + 0.4
+                     ).astype(np.float32))
+    sigma = jnp.full((n, SCAN.n_taus), 0.08, jnp.float32)
+    mask = jnp.asarray((rng.uniform(size=n) > 0.25).astype(np.float32))
+    z_nll = jax.random.normal(jax.random.PRNGKey(2), (1, n, 2))
+
+    fused = make_fused_elbo(cfg, SCAN, s_nll=1, s_kl=8, noise="host")
+
+    def kern_kl_sum(qq, pp):
+        _, kl_rows = fused(qq, pp, y, sigma, mask, z_nll)
+        return jnp.sum(kl_rows), kl_rows
+
+    def jnp_kl_sum(qq, pp):
+        rows = jnp.where(mask > 0, DIST.diag_kl(qq, pp), 0.0)
+        return jnp.sum(rows), rows
+
+    (_, rows_k), _ = jax.jit(jax.value_and_grad(
+        kern_kl_sum, argnums=(0, 1), has_aux=True))(q, p)
+    (_, rows_j), _ = jax.jit(jax.value_and_grad(
+        jnp_kl_sum, argnums=(0, 1), has_aux=True))(q, p)
+    np.testing.assert_allclose(np.asarray(rows_k), np.asarray(rows_j),
+                               rtol=2e-4, atol=2e-4)
+    gk = jax.jit(jax.grad(lambda a, b: kern_kl_sum(a, b)[0],
+                          argnums=(0, 1)))(q, p)
+    gj = jax.jit(jax.grad(lambda a, b: jnp_kl_sum(a, b)[0],
+                          argnums=(0, 1)))(q, p)
+    for name, a, b in zip(("q", "p"), gk, gj):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-4, err_msg=name)
+
+
+@tpu_only
 def test_elbo_kernel_device_noise_statistical(rng):
     """The production on-chip-PRNG ELBO path: KL rows must converge to
     the closed-form KL within MC error, and the NLL rows' seed-mean must

@@ -30,14 +30,15 @@ def _cfg(no_samples=1, **model_kw):
     model_kw.setdefault("student_t_df", 200.0)
     model_kw.setdefault("predict_log_data", False)
     model_kw.setdefault("multi_image_normalisation", False)
+    model_kw.setdefault("use_mvg", True)
     return QBoldConfig(
         scan=SCAN,
         model=ModelConfig(no_units=4, no_intermediate_layers=1,
-                          use_mvg=True, no_samples=no_samples, **model_kw),
+                          no_samples=no_samples, **model_kw),
         train=TrainConfig())
 
 
-def _batch(rng, b=1, x=8, y=4, z=1, holes=True):
+def _batch(rng, b=1, x=8, y=4, z=1, holes=True, k=5):
     img = jnp.asarray((np.abs(rng.normal(size=(b, x, y, z, SCAN.n_taus)))
                        * 50 + 100).astype(np.float32))
     if holes:
@@ -45,7 +46,7 @@ def _batch(rng, b=1, x=8, y=4, z=1, holes=True):
                             ).astype(np.float32))
     else:
         mask = jnp.ones((b, x, y, z, 1), jnp.float32)
-    priors = jnp.asarray(rng.normal(size=(b, x, y, z, 5)
+    priors = jnp.asarray(rng.normal(size=(b, x, y, z, k)
                                     ).astype(np.float32) * 0.3)
     return {"images": img * mask, "mask": mask, "priors": priors}
 
@@ -58,13 +59,17 @@ def _terms(cfg, tuner, params, key, batch, mode, kl_samples=8):
                            kl_samples=kl_samples)
 
 
-# three cases cover every kernel branch (interpret mode costs ~1 min
-# per case, so variants are combined): published optimal; Student-t +
-# multi-image window + S>1; log-domain + learned population prior
+# the cases cover every kernel branch (interpret mode costs ~1 min per
+# case, so variants are combined): published optimal; Student-t +
+# multi-image window + S>1; log-domain + learned population prior;
+# DIAGONAL posterior (analytic in-kernel KL, round-4 extension) plain
+# and with Student-t + S>1
 @pytest.mark.parametrize("kw", [
     dict(),                                             # published optimal
     dict(student_t_df=2.0, multi_image_normalisation=True, no_samples=2),
     dict(predict_log_data=True, use_population_prior=True),
+    dict(use_mvg=False),                                # diagonal
+    dict(use_mvg=False, student_t_df=2.0, no_samples=2),
 ])
 def test_host_noise_full_loss_exact(rng, kw):
     """The fused ELBO total and ALL parameter gradients (encoder +
@@ -73,7 +78,7 @@ def test_host_noise_full_loss_exact(rng, kw):
     cfg = _cfg(no_samples=s, **kw)
     tuner = FineTuner(cfg.model, SCAN)
     assert fused_elbo_available(cfg.model, SCAN, True, True)
-    batch = _batch(rng)
+    batch = _batch(rng, k=5 if cfg.model.use_mvg else 4)
     params = tuner.init(jax.random.PRNGKey(7), batch["images"][:1])
     key = jax.random.PRNGKey(3)
 
@@ -145,6 +150,43 @@ def test_kl_rows_match_streamed_kl(rng):
                                    rtol=2e-4, atol=1e-5)
 
 
+def test_diag_kl_rows_match_analytic(rng):
+    """Diagonal kernel variant: the per-voxel KL rows equal
+    dist.diag_kl (the analytic logit-Normal KL, reference
+    model.py:692-710) exactly, in value and in q/p gradients."""
+    cfg = _cfg(use_mvg=False)
+    dist = FineTuner(cfg.model, SCAN).dist
+    n = 64
+    q = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32) * 0.5)
+    p = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32) * 0.5)
+    y = jnp.asarray((np.abs(rng.normal(size=(n, SCAN.n_taus))) + 0.4
+                     ).astype(np.float32))
+    sig = jnp.full((n, SCAN.n_taus), 0.08, jnp.float32)
+    mask = jnp.ones((n,), jnp.float32)
+    z_nll = jax.random.normal(jax.random.PRNGKey(9), (1, n, 2))
+
+    fused = make_fused_elbo(cfg.model, SCAN, s_nll=1, s_kl=8,
+                            noise="host", interpret=True, lanes=128)
+
+    def kern_kl(qq, pp):
+        _, kl_rows = fused(qq, pp, y, sig, mask, z_nll)
+        return kl_rows
+
+    def jnp_kl(qq, pp):
+        return dist.diag_kl(qq, pp)
+
+    np.testing.assert_allclose(np.asarray(kern_kl(q, p)),
+                               np.asarray(jnp_kl(q, p)),
+                               rtol=2e-5, atol=2e-6)
+    gk = jax.grad(lambda qq, pp: jnp.sum(kern_kl(qq, pp)),
+                  argnums=(0, 1))(q, p)
+    gj = jax.grad(lambda qq, pp: jnp.sum(jnp_kl(qq, pp)),
+                  argnums=(0, 1))(q, p)
+    for a, b in zip(gk, gj):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
 def test_device_noise_smoke(rng):
     """On-chip-PRNG mode through the interpreter: parses, lowers and
     executes with finite outputs/grads. (The interpreter STUBS the TPU
@@ -195,14 +237,19 @@ def test_masked_rows_are_zero(rng):
 
 
 def test_forced_on_uncovered_config_raises():
+    # diagonal + population prior: the one remaining exclusion (its KL
+    # adds a whole-map hyperprior cost, model.py:712-716 -- not a
+    # per-voxel row); plain diagonal is covered since round 4
     cfg = QBoldConfig(
         scan=SCAN,
-        model=ModelConfig(use_mvg=False),   # diagonal: not covered
+        model=ModelConfig(use_mvg=False, use_population_prior=True),
         train=TrainConfig(fused_elbo="on"))
     tuner = FineTuner(cfg.model, SCAN)
     from qbold_vi_tpu.train.steps import _fused_elbo_fn
     with pytest.raises(ValueError, match="not covered"):
         _fused_elbo_fn(tuner, cfg, 1, 8)
+    assert not fused_elbo_available(cfg.model, SCAN, True, True)
+    assert fused_elbo_available(ModelConfig(use_mvg=False), SCAN, True, True)
     cfg2 = QBoldConfig(scan=SCAN, model=ModelConfig(use_mvg=True),
                        train=TrainConfig(fused_elbo="bogus"))
     with pytest.raises(ValueError, match="fused_elbo must be"):

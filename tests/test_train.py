@@ -183,6 +183,31 @@ class TestTrainer:
         with pytest.raises(NaNLossError):
             t2._log("test", 0, {"loss": float("nan")})
 
+    def test_finetune_logs_per_term_metrics(self, tmp_path, rng):
+        """Every fine-tune epoch must surface the per-term training
+        curves (nll / kl / smoothness / sigma) the reference's Keras
+        ``fit`` + WandbCallback logs per compiled loss term
+        (reference: train.py:313-320,370-375) -- round 3 computed them
+        in the epoch scan and then discarded them."""
+        cfg = tiny_cfg(tmp_path)
+        logged = []
+        t = Trainer(cfg, logger=lambda p, s, m: logged.append((p, m)))
+        t.pretrain()
+        real = np.abs(rng.normal(size=(3, 40, 30, 2, SCAN.n_taus + 1))
+                      ).astype(np.float32) + 0.5
+        real[..., -1] = 1.0
+        t.finetune(real)
+        ft = [m for p, m in logged if p == "finetune"]
+        assert ft, "no finetune epochs logged"
+        for k in ("loss", "nll", "kl", "smoothness", "sigma"):
+            assert k in ft[-1], f"missing per-term metric {k}"
+            assert np.isfinite(ft[-1][k]), (k, ft[-1])
+        # the terms actually sum to the (weighted) total
+        m = ft[-1]
+        total = (m["nll"] + m["kl"] * cfg.train.kl_weight
+                 + m["smoothness"] * cfg.train.smoothness_weight)
+        np.testing.assert_allclose(total, m["loss"], rtol=1e-4)
+
     def test_inv_gamma_hyperprior_metrics_logged(self, tmp_path, rng):
         """With the learned inverse-gamma hyperprior on, pretrain logs
         the four learned alpha/beta values each epoch (reference:
