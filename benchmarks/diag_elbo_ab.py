@@ -1,0 +1,95 @@
+"""A/B the DIAGONAL-posterior fine-tune step: fused ELBO kernel (round-4
+extension -- analytic logit-Normal KL in-kernel, ops/pallas_elbo.py) vs
+the round-3 diagonal path (fused decode+NLL kernel + jnp analytic KL).
+
+The published optimum is MVG, but the framework DEFAULT (ModelConfig())
+is diagonal -- this measures what the extension buys default-config
+users at the published fine-tune workload (38 crops of 25x25x8,
+reference train.py:68,376). Run on the TPU chip:
+
+    python benchmarks/diag_elbo_ab.py
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from qbold_vi_tpu.config import OPTIMAL
+from qbold_vi_tpu.models.vi import FineTuner
+from qbold_vi_tpu.train import optim as qoptim
+from qbold_vi_tpu.train import steps as qsteps
+
+
+def time_step(step_fn, state, key, batch, reps=50, blocks=3):
+    """bench.py's steady-state step timing (tunnel-safe: chained state,
+    one device_get per block, >=50 reps to amortise latency)."""
+    state, _ = step_fn(state, key, batch)     # compile
+    state, _ = step_fn(state, key, batch)
+    jax.device_get(jax.tree_util.tree_leaves(state.params)[0])[:1]
+    out = []
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, _ = step_fn(state, key, batch)
+        jax.device_get(jax.tree_util.tree_leaves(state.params)[0])[:1]
+        out.append((time.perf_counter() - t0) / reps)
+    return float(np.median(out))
+
+
+def main() -> None:
+    scan = OPTIMAL.scan
+    # the optimal config with the DIAGONAL posterior head
+    base = dataclasses.replace(
+        OPTIMAL, model=dataclasses.replace(OPTIMAL.model, use_mvg=False))
+
+    rng = np.random.default_rng(1)
+    b, cx, cy, cz = base.train.ft_batch_size, 25, 25, 8
+    mask = (rng.uniform(size=(b, cx, cy, cz, 1)) > 0.2).astype(np.float32)
+    batch = {
+        "images": jnp.asarray(np.abs(rng.normal(
+            size=(b, cx, cy, cz, scan.n_taus))).astype(np.float32) * 50 + 100),
+        "mask": jnp.asarray(mask),
+        "priors": jnp.asarray(rng.normal(
+            size=(b, cx, cy, cz, 4)).astype(np.float32) * 0.3),
+    }
+    n_vox = int(np.prod(batch["images"].shape[:-1]))
+    key = jax.random.PRNGKey(0)
+
+    results = {}
+    for label, fused_elbo in (("fused ELBO kernel (round 4)", "auto"),
+                              ("decode+NLL kernel + jnp KL (round 3)",
+                               "off")):
+        cfg = dataclasses.replace(
+            base, train=dataclasses.replace(base.train,
+                                            fused_elbo=fused_elbo))
+        tuner = FineTuner(cfg.model, scan,
+                          full_model=cfg.train.full_model,
+                          use_blood=cfg.train.use_blood)
+        params = jax.jit(tuner.init)(jax.random.PRNGKey(2),
+                                     batch["images"][:1])
+        optimizer = qoptim.make_finetune_optimizer(cfg.train)
+        state = qsteps.TrainState(params, optimizer.init(params), None,
+                                  jnp.zeros([], jnp.int32))
+        step_fn = qsteps.make_finetune_step(tuner, cfg, optimizer)
+        dt = time_step(step_fn, state, key, batch)
+        results[label] = dt
+        print(f"{label}: {dt * 1e3:.2f} ms/step "
+              f"({n_vox / dt / 1e6:.1f} M voxels/s)", flush=True)
+
+    a = results["fused ELBO kernel (round 4)"]
+    o = results["decode+NLL kernel + jnp KL (round 3)"]
+    print(f"speedup: {o / a:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -214,7 +214,7 @@ def launch_workers(n_processes: int, devices_per_process: int,
     on timeout (never by pattern)."""
     workdir = workdir or tempfile.mkdtemp(prefix="qbold_multihost_")
     port = _free_port()
-    procs, outs, logs = [], [], []
+    procs, outs, logs, handles = [], [], [], []
     env = dict(os.environ)   # keep PYTHONPATH: replacing it drops the
     # environment's sitecustomize and with it backend registration
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
@@ -233,6 +233,7 @@ def launch_workers(n_processes: int, devices_per_process: int,
         procs.append(subprocess.Popen(cmd, stdout=log, stderr=log, env=env))
         outs.append(out)
         logs.append(log_path)
+        handles.append(log)
     deadline = time.time() + timeout_s
     try:
         for proc, log_path in zip(procs, logs):
@@ -256,6 +257,8 @@ def launch_workers(n_processes: int, devices_per_process: int,
         for pr in procs:
             if pr.poll() is None:
                 pr.kill()
+        for h in handles:
+            h.close()
     results = []
     for out in outs:
         with open(out) as f:

@@ -44,6 +44,33 @@ def test_baseline_reads_npz(tmp_path):
     assert os.path.isfile(out + "_oef.nii.gz")
 
 
+def test_ini_flag_loads_scan_and_synth(tmp_path):
+    """--ini loads the reference's INI losslessly: scanner constants AND
+    the synthetic-population section (round-3 verdict missing #2); --set
+    still overrides on top; a typo'd --set key raises with a
+    did-you-mean unless --allow-unknown-keys."""
+    from qbold_vi_tpu.cli import _load_cfg, build_parser
+    from qbold_vi_tpu.config import UnknownConfigKeyError
+
+    parser = build_parser()
+    args = parser.parse_args([
+        "synth", "--ini", "/root/reference/config",
+        "--set", "sample_size=77"])
+    cfg = _load_cfg(args)
+    assert cfg.scan.n_taus == 11
+    assert cfg.synth.oef_std == pytest.approx(0.2)
+    assert cfg.synth.dbv_mean == pytest.approx(0.025)
+    assert cfg.synth.sample_size == 77          # --set wins over INI
+
+    bad = parser.parse_args(["synth", "--set", "pt_lrr=1e-3"])
+    with pytest.raises(UnknownConfigKeyError, match="pt_lr"):
+        _load_cfg(bad)
+    ok = parser.parse_args(["synth", "--set", "pt_lrr=1e-3",
+                            "--allow-unknown-keys"])
+    with pytest.warns(UserWarning, match="pt_lrr"):
+        _load_cfg(ok)
+
+
 def test_transfer_command(tmp_path):
     save = str(tmp_path / "src")
     rc = main(["train", "--smoke",
