@@ -61,10 +61,11 @@ from .pallas_summarize import _box_muller
 __all__ = ["make_fused_elbo", "fused_elbo_available"]
 
 # Lane sweep on v5e at the published 38x25x25x8 workload (value+grad,
-# chained timing): 256 -> 10.18 ms, 512 -> 9.29 ms (-9%), 1024 -> OOM
-# in scoped VMEM on the backward pass (29.9M > 16M: it keeps ~4*T tau
-# tiles + 10 KL accumulators live per block, like pallas_decode at
-# 1024).
+# chained timing): 256 -> 10.18 ms, 512 -> 9.29 ms (-9%); 1024 OOM'd
+# in scoped VMEM at the old 16 MB budget and, re-probed under the 64 MB
+# budget (round 4), compiles but runs 17% SLOWER than 512 (2.43 vs
+# 2.08 ms kernel-only -- the wider backward spills its ~4*T tau tiles
+# + 10 KL accumulators).
 _LANES = 512
 # Raised scoped-VMEM budget (default 16 MB): the backward's recompute
 # working set (~2*T tau tiles + the 10 KL accumulators + the 2T+5-tile

@@ -64,10 +64,17 @@ def _tiny_cfg(batch: int):
     )
 
 
-def workload_metrics(n_steps: int = 2) -> dict:
+def workload_metrics(n_steps: int = 2, with_trainer: bool = False,
+                     trainer_dir: Optional[str] = None) -> dict:
     """Run the multi-host certification workload on the CURRENT backend
     (single- or multi-process) over a global mesh of ALL devices and
-    return its replicated metrics."""
+    return its replicated metrics.
+
+    ``with_trainer`` additionally drives a REAL ``Trainer.pretrain``
+    (streaming sharded epochs over the global mesh, process-0-only
+    checkpoint write to ``trainer_dir``, replicated eval) and reports
+    its held-out validation loss -- the orchestration layer itself
+    certified multi-process, not just the step functions."""
     import jax
     import jax.numpy as jnp
 
@@ -147,7 +154,7 @@ def workload_metrics(n_steps: int = 2) -> dict:
     ev = eval_fn(params, jax.random.PRNGKey(0), batch)
     eval_loss = float(jax.device_get(ev["val_loss"]))
 
-    return {
+    out = {
         "process_count": jax.process_count(),
         "process_index": jax.process_index(),
         "global_devices": n_dev,
@@ -157,6 +164,31 @@ def workload_metrics(n_steps: int = 2) -> dict:
         "eval_loss": eval_loss,
         "local_eval_rows": [int(lo), int(hi)],
     }
+
+    if with_trainer:
+        # 4. the ORCHESTRATION layer end to end: Trainer.pretrain over
+        # the global mesh (streaming sharded epochs; _save_state writes
+        # from process 0 only; _log reports from process 0 only but the
+        # NaN tripwire runs everywhere; the eval batch replicates
+        # multi-process-safely through mesh.replicate)
+        import dataclasses
+
+        from ..train.trainer import Trainer
+
+        tdir = trainer_dir or tempfile.mkdtemp(prefix="qbold_mh_trainer_")
+        tcfg = dataclasses.replace(
+            cfg,
+            synth=dataclasses.replace(cfg.synth, sample_size=40),
+            train=dataclasses.replace(
+                cfg.train, pt_on_device_synth=True, no_pt_epochs=1,
+                pt_batch_size=n_dev + 1, save_directory=tdir,
+                swa_start=1, swa_period=1))
+        tr = Trainer(tcfg, mesh=mesh, logger=lambda *_: None)
+        tr.pretrain()
+        out["trainer_val_loss"] = float(
+            tr.pretrain_val_metrics(fold=True)["val_loss"])
+        out["trainer_ckpt_exists"] = os.path.isfile(tr.pt_path)
+    return out
 
 
 # ---- worker entry --------------------------------------------------------------------
@@ -169,6 +201,7 @@ def _worker_main(argv=None) -> int:
     p.add_argument("--process-id", type=int, required=True)
     p.add_argument("--devices-per-process", type=int, required=True)
     p.add_argument("--steps", type=int, default=2)
+    p.add_argument("--trainer", action="store_true")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
 
@@ -187,7 +220,10 @@ def _worker_main(argv=None) -> int:
     jax.distributed.initialize(args.coordinator, args.num_processes,
                                args.process_id)
 
-    out = workload_metrics(n_steps=args.steps)
+    out = workload_metrics(
+        n_steps=args.steps, with_trainer=args.trainer,
+        trainer_dir=os.path.join(os.path.dirname(args.out),
+                                 "trainer_ckpt"))
     with open(args.out + ".tmp", "w") as f:
         json.dump(out, f)
     os.replace(args.out + ".tmp", args.out)   # atomic: parent polls
@@ -208,7 +244,8 @@ def _free_port() -> int:
 
 def launch_workers(n_processes: int, devices_per_process: int,
                    n_steps: int = 2, timeout_s: float = 900.0,
-                   workdir: Optional[str] = None) -> list:
+                   workdir: Optional[str] = None,
+                   with_trainer: bool = False) -> list:
     """Spawn the worker processes, wait, and return their metric dicts
     (ordered by process id). Workers are killed by direct Popen handle
     on timeout (never by pattern)."""
@@ -230,6 +267,8 @@ def launch_workers(n_processes: int, devices_per_process: int,
                "--process-id", str(pid),
                "--devices-per-process", str(devices_per_process),
                "--steps", str(n_steps), "--out", out]
+        if with_trainer:
+            cmd.append("--trainer")
         procs.append(subprocess.Popen(cmd, stdout=log, stderr=log, env=env))
         outs.append(out)
         logs.append(log_path)
@@ -268,7 +307,7 @@ def launch_workers(n_processes: int, devices_per_process: int,
 
 def certify(n_processes: int, n_devices_total: int, n_steps: int = 2,
             timeout_s: float = 900.0, reference: Optional[dict] = None,
-            rtol: float = 2e-5) -> dict:
+            rtol: float = 2e-5, with_trainer: bool = False) -> dict:
     """End-to-end multi-process certification with gradient/loss parity.
 
     Runs the workload single-process (``reference``, computed here over
@@ -287,11 +326,17 @@ def certify(n_processes: int, n_devices_total: int, n_steps: int = 2,
             raise RuntimeError(
                 f"reference run needs {n_devices_total} local devices, "
                 f"have {len(jax.devices())}")
-        reference = workload_metrics(n_steps=n_steps)
+        reference = workload_metrics(n_steps=n_steps,
+                                     with_trainer=with_trainer)
     workers = launch_workers(n_processes, n_devices_total // n_processes,
-                             n_steps=n_steps, timeout_s=timeout_s)
+                             n_steps=n_steps, timeout_s=timeout_s,
+                             with_trainer=with_trainer)
 
     keys = ("ft_loss", "param_norm", "stream_loss", "eval_loss")
+    if with_trainer:
+        keys = keys + ("trainer_val_loss",)
+        assert workers[0]["trainer_ckpt_exists"], \
+            "process-0 Trainer checkpoint was not written" 
     w0 = workers[0]
     assert w0["process_count"] == n_processes, w0
     assert w0["global_devices"] == n_devices_total, w0
@@ -324,6 +369,8 @@ def certify(n_processes: int, n_devices_total: int, n_steps: int = 2,
         "single_process_ft_loss": reference["ft_loss"],
         "parity_rtol": rtol,
         "per_host_eval_rows": [w["local_eval_rows"] for w in workers],
+        **({"trainer_val_loss": w0["trainer_val_loss"]}
+           if with_trainer else {}),
         "ok": True,
     }
 

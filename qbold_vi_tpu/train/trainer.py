@@ -143,6 +143,12 @@ def _config_fingerprint(cfg: QBoldConfig, *, legacy: bool = False) -> np.uint64:
 def _save_state(path: str, state: TrainState,
                 cfg: Optional[QBoldConfig] = None,
                 steps_per_epoch: int = 0) -> None:
+    if jax.process_index() != 0:
+        # multi-host: params/opt-state are replicated, so process 0's
+        # write IS the checkpoint -- concurrent writers on a shared
+        # filesystem would race on the same path (every process still
+        # RESTORES, trainer._load_state)
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
         "params": state.params,
@@ -375,9 +381,15 @@ class Trainer:
 
     def _log(self, phase: str, step: int, metrics: dict) -> None:
         metrics = {k: float(v) for k, v in metrics.items()}
-        self.logger(phase, step, metrics)
-        if self.wandb_run is not None:
-            self.wandb_run.log(metrics)
+        if jax.process_index() == 0:
+            # multi-host: metrics are replicated -- one process reports
+            # (duplicate wandb.log calls would double every curve)
+            self.logger(phase, step, metrics)
+            if self.wandb_run is not None:
+                self.wandb_run.log(metrics)
+        # the NaN tripwire runs on EVERY process (replicated metrics ->
+        # all processes raise together instead of one hanging the
+        # collective)
         if not all(np.isfinite(v) for k, v in metrics.items()
                    if k not in self._TRIPWIRE_EXEMPT):
             raise NaNLossError(f"non-finite metrics at {phase} step {step}: "

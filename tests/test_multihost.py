@@ -52,19 +52,23 @@ class TestMultiProcess:
 
     def test_two_process_parity_with_single_process(self):
         """2 processes x 4 CPU devices run the sharded fine-tune epoch,
-        the streaming pretrain step and a per-host-fed eval over the
-        SAME global 8-device mesh as this process -- every replicated
-        metric must agree bit-for-bit between the workers and with the
-        single-process run within collective-reduction fp tolerance."""
+        the streaming pretrain step, a per-host-fed eval AND a real
+        Trainer.pretrain (streaming sharded epochs, process-0-only
+        checkpointing) over the SAME global 8-device mesh as this
+        process -- every replicated metric must agree bit-for-bit
+        between the workers and with the single-process run within
+        collective-reduction fp tolerance."""
         from qbold_vi_tpu.parallel import multihost
 
         assert jax.device_count() == 8
-        out = multihost.certify(2, 8, n_steps=2, timeout_s=1500.0)
+        out = multihost.certify(2, 8, n_steps=2, timeout_s=1500.0,
+                                with_trainer=True)
         assert out["ok"]
         assert out["processes"] == 2 and out["devices_per_process"] == 4
         assert np.all(np.isfinite(out["ft_loss"]))
         assert np.isfinite(out["stream_loss"])
         assert np.isfinite(out["eval_loss"])
+        assert np.isfinite(out["trainer_val_loss"])
         # per-host feeding really fed disjoint tiles of the global batch
         rows = sorted(out["per_host_eval_rows"])
         assert rows == [[0, 8], [8, 16]]
