@@ -161,26 +161,33 @@ def main() -> None:
     note(f"infer: {n_voxels} voxels in {dt * 1e3:.1f} ms "
          f"({vps / 1e6:.2f} M voxels/s)")
 
-    def stage_plan(name: str, full_reps: int, full_blocks: int):
+    reduced_stages: list = []
+
+    def stage_plan(name: str, full_reps: int, full_blocks: int,
+                   stage_key: str = ""):
         """(reps, blocks) for an informational stage under the wall-time
         budget: full fidelity inside the budget; a reduced-reps pass (the
         compile dominates anyway; the note flags that low reps OVERSTATE
         per-step time by tunnel-latency/reps) until 2x budget; skipped
         only past the hard cap -- so the round artifact carries a number
-        for every stage instead of NaN (round-3 verdict weak #6)."""
+        for every stage instead of NaN (round-3 verdict weak #6).
+        Reduced stages are RECORDED in the JSON (stages.reduced_fidelity)
+        so artifact consumers never mistake an upper bound for a
+        regression."""
         elapsed = time.time() - t_start
         if elapsed < budget:
             return full_reps, full_blocks
         if elapsed < 2 * budget:
             note(f"budget spent; timing {name} at reduced reps "
                  f"(upper bound: low reps overstate per-step time)")
+            reduced_stages.append(stage_key or name)
             return 10, 1
         note(f"hard budget (2x) spent; skipping {name}")
         return 0, 0
 
     # Informational: jitted WLS throughput (same volumes).
     wls_dt = float("nan")
-    reps, blocks = stage_plan("WLS baseline", 80, 5)
+    reps, blocks = stage_plan("WLS baseline", 80, 5, "wls")
     if reps:
         @jax.jit
         def chain_wls(out, imgs):
@@ -195,7 +202,8 @@ def main() -> None:
     # workload (batch 38 crops of 25x25x8, reference train.py:68,376).
     ft_dt = float("nan")
     ft_vox = 0
-    ft_reps, ft_blocks = stage_plan("fine-tune step", 50, 3)
+    ft_reps, ft_blocks = stage_plan("fine-tune step", 50, 3,
+                                "ft_step")
     if ft_reps:
         from qbold_vi_tpu.train import optim as qoptim
         from qbold_vi_tpu.train import steps as qsteps
@@ -217,26 +225,14 @@ def main() -> None:
                                   jnp.zeros([], jnp.int32))
         step_fn = qsteps.make_finetune_step(tuner, cfg, optimizer)
 
-        def time_step(step_fn, state, reps=50, blocks=3):
-            """Median-of-blocks steady-state step timing: warm twice,
-            then ``blocks`` chained runs of ``reps`` steps each with one
-            device_get sync per block (CLAUDE.md tunnel-latency rules:
-            >=50 reps amortises the ~35-40 ms per-block round-trip)."""
-            state, _ = step_fn(state, key, batch)     # compile
-            state, _ = step_fn(state, key, batch)
-            jax.device_get(jax.tree_util.tree_leaves(state.params)[0])[:1]
-            out = []
-            for _ in range(blocks):
-                t0 = time.perf_counter()
-                for _ in range(reps):
-                    state, _ = step_fn(state, key, batch)
-                jax.device_get(jax.tree_util.tree_leaves(state.params)[0])[:1]
-                out.append((time.perf_counter() - t0) / reps)
-            return float(np.median(out))
+        # the canonical tunnel-safe step timer (single owner; the
+        # latency-amortisation rationale lives on the helper)
+        from qbold_vi_tpu.utils.profiling import steady_state_step_time
 
         note("compiling + timing fine-tune step (production default: "
              "fused ELBO kernel + auto trunk)...")
-        ft_dt = time_step(step_fn, state, reps=ft_reps, blocks=ft_blocks)
+        ft_dt = steady_state_step_time(step_fn, state, key, batch,
+                                       reps=ft_reps, blocks=ft_blocks)
         ft_vox = int(np.prod(batch["images"].shape[:-1]))
         note(f"ft step: {ft_dt * 1e3:.1f} ms "
              f"({ft_vox / ft_dt / 1e6:.2f} M voxels/s)")
@@ -246,7 +242,8 @@ def main() -> None:
     # quality-gated neutral at scale, benchmarks/RESULTS.md;
     # distribution/sigma heads and all loss math stay fp32 either way).
     ft_fp32_dt = float("nan")
-    fp_reps, fp_blocks = (stage_plan("fp32-trunk fine-tune step", 50, 3)
+    fp_reps, fp_blocks = (stage_plan("fp32-trunk fine-tune step",
+                                 50, 3, "ft_step_fp32_trunk")
                           if ft_vox else (0, 0))
     if fp_reps:
         import dataclasses
@@ -264,8 +261,8 @@ def main() -> None:
                                   jnp.zeros([], jnp.int32))
         step_fn = qsteps.make_finetune_step(tuner_fp32, cfg_fp32, optimizer)
         note("compiling + timing fine-tune step (fp32 trunk)...")
-        ft_fp32_dt = time_step(step_fn, state, reps=fp_reps,
-                               blocks=fp_blocks)
+        ft_fp32_dt = steady_state_step_time(step_fn, state, key, batch,
+                                            reps=fp_reps, blocks=fp_blocks)
         note(f"ft step (fp32 trunk): {ft_fp32_dt * 1e3:.1f} ms "
              f"({ft_vox / ft_fp32_dt / 1e6:.2f} M voxels/s)")
     print(f"[bench] infer: {n_voxels} voxels in {dt * 1e3:.1f} ms "
@@ -295,6 +292,10 @@ def main() -> None:
             "ft_step_mvoxels_per_sec": (
                 _num(ft_vox / ft_dt, 1e-6) if ft_vox else None),
             "ft_step_fp32_trunk_ms": _num(ft_fp32_dt, 1e3),
+            # stages timed at reduced reps after the budget tripped:
+            # their numbers are UPPER BOUNDS (latency/reps inflation),
+            # not comparable with full-fidelity rounds
+            "reduced_fidelity": reduced_stages,
         },
     }))
 

@@ -28,22 +28,7 @@ from qbold_vi_tpu.config import OPTIMAL
 from qbold_vi_tpu.models.vi import FineTuner
 from qbold_vi_tpu.train import optim as qoptim
 from qbold_vi_tpu.train import steps as qsteps
-
-
-def time_step(step_fn, state, key, batch, reps=50, blocks=3):
-    """bench.py's steady-state step timing (tunnel-safe: chained state,
-    one device_get per block, >=50 reps to amortise latency)."""
-    state, _ = step_fn(state, key, batch)     # compile
-    state, _ = step_fn(state, key, batch)
-    jax.device_get(jax.tree_util.tree_leaves(state.params)[0])[:1]
-    out = []
-    for _ in range(blocks):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            state, _ = step_fn(state, key, batch)
-        jax.device_get(jax.tree_util.tree_leaves(state.params)[0])[:1]
-        out.append((time.perf_counter() - t0) / reps)
-    return float(np.median(out))
+from qbold_vi_tpu.utils.profiling import steady_state_step_time
 
 
 def main() -> None:
@@ -81,7 +66,7 @@ def main() -> None:
         state = qsteps.TrainState(params, optimizer.init(params), None,
                                   jnp.zeros([], jnp.int32))
         step_fn = qsteps.make_finetune_step(tuner, cfg, optimizer)
-        dt = time_step(step_fn, state, key, batch)
+        dt = steady_state_step_time(step_fn, state, key, batch)
         results[label] = dt
         print(f"{label}: {dt * 1e3:.2f} ms/step "
               f"({n_vox / dt / 1e6:.1f} M voxels/s)", flush=True)

@@ -318,7 +318,10 @@ class UnknownConfigKeyError(KeyError):
     forward-compat YAML files."""
 
 
-def _unknown_key_error(key: str) -> UnknownConfigKeyError:
+def _unknown_key_error(key: str,
+                       remedy: str = "--allow-unknown-keys on the CLI / "
+                                     "strict=False in the API ignores "
+                                     "unknown keys") -> UnknownConfigKeyError:
     import difflib
 
     close = difflib.get_close_matches(str(key), sorted(known_flat_keys()),
@@ -327,7 +330,7 @@ def _unknown_key_error(key: str) -> UnknownConfigKeyError:
     return UnknownConfigKeyError(
         f"unknown config key {key!r}{hint} (known keys: flat reference "
         f"keys and ScanParams/SynthParams/ModelConfig/TrainConfig field "
-        f"names; pass strict=False to ignore unknown keys)")
+        f"names; {remedy})")
 
 
 def apply_flat_overrides(cfg: QBoldConfig, overrides: Mapping[str, Any],

@@ -248,7 +248,35 @@ def launch_workers(n_processes: int, devices_per_process: int,
                    with_trainer: bool = False) -> list:
     """Spawn the worker processes, wait, and return their metric dicts
     (ordered by process id). Workers are killed by direct Popen handle
-    on timeout (never by pattern)."""
+    on timeout (never by pattern).
+
+    The coordinator port comes from a probe socket that is closed
+    before the workers bind it (unavoidable TOCTOU); a concurrent run
+    on the same machine can steal it in the gap, so a failure that
+    looks like a bind/connect problem retries ONCE on a fresh port."""
+    last: Optional[RuntimeError] = None
+    for attempt in range(2):
+        try:
+            return _launch_once(n_processes, devices_per_process, n_steps,
+                                timeout_s, workdir, with_trainer)
+        except RuntimeError as e:
+            msg = str(e).lower()
+            racy = any(t in msg for t in (
+                "bind", "address already", "unavailable", "deadline",
+                "failed to connect", "connection refused"))
+            if attempt == 0 and racy:
+                print(f"[multihost] worker launch failed with a "
+                      f"bind/connect-shaped error; retrying on a fresh "
+                      f"port: {e}", file=sys.stderr)
+                last = e
+                continue
+            raise
+    raise last
+
+
+def _launch_once(n_processes: int, devices_per_process: int,
+                 n_steps: int, timeout_s: float,
+                 workdir: Optional[str], with_trainer: bool) -> list:
     workdir = workdir or tempfile.mkdtemp(prefix="qbold_multihost_")
     port = _free_port()
     procs, outs, logs, handles = [], [], [], []

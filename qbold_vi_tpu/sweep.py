@@ -126,11 +126,18 @@ def run_wandb_agent(sweep_id: str, cfg: QBoldConfig,
                 except TypeError as te:
                     # signature() lied (C-impl whose introspection
                     # failed, has_kwarg defaulted True): fall back to the
-                    # bare call ONLY when the TypeError is about the
-                    # kwarg itself -- a TypeError raised INSIDE finish()
-                    # must propagate, or we'd double-finish the run
-                    if ("exit_code" not in str(te)
-                            and "unexpected keyword" not in str(te)):
+                    # bare call ONLY when the TypeError is the kwarg
+                    # BINDING failing -- such an error carries no frames
+                    # beyond the call site (tb_next is None: finish()
+                    # never ran). A TypeError raised INSIDE finish()
+                    # (tb_next set) must propagate even if its message
+                    # happens to mention 'exit_code', or we would
+                    # double-finish a partially-torn-down run.
+                    binding_failure = (te.__traceback__ is not None
+                                       and te.__traceback__.tb_next is None)
+                    kwarg_msg = ("exit_code" in str(te)
+                                 or "unexpected keyword" in str(te))
+                    if not (binding_failure and kwarg_msg):
                         raise
                     has_kwarg = False
             if not has_kwarg:
@@ -733,7 +740,10 @@ def _check_space_keys(space: dict) -> None:
     known = known_flat_keys()
     for key in space:
         if key not in known:
-            raise _unknown_key_error(key)
+            raise _unknown_key_error(
+                key, remedy="fix the search-space dimension name -- a "
+                            "sweep over an unroutable key would train "
+                            "every trial on the same config")
 
 
 def parse_wandb_sweep(spec: dict) -> tuple[dict, str, str, str]:

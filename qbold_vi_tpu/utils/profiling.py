@@ -15,7 +15,8 @@ from typing import Any, Iterator, Optional
 import jax
 import numpy as np
 
-__all__ = ["trace", "StepTimer", "sync", "check_finite"]
+__all__ = ["trace", "StepTimer", "sync", "check_finite",
+           "steady_state_step_time"]
 
 
 @contextlib.contextmanager
@@ -40,6 +41,32 @@ def sync(tree: Any) -> None:
     if leaves:
         x = leaves[0]
         jax.device_get(x[(0,) * x.ndim] if x.ndim else x)
+
+
+def steady_state_step_time(step_fn, state, key, batch,
+                           reps: int = 50, blocks: int = 3) -> float:
+    """Median-of-blocks steady-state time of a chained train step.
+
+    THE canonical tunnel-safe step-timing discipline (single owner --
+    bench.py and benchmarks/diag_elbo_ab.py import it): warm twice
+    (compile + steady), then ``blocks`` runs of ``reps`` state-chained
+    steps each with ONE device-fetch sync per block. Every timed block
+    pays one ~35-40 ms tunnel round-trip between its closing fetch and
+    the next block's first dispatch landing, so >=50 reps amortise the
+    latency to <1% (small-rep blocks OVERSTATE per-step time by
+    latency/reps; CLAUDE.md). ``step_fn(state, key, batch) ->
+    (state, aux)``; returns seconds/step."""
+    state, _ = step_fn(state, key, batch)     # compile
+    state, _ = step_fn(state, key, batch)
+    sync(state.params if hasattr(state, "params") else state)
+    out = []
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, _ = step_fn(state, key, batch)
+        sync(state.params if hasattr(state, "params") else state)
+        out.append((time.perf_counter() - t0) / reps)
+    return float(np.median(out))
 
 
 class StepTimer:

@@ -81,7 +81,9 @@ class TestElboMapsSharded:
 
     def test_sharded_elbo_maps_nondivisible_subjects(self, rng):
         """Subject counts that do not divide the mesh pad-and-slice like
-        posterior_maps_sharded (a 14-subject cohort on 8 devices)."""
+        posterior_maps_sharded. 5 subjects on 8 devices: 3 padded
+        subjects AND devices holding only dead (all-zero-mask) subjects
+        -- stronger than a merely ragged cohort."""
         from qbold_vi_tpu.infer import elbo_maps, elbo_maps_sharded
 
         cfg, tuner, params, data, priors, key = self._setup(rng, 5)
