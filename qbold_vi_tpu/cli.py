@@ -52,11 +52,33 @@ def _maybe_wandb(cfg: QBoldConfig):
 
 
 def cmd_train(args) -> int:
-    """Two-phase training (reference: train.py:188-282)."""
+    """Two-phase training (reference: train.py:188-282).
+
+    Multi-HOST: every host runs this same command with ``--coordinator
+    host:port --num-processes N --process-id i`` (+ ``--mesh``); the
+    global mesh spans all hosts' devices, collectives ride ICI/DCN,
+    checkpoints/logs come from process 0 (parallel/multihost.py is the
+    certification harness for this path). ``QBOLD_CPU_DEVICES=k``
+    forces a k-device CPU backend (virtual-mesh runs / CPU workers).
+    """
     import dataclasses
 
-    from .parallel import make_mesh
+    import jax
+
+    n_cpu = os.environ.get("QBOLD_CPU_DEVICES")
+    if n_cpu:
+        # must precede first backend use; the environment's
+        # sitecustomize-forced platform list only yields to
+        # jax.config.update (tests/conftest.py does the same)
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", int(n_cpu))
+
+    from .parallel import initialize_distributed, make_mesh
     from .train.trainer import Trainer
+
+    initialize_distributed(getattr(args, "coordinator", None),
+                           getattr(args, "num_processes", None),
+                           getattr(args, "process_id", None))
 
     cfg = _load_cfg(args)
     if getattr(args, "smoke", False):
@@ -624,9 +646,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = add("train", help="two-phase training")
     sp.add_argument("--mesh", action="store_true",
-                    help="data-parallel over all local devices")
+                    help="data-parallel over all (global) devices")
     sp.add_argument("--smoke", action="store_true",
                     help="tiny end-to-end run (verification)")
+    sp.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                    help="multi-host: jax.distributed coordinator "
+                         "address (run the SAME command on every host "
+                         "with its own --process-id; checkpoints/logs "
+                         "come from process 0)")
+    sp.add_argument("--num-processes", type=int, default=None)
+    sp.add_argument("--process-id", type=int, default=None)
     sp.set_defaults(fn=cmd_train)
 
     sp = add("dryrun", help="multi-device sharding dry run")

@@ -47,9 +47,16 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
 
     Exercised end to end (multiple local processes + a coordinator, CPU
     collectives over gloo) by parallel/multihost.py -- `python -m
-    qbold_vi_tpu dryrun --processes N` and tests/test_multihost.py."""
+    qbold_vi_tpu dryrun --processes N`, `train --coordinator ...` and
+    tests/test_multihost.py."""
     if coordinator_address is None:
         return
+    try:
+        # cross-process CPU collectives need gloo; harmless for TPU
+        # backends (the knob only affects the CPU client)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
     jax.distributed.initialize(coordinator_address, num_processes, process_id)
 
 

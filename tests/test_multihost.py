@@ -47,6 +47,49 @@ class TestPerHostHelpers:
         assert a.sharding.is_equivalent_to(b.sharding, x.ndim)
 
 
+class TestCliMultiProcess:
+    """Multi-host training from the CLI: every host runs the same
+    `train` command with --coordinator/--num-processes/--process-id."""
+
+    def test_train_smoke_two_processes(self, tmp_path):
+        import os
+        import socket
+        import subprocess
+        import sys as _sys
+
+        s = socket.socket()
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+        s.close()
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        env["QBOLD_CPU_DEVICES"] = "4"
+        run_dir = str(tmp_path / "run")
+        procs = []
+        for pid in range(2):
+            cmd = [_sys.executable, "-m", "qbold_vi_tpu", "train",
+                   "--smoke", "--mesh",
+                   "--coordinator", f"localhost:{port}",
+                   "--num-processes", "2", "--process-id", str(pid),
+                   "--set", f"save_directory={run_dir}",
+                   "--set", "d=/definitely_missing"]
+            procs.append(subprocess.Popen(
+                cmd, env=env, cwd=repo, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True))
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+        assert all(p.returncode == 0 for p in procs), outs
+        # process 0 wrote the checkpoint; a second write would have
+        # raced on the same path
+        assert os.path.isfile(os.path.join(run_dir, "pt_model.msgpack"))
+        # logs come from process 0 only
+        assert "[pretrain 0]" in outs[0]
+        assert "[pretrain 0]" not in outs[1]
+
+
 class TestMultiProcess:
     """The real thing: N coordinated processes, one global mesh."""
 
