@@ -111,6 +111,31 @@ class TestElboMapsSharded:
         for k, v in out.items():
             assert np.all(np.isfinite(v)), k
 
+    def test_sharded_elbo_maps_population_prior(self, rng):
+        """With a learned population prior (and no dataset priors), the
+        kl map comes from the model's own prior on both paths and must
+        still match."""
+        import dataclasses
+
+        from qbold_vi_tpu.infer import elbo_maps, elbo_maps_sharded
+
+        cfg, _, _, data, _, key = self._setup(rng, 8)
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, use_population_prior=True))
+        tuner = FineTuner(cfg.model, SCAN)
+        params = tuner.init(key, jnp.asarray(data[:1, ..., :-1]))
+        assert "pop_prior" in params
+        mesh = make_mesh()
+        single = elbo_maps(tuner, cfg, params, data, None, key,
+                           no_samples=2, use_pallas_kl=False)
+        sharded = elbo_maps_sharded(tuner, cfg, params, data, None, key,
+                                    mesh, no_samples=2,
+                                    use_pallas_kl=False)
+        assert set(sharded) == {"likelihood", "kl", "residual"}
+        for k in single:
+            np.testing.assert_allclose(sharded[k], single[k], rtol=1e-5,
+                                       atol=1e-6, err_msg=k)
+
     def test_save_predictions_mesh_routes_sharded(self, rng, tmp_path,
                                                   monkeypatch):
         """save_predictions(mesh=..., fine_tuned=True) must route the

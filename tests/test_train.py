@@ -520,6 +520,73 @@ class TestShardedEpochParity:
                                        np.asarray(b_) / scale,
                                        rtol=5e-4, atol=5e-5)
 
+    def test_fused_elbo_diag_inside_shard_map(self, tmp_path, rng):
+        """The DIAGONAL kernel variant (analytic in-kernel KL, round 4)
+        composed with shard_map -- the default-config mesh path; exact
+        vs the jnp path under the same keys."""
+        import dataclasses
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from qbold_vi_tpu.config import (ModelConfig, QBoldConfig,
+                                         SynthParams, TrainConfig)
+        from qbold_vi_tpu.parallel.mesh import DATA_AXIS
+        from qbold_vi_tpu.train.steps import _finetune_terms
+
+        cfg = QBoldConfig(
+            scan=SCAN, synth=SynthParams(sample_size=40),
+            model=ModelConfig(no_units=4, no_intermediate_layers=1,
+                              student_t_df=200.0, use_mvg=False,
+                              predict_log_data=False),
+            train=TrainConfig(save_directory=str(tmp_path)))
+        tuner = FineTuner(cfg.model, cfg.scan)
+        params = tuner.init(jax.random.PRNGKey(7),
+                            jnp.zeros((1, 6, 6, 2, SCAN.n_taus)))
+        mesh = make_mesh()
+        b = mesh.devices.size
+        imgs = np.abs(rng.normal(size=(b, 6, 6, 2, SCAN.n_taus))
+                      ).astype(np.float32) * 50 + 100
+        mask = (rng.uniform(size=(b, 6, 6, 2, 1)) > 0.2).astype(np.float32)
+        pri = rng.normal(size=(b, 6, 6, 2, 4)).astype(np.float32) * 0.3
+        batch = {"images": jnp.asarray(imgs * mask),
+                 "mask": jnp.asarray(mask), "priors": jnp.asarray(pri)}
+        key = jax.random.PRNGKey(2)
+
+        def run(mode):
+            c = dataclasses.replace(cfg, train=dataclasses.replace(
+                cfg.train, fused_elbo=mode, fused_decode_nll="off"))
+
+            def local(p, batch_l, k):
+                d = jax.lax.axis_index(DATA_AXIS)
+                k = jax.random.fold_in(k, d)
+
+                def loss_fn(pp):
+                    total, _ = _finetune_terms(pp, k, batch_l, tuner, c,
+                                               axis_name=DATA_AXIS)
+                    return total
+
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                return (jax.lax.psum(loss, DATA_AXIS),
+                        jax.lax.psum(grads, DATA_AXIS))
+
+            spec = P(DATA_AXIS)
+            fn = shard_map(local, mesh=mesh,
+                           in_specs=(P(), spec, P()),
+                           out_specs=(P(), P()), check_vma=False)
+            return jax.jit(fn)(params, batch, key)
+
+        loss_f, grads_f = run("host-interpret")
+        loss_r, grads_r = run("off")
+        np.testing.assert_allclose(float(loss_f), float(loss_r),
+                                   rtol=1e-5, atol=1e-5)
+        for a, b_ in zip(jax.tree_util.tree_leaves(grads_f),
+                         jax.tree_util.tree_leaves(grads_r)):
+            scale = np.abs(np.asarray(b_)).max() + 1e-8
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b_) / scale,
+                                       rtol=5e-4, atol=5e-5)
+
     def test_sharded_infer_nondivisible_subjects(self, tmp_path, rng):
         """posterior_maps_sharded handles subject counts that do not
         divide the mesh (e.g. the 14-subject benchmark cohort on 8
