@@ -263,6 +263,22 @@ def _encode_q(tuner: FineTuner, params, images, use_first_op: bool = True):
     return q, jnp.concatenate(raw_log_stds, -1)
 
 
+def _fetch_global(x) -> np.ndarray:
+    """np.asarray for a possibly multi-PROCESS-sharded jax.Array: under
+    multi-host meshes a device-sharded output is not fully addressable
+    from any one process, so it is allgathered (DCN) to every host
+    first -- the sharded export paths then work identically single- and
+    multi-controller (certified by parallel/multihost.py's map stage)."""
+    if (hasattr(x, "is_fully_addressable") and not x.is_fully_addressable):
+        from jax.experimental import multihost_utils
+
+        # tiled=True is REQUIRED for global arrays; it reshards to
+        # fully-replicated (a real allgather over whichever axes are
+        # sharded) and fetches the global value
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def _pad_chunk(block: np.ndarray, chunk: int):
     """Zero-pad a ragged final subject chunk to the compiled chunk shape
     (padded subjects carry an all-zero mask). A second shape would
@@ -542,7 +558,7 @@ def posterior_maps_sharded(tuner: FineTuner, params, data: np.ndarray, key,
         out = jax.jit(fn)(block, jax.device_put(
             keys, jax.sharding.NamedSharding(mesh, spec)))
         shape = data.shape[:-1]
-        cat = {k2: np.moveaxis(np.asarray(v), 0, -1).reshape(
+        cat = {k2: np.moveaxis(_fetch_global(v), 0, -1).reshape(
                    shape + (v.shape[0],))[:n_subj]
                for k2, v in out.items()}
         means = cat["means"]
@@ -570,7 +586,7 @@ def posterior_maps_sharded(tuner: FineTuner, params, data: np.ndarray, key,
     out = jax.jit(fn)(block, jax.device_put(
         keys, jax.sharding.NamedSharding(mesh, spec)))
     cat = jax.tree_util.tree_map(
-        lambda x: np.asarray(x)[:n_subj], out)
+        lambda x: _fetch_global(x)[:n_subj], out)
     means = cat["means"]
     return {
         "oef": means[..., 0:1], "dbv": means[..., 1:2], "r2p": means[..., 2:3],
@@ -663,7 +679,8 @@ def elbo_maps_sharded(tuner: FineTuner, cfg: QBoldConfig, params,
     out = jax.jit(fn)(block, pri,
                       jax.device_put(np.asarray(keys),
                                      jax.sharding.NamedSharding(mesh, spec)))
-    return jax.tree_util.tree_map(lambda x: np.asarray(x)[:n_subj], out)
+    return jax.tree_util.tree_map(
+        lambda x: _fetch_global(x)[:n_subj], out)
 
 
 def elbo_maps(tuner: FineTuner, cfg: QBoldConfig, params, data: np.ndarray,

@@ -188,6 +188,20 @@ def workload_metrics(n_steps: int = 2, with_trainer: bool = False,
         out["trainer_val_loss"] = float(
             tr.pretrain_val_metrics(fold=True)["val_loss"])
         out["trainer_ckpt_exists"] = os.path.isfile(tr.pt_path)
+
+        # 5. the sharded EXPORT path multi-process: subject-sharded
+        # posterior maps over the global mesh with a NON-dividing
+        # subject count; infer._fetch_global allgathers the sharded
+        # outputs so host-side assembly is identical single- and
+        # multi-controller
+        from ..infer import posterior_maps_sharded
+
+        pdata = np.concatenate([vols, vols[:1]], 0)
+        maps = posterior_maps_sharded(tr.tuner, tr.state.params, pdata,
+                                      jax.random.PRNGKey(1), mesh,
+                                      no_samples=4, use_pallas=False)
+        assert maps["oef"].shape[0] == pdata.shape[0]
+        out["maps_oef_sum"] = float(np.sum(np.float64(maps["oef"])))
     return out
 
 
@@ -362,7 +376,7 @@ def certify(n_processes: int, n_devices_total: int, n_steps: int = 2,
 
     keys = ("ft_loss", "param_norm", "stream_loss", "eval_loss")
     if with_trainer:
-        keys = keys + ("trainer_val_loss",)
+        keys = keys + ("trainer_val_loss", "maps_oef_sum")
         assert workers[0]["trainer_ckpt_exists"], \
             "process-0 Trainer checkpoint was not written" 
     w0 = workers[0]
