@@ -73,7 +73,27 @@ def main() -> None:
 
     a = results["fused ELBO kernel (round 4)"]
     o = results["decode+NLL kernel + jnp KL (round 3)"]
-    print(f"speedup: {o / a:.2f}x")
+    ratio = o / a
+    # Regression gate, machine-readable: the diagonal in-kernel KL is
+    # documented as COVERAGE-parity at s_nll=1 (RESULTS.md "coverage,
+    # not speed": 7.50 vs 7.16 ms, within tunnel spread), so the check
+    # is that it has not silently become a real slowdown. 0.80x allows
+    # the measured parity band + day-to-day tunnel spread; below that
+    # the auto default should stop adopting the kernel for diagonal
+    # posteriors and this gate turns red.
+    verdict = "ok" if ratio >= 0.80 else "REGRESSION"
+    print(f"speedup: {ratio:.2f}x ({verdict})")
+    import json
+    print(json.dumps({
+        "workload": "diag_finetune_step_38x25x25x8",
+        "fused_elbo_ms": a * 1e3,
+        "fallback_ms": o * 1e3,
+        "speedup_x": ratio,
+        "parity_threshold_x": 0.80,
+        "verdict": verdict,
+    }))
+    if verdict != "ok":
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

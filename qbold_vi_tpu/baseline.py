@@ -48,7 +48,6 @@ def fit_wls(signals: jax.Array, scan: ScanParams):
     ln_s = jnp.log(signals)
     ln_s = jnp.where(jnp.isfinite(ln_s), ln_s, 0.0)
 
-    fit_mask = (taus > 0.016).astype(ln_s.dtype)
     w = jnp.where(taus > 0.016, 1.0 / jnp.where(taus > 0.016, taus, 1.0), 0.0)
 
     # Weighted first/second moments over the tau axis (the WLS normal
@@ -58,7 +57,6 @@ def fit_wls(signals: jax.Array, scan: ScanParams):
     var_t = jnp.sum(w * jnp.square(taus - mean_t)) / sw
     mean_y = jnp.sum(w * ln_s, axis=-1, keepdims=True) / sw
     cov_ty = jnp.sum(w * (taus - mean_t) * ln_s, axis=-1, keepdims=True) / sw
-    del fit_mask
 
     slope = cov_ty / var_t
     intercept = mean_y - slope * mean_t

@@ -93,7 +93,6 @@ def cmd_train(args) -> int:
                                       no_ft_epochs=1, ft_steps_per_epoch=2,
                                       pt_batch_size=4),
         )
-    import jax
     mesh = make_mesh() if (args.mesh and jax.device_count() > 1) else None
     trainer = Trainer(cfg, mesh=mesh, wandb_run=_maybe_wandb(cfg))
     trainer.pretrain()
@@ -113,7 +112,6 @@ def cmd_train(args) -> int:
     train_data = real["train"]
     hyperv, baseline, study = real["hyperv"], real["baseline"], real["study"]
 
-    import jax
     from . import infer
 
     # Post-pretrain artifacts + population stats for prior initialisation
@@ -462,7 +460,8 @@ def cmd_dryrun(args) -> int:
 
     if args.processes > 1:
         from .parallel import multihost
-        out = multihost.certify(args.processes, args.devices)
+        out = multihost.certify(args.processes, args.devices,
+                                with_trainer=True)
         print(json.dumps(out))
         return 0
 
@@ -579,10 +578,20 @@ def cmd_sweep(args) -> int:
         # (sweep.population_full_run for the two-phase program)
         print(f"two-phase objective: vmapped populations of "
               f"{args.parallel_trials} trials per dispatch", file=sys.stderr)
+    mesh = None
+    if getattr(args, "mesh", False) and args.parallel_trials > 1:
+        import jax
+
+        from .parallel import make_mesh
+        if jax.device_count() > 1:
+            mesh = make_mesh()
+            print(f"population trial axis sharded over "
+                  f"{mesh.devices.size} devices", file=sys.stderr)
     if getattr(args, "agent", None):
         from .sweep import run_wandb_agent
         n = run_wandb_agent(args.agent, cfg, count=args.trials or None,
-                            run_fn=run_fn)
+                            run_fn=run_fn,
+                            parallel_trials=args.parallel_trials)
         print(json.dumps({"agent": args.agent, "trials_run": n}))
         return 0
     if args.space:
@@ -606,12 +615,14 @@ def cmd_sweep(args) -> int:
             results = bayes_search(cfg, space, n_trials=args.trials,
                                    metric=metric, run_fn=run_fn,
                                    maximize=goal == "maximize",
-                                   parallel_trials=args.parallel_trials)
+                                   parallel_trials=args.parallel_trials,
+                                   mesh=mesh)
         else:
             results = random_search(cfg, space, n_trials=args.trials,
                                     metric=metric, run_fn=run_fn,
                                     maximize=goal == "maximize",
-                                    parallel_trials=args.parallel_trials)
+                                    parallel_trials=args.parallel_trials,
+                                    mesh=mesh)
     else:
         from .sweep import run_grid_sweep
         results = run_grid_sweep(cfg, layers=args.layers, units=args.units,
@@ -763,6 +774,10 @@ def build_parser() -> argparse.ArgumentParser:
                     dest="parallel_trials",
                     help="train this many trials per dispatch as ONE "
                          "vmapped population (default objective only)")
+    sp.add_argument("--mesh", action="store_true",
+                    help="shard the population's trial axis over all "
+                         "devices (trials x data parallelism; needs "
+                         "--parallel-trials > 1)")
     sp.add_argument("--agent", default=None, metavar="SWEEP_ID",
                     help="attach to an existing wandb sweep service as "
                          "an agent (wandb proposes, val_elbo reports "

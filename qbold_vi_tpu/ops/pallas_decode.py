@@ -33,6 +33,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import custom_batching
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -327,6 +328,27 @@ def _pack_rows(x, n_pad, lanes):
     return out.reshape(nb, _SUB, lanes)
 
 
+def _fold_to_rows(axis_size, in_batched, args):
+    """vmap fold rule body shared by the fused kernels: collapse a
+    leading batch ("population trial") axis into the flat voxel-row
+    axis. The kernels are row-local -- every output row depends only on
+    that row's inputs -- so running ONE kernel over the (P*N) stacked
+    rows is exact per row (bit-equal for explicit-noise variants; the
+    same tile arithmetic for all). Unbatched args broadcast first;
+    custom_vmap guarantees batched axes sit at dim 0."""
+    out = []
+    for a, b in zip(args, in_batched):
+        if not b:
+            a = jnp.broadcast_to(a, (axis_size,) + a.shape)
+        out.append(a.reshape((-1,) + a.shape[2:]))
+    return out
+
+
+def _unfold_rows(axis_size, x):
+    """(P*N, ...) -> (P, N, ...)."""
+    return x.reshape((axis_size, x.shape[0] // axis_size) + x.shape[1:])
+
+
 def _pack_taus(x, n_pad, lanes):
     """(N, T) -> (NB, T, 8, L)."""
     n, t = x.shape
@@ -386,20 +408,25 @@ def make_fused_decode_nll(cfg: ModelConfig, scan: ScanParams,
         )(*packed)
         return out.reshape(n_pad)[:n]
 
-    @jax.custom_vjp
-    def rows(oef, dbv, y, sigma, mask):
+    # Both directions are custom_vmap'd with the trial-fold rule
+    # (_fold_to_rows): under jax.vmap -- the population-sweep programs,
+    # sweep.py -- ONE kernel runs over the (P*N) stacked rows instead of
+    # falling back to the jnp path (round-4 verdict #1). custom_vjp
+    # shields both from autodiff, so the custom_vmap rules only ever
+    # fire under pure batch traces (the supported composition).
+    @custom_batching.custom_vmap
+    def flat_fwd(oef, dbv, y, sigma, mask):
         n, n_pad, packed = _packed(oef, dbv, y, sigma, mask)
         return _run_fwd(n, n_pad, packed)
 
-    def rows_fwd(oef, dbv, y, sigma, mask):
-        # Pack ONCE; the backward pass reuses the packed tensors as its
-        # residuals instead of re-transposing every input.
-        n, n_pad, packed = _packed(oef, dbv, y, sigma, mask)
-        return _run_fwd(n, n_pad, packed), (n, n_pad, packed,
-                                            (y.shape, sigma.shape))
+    @flat_fwd.def_vmap
+    def _flat_fwd_vmap(axis_size, in_batched, *args):
+        out = flat_fwd(*_fold_to_rows(axis_size, in_batched, args))
+        return _unfold_rows(axis_size, out), True
 
-    def rows_bwd(res, ct):
-        n, n_pad, packed, (y_shape, sig_shape) = res
+    @custom_batching.custom_vmap
+    def flat_bwd(oef, dbv, y, sigma, mask, ct):
+        n, n_pad, packed = _packed(oef, dbv, y, sigma, mask)
         nb = n_pad // (_SUB * lanes)
         doef, ddbv, dsig, dy = pl.pallas_call(
             partial(_bwd_kernel, C=C),
@@ -421,7 +448,30 @@ def make_fused_decode_nll(cfg: ModelConfig, scan: ScanParams,
         ddbv = ddbv.reshape(n_pad)[:n]
         dsig = dsig.transpose(0, 2, 3, 1).reshape(n_pad, T)[:n]
         dy = dy.transpose(0, 2, 3, 1).reshape(n_pad, T)[:n]
-        return (doef, ddbv, dy, dsig, jnp.zeros((n,), doef.dtype))
+        return doef, ddbv, dsig, dy
+
+    @flat_bwd.def_vmap
+    def _flat_bwd_vmap(axis_size, in_batched, *args):
+        outs = flat_bwd(*_fold_to_rows(axis_size, in_batched, args))
+        return tuple(_unfold_rows(axis_size, o) for o in outs), (True,) * 4
+
+    @jax.custom_vjp
+    def rows(oef, dbv, y, sigma, mask):
+        return flat_fwd(oef, dbv, y, sigma, mask)
+
+    def rows_fwd(oef, dbv, y, sigma, mask):
+        # Raw args as residuals; the backward repacks them, and inside
+        # one jitted value_and_grad program XLA CSEs the fwd/bwd packing
+        # into a single transpose (saving packed tensors instead would
+        # break the trial-fold vmap rule, whose boundary must enclose
+        # pack -> kernel -> unpack).
+        return flat_fwd(oef, dbv, y, sigma, mask), (oef, dbv, y, sigma,
+                                                    mask)
+
+    def rows_bwd(res, ct):
+        doef, ddbv, dsig, dy = flat_bwd(*res, ct)
+        return (doef, ddbv, dy, dsig,
+                jnp.zeros(res[4].shape, doef.dtype))
 
     rows.defvjp(rows_fwd, rows_bwd)
     return rows

@@ -49,13 +49,15 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import custom_batching
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModelConfig, ScanParams
 from ..dist.logit_mvn import _whiten_apply, _whiten_factors
-from .pallas_decode import (_SUB, _consts, _nll_row, _nll_row_grads,
-                            _pack_rows, _pack_taus, fused_available)
+from .pallas_decode import (_SUB, _consts, _fold_to_rows, _nll_row,
+                            _nll_row_grads, _pack_rows, _pack_taus,
+                            _unfold_rows, fused_available)
 from .pallas_summarize import _box_muller
 
 __all__ = ["make_fused_elbo", "fused_elbo_available"]
@@ -511,53 +513,123 @@ def make_fused_elbo(cfg: ModelConfig, scan: ScanParams,
         return (unpack(dq, K), unpack(dp, K), unpack(dy, T),
                 unpack(dsig, T))
 
+    # ---- vmap support: fold a population-trial axis into the row axis.
+    # The kernels are row-local, so stacking P trials' rows into ONE
+    # (P*N)-row kernel is exact per row -- bit-equal for the host-noise
+    # variants, where the normals are explicit inputs that fold
+    # alongside their rows (gated in tests/test_pallas_elbo.py). Both
+    # directions get custom_vmap rules; custom_vjp shields them from
+    # autodiff so the rules only ever fire under pure batch traces.
+    n_z = (2 if mvg else 1) if host else 0
+
+    def _fold_z(axis_size, z, batched):
+        """(S, N, 2) noise [batched: (P, S, N, 2)] -> (S, P*N, 2), rows
+        trial-major to match _fold_to_rows' fold of q/p/y/sigma/mask."""
+        if not batched:
+            z = jnp.broadcast_to(z, (axis_size,) + z.shape)
+        return z.transpose(1, 0, 2, 3).reshape(z.shape[1], -1, 2)
+
+    def _fold_seed(axis_size, seed, batched):
+        """Per-trial seeds mix into ONE stream seed (odd-multiplier dot;
+        int32 wrap-around is defined). Noise stays independent across
+        trials because each trial's rows land in distinct row slots of
+        the per-tile PRNG stream; a folded run is therefore a valid
+        fresh draw, though not bit-identical to the serial per-trial
+        draws (the host-noise variants are, and carry the exactness
+        gates)."""
+        if not batched:
+            return seed
+        s = jnp.ravel(seed).astype(jnp.int32)
+        odd = 2 * jnp.arange(s.shape[0], dtype=jnp.int32) + 1
+        return jnp.sum(s * odd)
+
+    def _fold_args(axis_size, in_batched, args):
+        folded = _fold_to_rows(axis_size, in_batched[:5], args[:5])
+        i = 5
+        if host:
+            for _ in range(n_z):
+                folded.append(_fold_z(axis_size, args[i], in_batched[i]))
+                i += 1
+        else:
+            folded.append(_fold_seed(axis_size, args[i], in_batched[i]))
+            i += 1
+        if len(args) > i:   # backward: the two cotangent rows
+            folded.extend(_fold_to_rows(axis_size, in_batched[i:],
+                                        args[i:]))
+        return folded
+
+    @custom_batching.custom_vmap
+    def flat_fwd(*args):
+        if host:
+            n, n_pad, packed = _packed(*args)
+            return _run_fwd(n, n_pad, packed, None)
+        n, n_pad, packed = _packed(*args[:5])
+        return _run_fwd(n, n_pad, packed, args[5])
+
+    @flat_fwd.def_vmap
+    def _flat_fwd_vmap(axis_size, in_batched, *args):
+        nll, kl = flat_fwd(*_fold_args(axis_size, in_batched, args))
+        return ((_unfold_rows(axis_size, nll),
+                 _unfold_rows(axis_size, kl)), (True, True))
+
+    @custom_batching.custom_vmap
+    def flat_bwd(*args):
+        *main, ct_n, ct_k = args
+        if host:
+            n, n_pad, packed = _packed(*main)
+            return _run_bwd(n, n_pad, packed, None, ct_n, ct_k)
+        n, n_pad, packed = _packed(*main[:5])
+        return _run_bwd(n, n_pad, packed, main[5], ct_n, ct_k)
+
+    @flat_bwd.def_vmap
+    def _flat_bwd_vmap(axis_size, in_batched, *args):
+        outs = flat_bwd(*_fold_args(axis_size, in_batched, args))
+        return tuple(_unfold_rows(axis_size, o) for o in outs), (True,) * 4
+
+    # Raw args as residuals (repacked in the backward; XLA CSEs the
+    # fwd/bwd packing inside one value_and_grad program): the fold
+    # boundary must enclose pack -> kernel -> unpack, so packed tensors
+    # cannot be carried across it.
     if host and mvg:
         @jax.custom_vjp
         def rows(q, p, y, sigma, mask, z_nll, z_kl):
-            n, n_pad, packed = _packed(q, p, y, sigma, mask, z_nll, z_kl)
-            return _run_fwd(n, n_pad, packed, None)
+            return flat_fwd(q, p, y, sigma, mask, z_nll, z_kl)
 
-        def rows_fwd(q, p, y, sigma, mask, z_nll, z_kl):
-            n, n_pad, packed = _packed(q, p, y, sigma, mask, z_nll, z_kl)
-            return _run_fwd(n, n_pad, packed, None), (n, n_pad, packed)
+        def rows_fwd(*args):
+            return flat_fwd(*args), args
 
         def rows_bwd(res, cts):
-            n, n_pad, packed = res
-            dq, dp, dy, dsig = _run_bwd(n, n_pad, packed, None, *cts)
-            zeros = jnp.zeros((n,), jnp.float32)
-            return (dq, dp, dy, dsig, zeros,
+            dq, dp, dy, dsig = flat_bwd(*res, *cts)
+            n = res[4].shape[0]
+            return (dq, dp, dy, dsig, jnp.zeros((n,), jnp.float32),
                     jnp.zeros((s_nll, n, 2), jnp.float32),
                     jnp.zeros((s_kl, n, 2), jnp.float32))
     elif host:
         @jax.custom_vjp
         def rows(q, p, y, sigma, mask, z_nll):
-            n, n_pad, packed = _packed(q, p, y, sigma, mask, z_nll)
-            return _run_fwd(n, n_pad, packed, None)
+            return flat_fwd(q, p, y, sigma, mask, z_nll)
 
-        def rows_fwd(q, p, y, sigma, mask, z_nll):
-            n, n_pad, packed = _packed(q, p, y, sigma, mask, z_nll)
-            return _run_fwd(n, n_pad, packed, None), (n, n_pad, packed)
+        def rows_fwd(*args):
+            return flat_fwd(*args), args
 
         def rows_bwd(res, cts):
-            n, n_pad, packed = res
-            dq, dp, dy, dsig = _run_bwd(n, n_pad, packed, None, *cts)
+            dq, dp, dy, dsig = flat_bwd(*res, *cts)
+            n = res[4].shape[0]
             return (dq, dp, dy, dsig, jnp.zeros((n,), jnp.float32),
                     jnp.zeros((s_nll, n, 2), jnp.float32))
     else:
         @jax.custom_vjp
         def rows(q, p, y, sigma, mask, seed):
-            n, n_pad, packed = _packed(q, p, y, sigma, mask)
-            return _run_fwd(n, n_pad, packed, seed)
+            return flat_fwd(q, p, y, sigma, mask, seed)
 
-        def rows_fwd(q, p, y, sigma, mask, seed):
-            n, n_pad, packed = _packed(q, p, y, sigma, mask)
-            return _run_fwd(n, n_pad, packed, seed), (n, n_pad, packed, seed)
+        def rows_fwd(*args):
+            return flat_fwd(*args), args
 
         def rows_bwd(res, cts):
-            n, n_pad, packed, seed = res
-            dq, dp, dy, dsig = _run_bwd(n, n_pad, packed, seed, *cts)
+            dq, dp, dy, dsig = flat_bwd(*res, *cts)
+            n = res[4].shape[0]
             return (dq, dp, dy, dsig, jnp.zeros((n,), jnp.float32),
-                    np.zeros(jnp.shape(seed), dtype=jax.dtypes.float0))
+                    np.zeros(jnp.shape(res[5]), dtype=jax.dtypes.float0))
 
     rows.defvjp(rows_fwd, rows_bwd)
     return rows

@@ -88,6 +88,35 @@ def test_value_and_grads_match_jnp(rng, kw):
             rtol=5e-5, atol=5e-6, err_msg=name)
 
 
+def test_vmap_trial_fold_bit_exact(rng):
+    """Population support (round-4 verdict #1): under jax.vmap the
+    custom-VJP fwd/bwd fire their custom_vmap fold rules -- one
+    (P*N)-row kernel instead of the jnp fallback. Row-local math, so
+    every trial's value and gradients are BIT-equal to serial calls."""
+    cfg = ModelConfig(use_mvg=True, student_t_df=200.0,
+                      multi_image_normalisation=False,
+                      predict_log_data=False)
+    fused = make_fused_decode_nll(cfg, SCAN, use_blood=True,
+                                  interpret=True, lanes=128)
+    p_n = 3
+    stacks = [jnp.stack(x) for x in zip(*(_data(rng, n=40)
+                                          for _ in range(p_n)))]
+    oef, dbv, y, sigma, mask = stacks
+
+    def loss(o, d, y, s, m):
+        return jnp.sum(fused(o, d, y, s, m))
+
+    vg = jax.jit(jax.vmap(jax.value_and_grad(loss, argnums=(0, 1, 2, 3))))
+    v_b, g_b = vg(oef, dbv, y, sigma, mask)
+    sg = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3)))
+    for i in range(p_n):
+        v_i, g_i = sg(oef[i], dbv[i], y[i], sigma[i], mask[i])
+        np.testing.assert_array_equal(np.asarray(v_b)[i], np.asarray(v_i))
+        for a, b, name in zip(g_b, g_i, ("oef", "dbv", "y", "sigma")):
+            np.testing.assert_array_equal(np.asarray(a)[i], np.asarray(b),
+                                          err_msg=name)
+
+
 def test_weighted_cotangent_and_padding(rng):
     """Non-uniform upstream cotangents (the real masked-mean chain) and
     a non-block-multiple N both flow through the VJP correctly."""

@@ -236,6 +236,76 @@ def test_masked_rows_are_zero(rng):
     assert np.all(nll_rows[off] == 0.0) and np.all(kl_rows[off] == 0.0)
 
 
+@pytest.mark.parametrize("mvg", [True, False])
+def test_vmap_trial_fold_bit_exact(rng, mvg):
+    """Population support (round-4 verdict #1): under jax.vmap the
+    custom-VJP fwd/bwd fire their custom_vmap rules, folding the trial
+    axis into the flat voxel-row axis and running ONE (P*N)-row kernel.
+    The kernel is row-local, so in host-noise mode every trial's value
+    AND gradients must be BIT-equal to the serial per-trial calls."""
+    cfg = _cfg(use_mvg=mvg)
+    p_n, n, s_kl = 3, 40, 4
+    k = 5 if mvg else 4
+    q = jnp.asarray(rng.normal(size=(p_n, n, k)).astype(np.float32) * 0.3)
+    p = jnp.asarray(rng.normal(size=(p_n, n, k)).astype(np.float32) * 0.3)
+    y = jnp.asarray((np.abs(rng.normal(size=(p_n, n, SCAN.n_taus))) + 0.4
+                     ).astype(np.float32))
+    sig = jnp.full((p_n, n, SCAN.n_taus), 0.08, jnp.float32)
+    mask = jnp.asarray((rng.uniform(size=(p_n, n)) > 0.2
+                        ).astype(np.float32))
+    zn = jnp.asarray(rng.normal(size=(p_n, 1, n, 2)).astype(np.float32))
+    zk = jnp.asarray(rng.normal(size=(p_n, s_kl, n, 2)).astype(np.float32))
+
+    fused = make_fused_elbo(cfg.model, SCAN, s_nll=1, s_kl=s_kl,
+                            noise="host", interpret=True, lanes=128)
+    zs = (zn, zk) if mvg else (zn,)
+
+    def loss(q, p, y, sig, mask, *zs):
+        nll, kl = fused(q, p, y, sig, mask, *zs)
+        return jnp.sum(nll) + 0.7 * jnp.sum(kl)
+
+    vg = jax.jit(jax.vmap(jax.value_and_grad(loss, argnums=(0, 1, 2, 3))))
+    v_b, g_b = vg(q, p, y, sig, mask, *zs)
+    sg = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3)))
+    for i in range(p_n):
+        v_i, g_i = sg(q[i], p[i], y[i], sig[i], mask[i],
+                      *(z[i] for z in zs))
+        np.testing.assert_array_equal(np.asarray(v_b)[i], np.asarray(v_i))
+        for a, b, name in zip(g_b, g_i, ("q", "p", "y", "sigma")):
+            np.testing.assert_array_equal(np.asarray(a)[i], np.asarray(b),
+                                          err_msg=name)
+
+
+def test_vmap_trial_fold_device_noise_and_shared_args(rng):
+    """Device-noise fold: per-trial seeds mix into one stream seed
+    (noise stays per-row independent); value/grads finite. Also checks
+    partial batching -- y/sigma/mask shared across trials broadcast
+    inside the fold rule."""
+    cfg = _cfg()
+    p_n, n, s_kl = 2, 32, 3
+    q = jnp.asarray(rng.normal(size=(p_n, n, 5)).astype(np.float32) * 0.3)
+    p = jnp.asarray(rng.normal(size=(p_n, n, 5)).astype(np.float32) * 0.3)
+    y = jnp.asarray((np.abs(rng.normal(size=(n, SCAN.n_taus))) + 0.4
+                     ).astype(np.float32))
+    sig = jnp.full((n, SCAN.n_taus), 0.08, jnp.float32)
+    mask = jnp.ones((n,), jnp.float32)
+    seeds = jnp.arange(p_n, dtype=jnp.int32) + 17
+
+    fused = make_fused_elbo(cfg.model, SCAN, s_nll=1, s_kl=s_kl,
+                            noise="device", interpret=True, lanes=128)
+
+    def loss(q, p, y, sig, mask, seed):
+        nll, kl = fused(q, p, y, sig, mask, seed)
+        return jnp.sum(nll) + jnp.sum(kl)
+
+    v, g = jax.jit(jax.vmap(jax.value_and_grad(loss, argnums=(0, 1)),
+                            in_axes=(0, 0, None, None, None, 0)))(
+        q, p, y, sig, mask, seeds)
+    assert v.shape == (p_n,) and np.all(np.isfinite(np.asarray(v)))
+    for a in g:
+        assert a.shape[0] == p_n and np.all(np.isfinite(np.asarray(a)))
+
+
 def test_forced_on_uncovered_config_raises():
     # diagonal + population prior: the one remaining exclusion (its KL
     # adds a whole-map hyperprior cost, model.py:712-716 -- not a

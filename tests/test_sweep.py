@@ -216,6 +216,30 @@ class TestPopulation:
         # different hyperparameters must actually produce different runs
         assert len({round(r["val_elbo"], 6) for r in pop}) == 3
 
+    def test_population_mesh_matches_single_device(self, tmp_path):
+        """Trial axis sharded over the 8-device mesh (round-4 verdict
+        #2): per-trial metrics match the single-device population
+        (trials are independent -- the placement cannot change the
+        math), including a trial count that does NOT divide the mesh
+        (pad trials replicate trial 0 and are dropped)."""
+        import jax
+
+        from qbold_vi_tpu.parallel import make_mesh
+        from qbold_vi_tpu.sweep import population_pretrain
+
+        if jax.device_count() < 2:
+            pytest.skip("needs the multi-device CPU mesh")
+        cfg = self._cfg(tmp_path)
+        trials = [{"pt_lr": 1e-3}, {"pt_lr": 5e-4}, {"pt_lr": 2e-3}]
+        mesh = make_mesh()
+        pop_mesh = population_pretrain(cfg, trials, mesh=mesh)
+        pop_one = population_pretrain(cfg, trials)
+        for a, b in zip(pop_mesh, pop_one):
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_allclose(a[k], b[k], rtol=2e-5,
+                                           atol=1e-6, err_msg=k)
+
     def test_population_groups_static_keys(self, tmp_path):
         from qbold_vi_tpu.sweep import population_pretrain
 
@@ -357,6 +381,83 @@ class TestWandbAgent:
         v0 = fake.runs[0].logged[0]["val_elbo"]
         v1 = fake.runs[1].logged[0]["val_elbo"]
         assert v0 < v1          # -3/2e-3 is the optimum of the objective
+
+    class ThreadSafeFakeWandb(FakeWandb):
+        """The batched agent runs one wandb.agent per thread; init()
+        must hand out proposals atomically."""
+
+        def __init__(self, proposals):
+            import threading
+            super().__init__(proposals)
+            self._lock = threading.Lock()
+
+        def init(self, **kw):
+            with self._lock:
+                run = TestWandbAgent.FakeRun(
+                    self.proposals[len(self.runs)])
+                self.runs.append(run)
+                return run
+
+        def agent(self, sweep_id, function=None, count=None):
+            with self._lock:
+                self.agent_calls.append((sweep_id, count))
+            n = count if count is not None else len(self.proposals)
+            for _ in range(n):
+                function()
+
+    def test_agent_parallel_trials_batches_populations(self, tmp_path,
+                                                       monkeypatch):
+        """parallel_trials > 1 (round-4 verdict #7): agent proposals
+        train as vmapped populations -- N trials per dispatch -- while
+        every wandb run still logs ITS OWN metric and finishes. An odd
+        trial budget exercises the drain path (the final partial batch
+        flushes when an agent thread runs out of assignments instead of
+        waiting out the timeout)."""
+        import qbold_vi_tpu.sweep as sweep_mod
+        from qbold_vi_tpu.sweep import run_wandb_agent
+
+        cfg = QBoldConfig(train=TrainConfig(save_directory=str(tmp_path)))
+        proposals = [{"pt_lr": 1e-3}, {"pt_lr": 2e-3}, {"pt_lr": 3e-3}]
+        fake = self.ThreadSafeFakeWandb(proposals)
+        batches = []
+
+        def fake_pop(c, ovs, **kw):
+            batches.append(list(ovs))
+            return [{"val_elbo": float(o["pt_lr"]) * 1000.0}
+                    for o in ovs]
+
+        monkeypatch.setattr(sweep_mod, "population_pretrain", fake_pop)
+        n = run_wandb_agent("id", cfg, count=3, wandb_module=fake,
+                            parallel_trials=2)
+        assert n == 3
+        # every trial trained through the population executor, in
+        # batches no larger than parallel_trials, at least one true
+        # multi-trial dispatch
+        assert sum(len(b) for b in batches) == 3
+        assert max(len(b) for b in batches) == 2
+        # per-run reporting intact: each run logged ITS trial's metric
+        for run in fake.runs:
+            assert run.finished and run.exit_code == 0
+            assert run.logged[0]["val_elbo"] == pytest.approx(
+                run.config["pt_lr"] * 1000.0)
+
+    def test_agent_parallel_trials_custom_objective_falls_back(
+            self, tmp_path):
+        """A custom run_fn has no population executor: the agent warns
+        and runs serially (existing semantics preserved)."""
+        from qbold_vi_tpu.sweep import run_wandb_agent
+
+        cfg = QBoldConfig(train=TrainConfig(save_directory=str(tmp_path)))
+        fake = self.FakeWandb([{"pt_lr": 1e-3}, {"pt_lr": 2e-3}])
+
+        def custom(run_cfg):
+            return {"val_elbo": run_cfg.train.pt_lr}
+
+        with pytest.warns(UserWarning, match="no population executor"):
+            n = run_wandb_agent("id", cfg, count=2, run_fn=custom,
+                                wandb_module=fake, parallel_trials=4)
+        assert n == 2
+        assert all(r.finished for r in fake.runs)
 
     def test_agent_dirs_keyed_on_run_id(self, tmp_path):
         """Trial directories must be keyed on the wandb run id, not a
@@ -604,6 +705,32 @@ class TestPopulationFullRun:
                                            atol=1e-5, err_msg=k)
         # different hyperparameters genuinely produce different runs
         assert len({round(r["val_elbo"], 6) for r in pop}) == 3
+
+    def test_population_full_run_keeps_fused_kernels(self, tmp_path):
+        """The fused ELBO kernel stays ON inside the vmapped population
+        (round-4 verdict #1): its custom-VJP fwd/bwd carry custom_vmap
+        rules folding the trial axis into the voxel-row axis. In the
+        bit-compatible host-noise mode the population must match the
+        serial oracle running the SAME fused kernels (tolerances cover
+        only vmap-vs-serial XLA reassociation in the encoder/pretrain,
+        as in test_population_full_run_matches_serial)."""
+        import dataclasses
+
+        from qbold_vi_tpu.sweep import population_full_run
+
+        cfg = self._cfg(tmp_path, self._data_dir(tmp_path))
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, fused_elbo="host-interpret"))
+        trials = [{"ft_lr": 2e-3}, {"ft_lr": 1e-3}]
+        pop = population_full_run(cfg, trials)
+        ser = population_full_run(cfg, trials, serial=True)
+        assert len(pop) == len(ser) == 2
+        for a, b in zip(pop, ser):
+            assert a["status"] == "FULL_TRAINED"
+            for k in ("val_elbo", "val_nll", "val_kl", "loss"):
+                np.testing.assert_allclose(a[k], b[k], rtol=5e-4,
+                                           atol=1e-5, err_msg=k)
+        assert pop[0]["val_elbo"] != pop[1]["val_elbo"]
 
     def test_population_full_run_without_study_sets(self, tmp_path):
         from qbold_vi_tpu.sweep import population_full_run
