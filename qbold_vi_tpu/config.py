@@ -194,8 +194,13 @@ class TrainConfig:
     # Fully fused Pallas ELBO (ops/pallas_elbo.py): posterior sampling +
     # physics decode + NLL + the KL in one VMEM pass per voxel block
     # (completes SURVEY.md §7.8). MVG posteriors run the 70-sample MC KL
-    # in-kernel; diagonal posteriors the analytic logit-Normal KL. The
-    # one exclusion: diagonal + population prior (its KL adds a
+    # in-kernel -- the measured fast path (-40% step at the published
+    # workload, benchmarks/RESULTS.md). Diagonal posteriors fold the
+    # analytic logit-Normal KL into the same kernel for COVERAGE, not
+    # speed: at s_nll=1 it measures parity with the decode+NLL kernel +
+    # jnp-KL fallback (7.50 vs 7.16 ms, within tunnel spread --
+    # benchmarks/diag_elbo_ab.py regression-checks the A/B). The one
+    # exclusion: diagonal + population prior (its KL adds a
     # whole-map hyperprior cost) falls back to fused_decode_nll/jnp.
     # Modes: "auto" = on-chip
     # PRNG noise on TPU backends where covered; "on"/"off" force;
@@ -203,6 +208,15 @@ class TrainConfig:
     # (bit-compatible with fused off, slightly more HBM traffic);
     # "interpret"/"host-interpret" = Mosaic interpreter (CPU tests).
     fused_elbo: str = "auto"
+    # Training-data residency under a mesh (train/steps.py::
+    # make_finetune_epoch_subject_sharded): "auto" shards the fine-tune
+    # volume stack + prior maps over the subject axis when their
+    # replicated footprint exceeds ~1 GiB/device (each device then holds
+    # only ceil(S/n_dev) subjects and samples its crop share from local
+    # subjects -- the cohort-scaling story; below that, replication is
+    # free and the paths are equivalent); "on"/"off" force. Single-device
+    # runs ignore it.
+    ft_shard_subjects: str = "auto"
     ft_steps_per_epoch: int = 100     # reference: train.py:376
     ft_batch_size: int = 38           # reference: train.py:68
     eval_batch_size: int = 3          # reference: train.py:70
@@ -273,6 +287,7 @@ _FLAT_KEY_MAP: dict[str, tuple[str, str]] = {
     "checkpoint_every_epochs": ("train", "checkpoint_every_epochs"),
     "fused_decode_nll": ("train", "fused_decode_nll"),
     "fused_elbo": ("train", "fused_elbo"),
+    "ft_shard_subjects": ("train", "ft_shard_subjects"),
     "compute_dtype": ("model", "compute_dtype"),
     "quad_rule": ("model", "quad_rule"),
     "fused_infer": ("model", "fused_infer"),

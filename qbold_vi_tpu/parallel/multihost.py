@@ -189,6 +189,31 @@ def workload_metrics(n_steps: int = 2, with_trainer: bool = False,
             tr.pretrain_val_metrics(fold=True)["val_loss"])
         out["trainer_ckpt_exists"] = os.path.isfile(tr.pt_path)
 
+        # 4b. Trainer.FINETUNE end to end multi-process (round-4 verdict
+        # #4): every host runs prepare_real/predict_priors on the same
+        # volumes, the SUBJECT-SHARDED epoch trains over the global mesh
+        # (ft_shard_subjects=on -- each host's devices hold only their
+        # subject rows, 3 subjects over n_dev devices stressing
+        # zero-subject shards across process boundaries), the study-ELBO
+        # eval replicates, and the final checkpoint is written by
+        # process 0 only. All reported values are replicated -> gated
+        # bit-equal across workers and vs single-process by certify().
+        ftcfg = dataclasses.replace(
+            tcfg, train=dataclasses.replace(
+                tcfg.train, no_ft_epochs=1, ft_steps_per_epoch=2,
+                ft_batch_size=n_dev + 1, crop_size=6,
+                ft_shard_subjects="on"))
+        tr_ft = Trainer(ftcfg, mesh=mesh, logger=lambda *_: None)
+        tr_ft.pretrain()        # resumes from the stage-4 checkpoint
+        ft_state = tr_ft.finetune(vols, study_data=vols[:2])
+        out["trainer_ft_loss"] = float(
+            tr_ft.last_finetune_metrics["loss"])
+        out["trainer_ft_val_elbo"] = float(
+            tr_ft.last_finetune_metrics["val_elbo"])
+        out["trainer_ft_param_norm"] = float(jax.device_get(
+            param_norm(ft_state.params)))
+        out["trainer_final_ckpt_exists"] = os.path.isfile(tr_ft.final_path)
+
         # 5. the sharded EXPORT path multi-process: subject-sharded
         # posterior maps over the global mesh with a NON-dividing
         # subject count; infer._fetch_global allgathers the sharded
@@ -376,9 +401,13 @@ def certify(n_processes: int, n_devices_total: int, n_steps: int = 2,
 
     keys = ("ft_loss", "param_norm", "stream_loss", "eval_loss")
     if with_trainer:
-        keys = keys + ("trainer_val_loss", "maps_oef_sum")
+        keys = keys + ("trainer_val_loss", "maps_oef_sum",
+                       "trainer_ft_loss", "trainer_ft_val_elbo",
+                       "trainer_ft_param_norm")
         assert workers[0]["trainer_ckpt_exists"], \
-            "process-0 Trainer checkpoint was not written" 
+            "process-0 Trainer checkpoint was not written"
+        assert workers[0]["trainer_final_ckpt_exists"], \
+            "process-0 final_model checkpoint was not written"
     w0 = workers[0]
     assert w0["process_count"] == n_processes, w0
     assert w0["global_devices"] == n_devices_total, w0
@@ -411,7 +440,9 @@ def certify(n_processes: int, n_devices_total: int, n_steps: int = 2,
         "single_process_ft_loss": reference["ft_loss"],
         "parity_rtol": rtol,
         "per_host_eval_rows": [w["local_eval_rows"] for w in workers],
-        **({"trainer_val_loss": w0["trainer_val_loss"]}
+        **({"trainer_val_loss": w0["trainer_val_loss"],
+            "trainer_ft_loss": w0["trainer_ft_loss"],
+            "trainer_ft_val_elbo": w0["trainer_ft_val_elbo"]}
            if with_trainer else {}),
         "ok": True,
     }

@@ -33,7 +33,8 @@ __all__ = ["TrainState", "make_pretrain_step", "make_finetune_step",
            "sample_crop_batch", "stream_synthetic_batch",
            "make_finetune_epoch_on_device", "make_finetune_epoch",
            "make_finetune_epoch_sharded", "make_pretrain_stream_step", "make_pretrain_stream_epoch",
-           "make_pretrain_stream_step_sharded"]
+           "make_pretrain_stream_step_sharded",
+           "make_finetune_epoch_subject_sharded"]
 
 
 class TrainState(NamedTuple):
@@ -112,20 +113,28 @@ def make_pretrain_step(tuner: FineTuner, cfg: QBoldConfig,
     return jax.jit(step, donate_argnums=(0,))
 
 
-def sample_crop_batch(key, volumes, priors, b: int, crop_size: int):
+def sample_crop_batch(key, volumes, priors, b: int, crop_size: int,
+                      n_subjects=None):
     """Draw a b-crop fine-tune batch from device-resident volumes with
     jax.random + dynamic_slice (uniform subjects with replacement,
     uniform in-plane windows -- distributionally identical to
     data.RealCropSampler, reference train.py:35-68).
 
     volumes: (S, X, Y, Z, n_taus+1) with trailing mask channel;
-    priors:  (S, X, Y, Z, 4|5). Returns {images, mask, priors}."""
+    priors:  (S, X, Y, Z, 4|5). Returns {images, mask, priors}.
+
+    ``n_subjects``: restrict subject draws to the first ``n_subjects``
+    rows (may be traced -- the subject-sharded epoch passes its device's
+    LIVE subject count so pad subjects are never sampled; clamped to 1
+    so zero-subject devices still execute, their crops being dead-masked
+    by the caller)."""
     s_n, x_n, y_n, z_n, c_n = volumes.shape
     cx = min(crop_size, x_n)
     cy = min(crop_size, y_n)
     k_p = priors.shape[-1]
     k_s, k_x, k_y = jax.random.split(key, 3)
-    si = jax.random.randint(k_s, (b,), 0, s_n)
+    hi = s_n if n_subjects is None else jnp.maximum(n_subjects, 1)
+    si = jax.random.randint(k_s, (b,), 0, hi)
     xi = jax.random.randint(k_x, (b,), 0, x_n - cx + 1)
     yi = jax.random.randint(k_y, (b,), 0, y_n - cy + 1)
 
@@ -263,6 +272,110 @@ def make_finetune_epoch_sharded(tuner: FineTuner, cfg: QBoldConfig,
 
     fn = shard_map(local_epoch, mesh=mesh,
                    in_specs=(P(), P(), P(), P()),
+                   out_specs=(P(), P()), check_vma=False)
+    return jax.jit(fn, donate_argnums=_finetune_donate(tuner, cfg))
+
+
+def _subject_shard_counts(n_subjects: int, n_dev: int, b_global: int):
+    """Static layout of the subject-sharded fine-tune epoch.
+
+    Subjects pad to ``s_pad = ceil(S/n)*n`` rows so the stack shards
+    evenly; device d holds ``subj[d] = S//n + (d < S%n)`` LIVE subjects
+    (jax shards the leading axis contiguously, so the first ``subj[d]``
+    rows of each local shard are real). The global batch of ``b_global``
+    crops is apportioned to devices proportionally to their live subject
+    counts by largest remainder (deterministic, ties to the lower device
+    index), so counts sum EXACTLY to b_global and each crop's subject
+    marginal is uniform over all S subjects up to the <1-crop-per-device
+    apportionment rounding (exact whenever b_global*subj[d]/S is
+    integral -- e.g. equal shards). Returns (s_pad, subj, crops,
+    b_local) with b_local = max(crops) slot count (pad slots are
+    dead-masked, the pad-and-mask mechanism of _device_crop_counts)."""
+    s_pad = -(-n_subjects // n_dev) * n_dev
+    base, rem = divmod(n_subjects, n_dev)
+    subj = [base + (d < rem) for d in range(n_dev)]
+    quota = [b_global * s / n_subjects for s in subj]
+    crops = [int(q) for q in quota]
+    short = b_global - sum(crops)
+    order = sorted(range(n_dev), key=lambda d: (crops[d] - quota[d], d))
+    for d in order[:short]:
+        crops[d] += 1
+    assert sum(crops) == b_global
+    return s_pad, subj, crops, max(max(crops), 1)
+
+
+def make_finetune_epoch_subject_sharded(tuner: FineTuner, cfg: QBoldConfig,
+                                        optimizer, n_steps: int, mesh,
+                                        n_subjects: int):
+    """Mesh-parallel whole-epoch fine-tune where each device holds ONLY
+    its subject shard of the volume stack -- the training-data residency
+    story for cohorts that outgrow one device's HBM (round-4 verdict #3;
+    inference already shards subjects, infer.posterior_maps_sharded).
+
+    Params/optimiser state replicate as in make_finetune_epoch_sharded
+    (the model is ~10k params); volumes and priors arrive sharded on the
+    subject axis (``parallel.mesh.shard_batch`` of the s_pad-padded
+    stack). Each device samples its _subject_shard_counts crop share
+    from its LIVE local subjects only (pad subjects are unreachable by
+    construction), dead crop slots carry a zeroed mask, and the
+    axis_name-rescaled loss + psum reduction reproduce the exact global
+    masked-mean semantics of the replicated path. With equal shards and
+    a proportional batch the two paths are BIT-identical on identical
+    data (gated in tests/test_train.py); in general the subject marginal
+    matches the replicated path's uniform draw up to <1 crop/device of
+    apportionment rounding.
+
+    Memory bound per device: ``ceil(S/n)*X*Y*Z*(n_taus+1+K)*4`` bytes of
+    volume+prior residency -- 1/n of the replicated path's, the whole
+    point. Returns jitted (state, key, volumes_sharded, priors_sharded)
+    -> (state, metrics); reference semantics scaled:
+    /root/reference/train.py:35-68.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    n_dev = mesh.devices.size
+    _, subj, crops, b_local = _subject_shard_counts(
+        n_subjects, n_dev, cfg.train.ft_batch_size)
+    subj_c = jnp.asarray(subj, jnp.int32)
+    crops_c = jnp.asarray(crops, jnp.int32)
+
+    def loss_fn(params, key, batch):
+        return _finetune_terms(params, key, batch, tuner, cfg,
+                               axis_name=DATA_AXIS)
+
+    def local_epoch(state: TrainState, key, volumes, priors):
+        d = jax.lax.axis_index(DATA_AXIS)
+        s_d = jnp.take(subj_c, d)
+        live = (jnp.arange(b_local) < jnp.take(crops_c, d)).astype(
+            jnp.float32)
+        key = jax.random.fold_in(key, d)
+        keys = jax.random.split(key, n_steps)
+
+        def body(state, k):
+            k_crop, k_step = jax.random.split(k)
+            batch = sample_crop_batch(k_crop, volumes, priors, b_local,
+                                      cfg.train.crop_size, n_subjects=s_d)
+            batch = dict(batch, live=live,
+                         mask=batch["mask"] * live[:, None, None, None, None])
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, k_step, batch)
+            grads = jax.lax.psum(grads, DATA_AXIS)
+            aux["loss"] = loss
+            aux = jax.lax.psum(aux, DATA_AXIS)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (TrainState(params, opt_state, state.swa, state.step + 1),
+                    aux)
+
+        return jax.lax.scan(body, state, keys)
+
+    spec_subj = P(DATA_AXIS)
+    fn = shard_map(local_epoch, mesh=mesh,
+                   in_specs=(P(), P(), spec_subj, spec_subj),
                    out_specs=(P(), P()), check_vma=False)
     return jax.jit(fn, donate_argnums=_finetune_donate(tuner, cfg))
 

@@ -45,8 +45,10 @@ from ..parallel import mesh as pmesh
 from ..synth import create_synthetic_dataset_host
 from . import data as data_pipe
 from .optim import make_finetune_optimizer, make_pretrain_optimizer, swa_init
-from .steps import (TrainState, make_finetune_epoch_on_device,
-                    make_finetune_epoch_sharded, make_finetune_eval,
+from .steps import (TrainState, _subject_shard_counts,
+                    make_finetune_epoch_on_device,
+                    make_finetune_epoch_sharded,
+                    make_finetune_epoch_subject_sharded, make_finetune_eval,
                     make_pretrain_eval, make_pretrain_step,
                     make_pretrain_stream_epoch)
 
@@ -608,6 +610,32 @@ class Trainer:
             train_data, priors, self.cfg.train.crop_size,
             rng=np.random.default_rng(self.cfg.train.seed))
 
+    # Replicated volume+prior footprint above which "auto" switches the
+    # sharded fine-tune epoch to subject-sharded residency. ~1 GiB: at
+    # the published scale the stack is a few MB and replication is free
+    # (and keeps the bit-identical-epoch property on equal shards); a
+    # cohort whose stack approaches the 16 GiB/chip HBM budget must
+    # shard or it cannot train at all. Memory per device when sharded:
+    # ceil(S/n_dev) subjects' volumes + priors (documented bound,
+    # steps.make_finetune_epoch_subject_sharded).
+    SHARD_SUBJECTS_AUTO_BYTES: int = 1 << 30
+
+    def _shard_subjects(self, sampler) -> bool:
+        """Resolve cfg.train.ft_shard_subjects (auto|on|off) for this
+        mesh + cohort. Unknown values raise (config strictness)."""
+        mode = str(self.cfg.train.ft_shard_subjects).strip().lower()
+        mode = {"true": "on", "false": "off", "1": "on", "0": "off"}.get(
+            mode, mode)
+        if mode not in ("auto", "on", "off"):
+            raise ValueError(
+                f"ft_shard_subjects must be auto|on|off, got "
+                f"{self.cfg.train.ft_shard_subjects!r}")
+        if mode != "auto":
+            return mode == "on"
+        nbytes = (np.asarray(sampler.data).nbytes
+                  + np.asarray(sampler.priors).nbytes)
+        return nbytes > self.SHARD_SUBJECTS_AUTO_BYTES
+
     def finetune(self, train_data: np.ndarray,
                  study_data: Optional[np.ndarray] = None) -> TrainState:
         """Fine-tune with the MC-ELBO on real volumes
@@ -655,6 +683,28 @@ class Trainer:
                 self.tuner, cfg, optimizer, cfg.train.ft_steps_per_epoch)
             dev_volumes = jnp.asarray(sampler.data)
             dev_priors = jnp.asarray(sampler.priors)
+        elif self._shard_subjects(sampler):
+            # Subject-sharded residency: each device holds ONLY its
+            # ceil(S/n) subject rows of the (zero-padded) stack and
+            # samples crops from local live subjects -- 1/n the HBM
+            # footprint of replication, same exact global batch
+            # (steps.make_finetune_epoch_subject_sharded).
+            n_subj = sampler.data.shape[0]
+            epoch_fn = make_finetune_epoch_subject_sharded(
+                self.tuner, cfg, optimizer, cfg.train.ft_steps_per_epoch,
+                self.mesh, n_subj)
+            s_pad, _, _, _ = _subject_shard_counts(
+                n_subj, self.mesh.devices.size, cfg.train.ft_batch_size)
+
+            def pad_subjects(x):
+                out = np.zeros((s_pad,) + x.shape[1:], np.float32)
+                out[:n_subj] = x
+                return out
+
+            sharded = pmesh.shard_batch(self.mesh, {
+                "volumes": pad_subjects(np.asarray(sampler.data)),
+                "priors": pad_subjects(np.asarray(sampler.priors))})
+            dev_volumes, dev_priors = sharded["volumes"], sharded["priors"]
         else:
             epoch_fn = make_finetune_epoch_sharded(
                 self.tuner, cfg, optimizer, cfg.train.ft_steps_per_epoch,

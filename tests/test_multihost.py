@@ -112,6 +112,12 @@ class TestMultiProcess:
         assert np.isfinite(out["stream_loss"])
         assert np.isfinite(out["eval_loss"])
         assert np.isfinite(out["trainer_val_loss"])
+        # Trainer.FINETUNE end to end (round-4 verdict #4): per-host
+        # priors, the subject-sharded epoch across process boundaries,
+        # the study-ELBO eval, and the process-0 final checkpoint --
+        # all parity-gated by certify()
+        assert np.isfinite(out["trainer_ft_loss"])
+        assert np.isfinite(out["trainer_ft_val_elbo"])
         # per-host feeding really fed disjoint tiles of the global batch
         rows = sorted(out["per_host_eval_rows"])
         assert rows == [[0, 8], [8, 16]]

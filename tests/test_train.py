@@ -458,6 +458,159 @@ class TestShardedEpochParity:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=1e-6)
 
+    def test_subject_shard_counts_apportionment(self):
+        """Crop quotas are a largest-remainder apportionment of the
+        global batch proportional to live subject counts: exact sum,
+        <1-crop deviation from proportionality, equal shards exact."""
+        from qbold_vi_tpu.train.steps import _subject_shard_counts
+
+        # equal shards: exact proportionality, b_local == b/n
+        s_pad, subj, crops, b_local = _subject_shard_counts(8, 8, 16)
+        assert s_pad == 8 and subj == [1] * 8
+        assert crops == [2] * 8 and b_local == 2
+        # uneven subjects AND a non-proportional batch
+        s_pad, subj, crops, b_local = _subject_shard_counts(3, 8, 8)
+        assert s_pad == 8 and subj == [1, 1, 1, 0, 0, 0, 0, 0]
+        assert sum(crops) == 8 and all(c == 0 for c in crops[3:])
+        for s, c in zip(subj, crops):
+            assert abs(c - 8 * s / 3) < 1.0
+        # many subjects, non-dividing everything
+        s_pad, subj, crops, b_local = _subject_shard_counts(13, 8, 38)
+        assert s_pad == 16 and sum(subj) == 13 and sum(crops) == 38
+        for s, c in zip(subj, crops):
+            assert abs(c - 38 * s / 13) < 1.0
+        assert b_local == max(crops)
+
+    def test_subject_sharded_epoch_bit_equals_replicated_on_equal_shards(
+            self, tmp_path, rng):
+        """With S == n_devices IDENTICAL subjects and a proportional
+        batch, the subject-sharded epoch is BIT-identical to the
+        replicated sharded epoch: same per-device keys, same crop
+        windows (subject indices differ but index identical data), same
+        live counts, same psum order -- so the only thing the new path
+        changes is the residency (round-4 verdict #3 'parity' gate)."""
+        import dataclasses
+
+        cfg, tuner, vols, priors, params, opt = self._setup(tmp_path, rng)
+        mesh = make_mesh()
+        n_dev = mesh.devices.size
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, ft_batch_size=2 * n_dev))
+        n_steps = 2
+        key = jax.random.PRNGKey(3)
+        # n_dev identical subjects
+        vols_t = np.broadcast_to(vols[:1], (n_dev,) + vols.shape[1:]).copy()
+        priors_t = np.broadcast_to(priors[:1],
+                                   (n_dev,) + priors.shape[1:]).copy()
+
+        def fresh():
+            p = jax.tree_util.tree_map(jnp.copy, params)
+            return steps.TrainState(p, opt.init(p), None,
+                                    jnp.zeros([], jnp.int32))
+
+        rep = steps.make_finetune_epoch_sharded(tuner, cfg, opt, n_steps,
+                                                mesh)
+        st_r, m_r = rep(replicate(mesh, fresh()), key,
+                        replicate(mesh, jnp.asarray(vols_t)),
+                        replicate(mesh, jnp.asarray(priors_t)))
+
+        sub = steps.make_finetune_epoch_subject_sharded(
+            tuner, cfg, opt, n_steps, mesh, n_dev)
+        sharded = shard_batch(mesh, {"v": vols_t, "p": priors_t})
+        st_s, m_s = sub(replicate(mesh, fresh()), key, sharded["v"],
+                        sharded["p"])
+
+        assert np.all(np.isfinite(np.asarray(m_r["loss"])))
+        np.testing.assert_array_equal(np.asarray(m_s["loss"]),
+                                      np.asarray(m_r["loss"]))
+        for a, b in zip(jax.tree_util.tree_leaves(st_s.params),
+                        jax.tree_util.tree_leaves(st_r.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_subject_sharded_epoch_uneven_subjects(self, tmp_path, rng):
+        """3 subjects on 8 devices (5 devices hold only a zero pad
+        subject and zero live crops): the epoch executes, every metric
+        is finite, the global crop count is preserved, and params stay
+        replicated bit-exactly."""
+        import dataclasses
+
+        cfg, tuner, vols, priors, params, opt = self._setup(tmp_path, rng)
+        mesh = make_mesh()
+        n_dev = mesh.devices.size
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, ft_batch_size=8))
+        n_subj = vols.shape[0]            # 3
+        s_pad, _, crops, _ = steps._subject_shard_counts(
+            n_subj, n_dev, cfg.train.ft_batch_size)
+        assert sum(crops) == cfg.train.ft_batch_size
+
+        def pad(x):
+            out = np.zeros((s_pad,) + x.shape[1:], np.float32)
+            out[:n_subj] = x
+            return out
+
+        sub = steps.make_finetune_epoch_subject_sharded(
+            tuner, cfg, opt, 2, mesh, n_subj)
+        sharded = shard_batch(mesh, {"v": pad(vols), "p": pad(priors)})
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        st = replicate(mesh, steps.TrainState(
+            p, opt.init(p), None, jnp.zeros([], jnp.int32)))
+        st, m = sub(st, jax.random.PRNGKey(5), sharded["v"], sharded["p"])
+        assert np.all(np.isfinite(np.asarray(m["loss"])))
+        for t in ("nll", "kl", "smoothness"):
+            assert np.all(np.isfinite(np.asarray(m[t]))), t
+        assert jax.tree_util.tree_leaves(
+            st.params)[0].sharding.is_fully_replicated
+        for a in jax.tree_util.tree_leaves(st.params):
+            assert np.all(np.isfinite(np.asarray(a)))
+        # the volume stack really is sharded: each device holds 1/n_dev
+        # of the padded subject rows
+        shard_rows = sharded["v"].sharding.shard_shape(
+            sharded["v"].shape)[0]
+        assert shard_rows == s_pad // n_dev
+
+    def test_trainer_shard_subjects_resolution(self, tmp_path, rng):
+        """cfg.train.ft_shard_subjects: auto stays replicated at tiny
+        scale (below the 1 GiB bound), on forces sharding, bad raises."""
+        import dataclasses
+
+        cfg = tiny_cfg(tmp_path)
+
+        class FakeSampler:
+            data = np.zeros((3, 4, 4, 2, SCAN.n_taus + 1), np.float32)
+            priors = np.zeros((3, 4, 4, 2, 5), np.float32)
+
+        tr = Trainer(cfg, mesh=make_mesh())
+        assert tr._shard_subjects(FakeSampler()) is False   # auto, tiny
+        tr_on = Trainer(dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, ft_shard_subjects="on")), mesh=make_mesh())
+        assert tr_on._shard_subjects(FakeSampler()) is True
+        tr_bad = Trainer(dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, ft_shard_subjects="bogus")), mesh=make_mesh())
+        with pytest.raises(ValueError, match="ft_shard_subjects"):
+            tr_bad._shard_subjects(FakeSampler())
+
+    def test_trainer_finetune_subject_sharded_end_to_end(self, tmp_path,
+                                                         rng):
+        """Trainer.finetune with ft_shard_subjects=on over the 8-device
+        mesh: pretrain -> subject-sharded fine-tune -> FULL_TRAINED with
+        finite metrics (the orchestration wiring, not just the step)."""
+        import dataclasses
+
+        cfg = tiny_cfg(tmp_path)
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, ft_shard_subjects="on", ft_batch_size=8))
+        trainer = Trainer(cfg, mesh=make_mesh(), logger=lambda *_: None)
+        trainer.pretrain()
+        vols = np.abs(rng.normal(size=(3, 12, 12, 2, SCAN.n_taus + 1))
+                      ).astype(np.float32) * 50 + 100
+        vols[..., -1] = 1.0
+        state = trainer.finetune(vols)
+        assert trainer.status is WeightStatus.FULL_TRAINED
+        assert np.isfinite(trainer.last_finetune_metrics["loss"])
+        for a in jax.tree_util.tree_leaves(state.params):
+            assert np.all(np.isfinite(np.asarray(a)))
+
     def test_fused_elbo_inside_shard_map(self, tmp_path, rng):
         """Pallas∘shard_map composition (round-2 verdict weak #3): the
         fused ELBO kernel (host-noise, interpreter) runs INSIDE a
