@@ -152,6 +152,16 @@ class ModelConfig:
     # covered; "on"/"off" force; "interpret" = Mosaic interpreter (CPU
     # tests). Forward-only: applies to the use_first_op inference path.
     fused_infer: str = "auto"
+    # TPU extension: Pallas 3x3x1 trunk convolution with a closed-form
+    # VJP (ops/pallas_conv.py), built against the round-5 step-split
+    # probe (the conv stack dominates the fine-tune step). Measured
+    # OUTCOME: it does NOT beat XLA's native conv at the published
+    # shape (honest A/B in benchmarks/RESULTS.md "Pallas conv A/B"), so
+    # "auto" resolves to OFF and nothing adopts it by default; it stays
+    # as a fully-tested option. "on" forces it on TPU; "interpret" =
+    # Mosaic interpreter (CPU tests). Gradient-exact vs nn.Conv,
+    # vmap/population batching rules included.
+    fused_conv: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -291,6 +301,7 @@ _FLAT_KEY_MAP: dict[str, tuple[str, str]] = {
     "compute_dtype": ("model", "compute_dtype"),
     "quad_rule": ("model", "quad_rule"),
     "fused_infer": ("model", "fused_infer"),
+    "fused_conv": ("model", "fused_conv"),
     "d": ("train", "data_directory"),
     "name": (None, "name"),
 }

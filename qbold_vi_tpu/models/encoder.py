@@ -68,6 +68,53 @@ def _dtype_of(cfg: ModelConfig):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+class _ConvImpl(nn.Conv):
+    """nn.Conv with an optional Pallas fast path (ops/pallas_conv.py).
+
+    Subclasses nn.Conv so the parameter tree ("kernel"/"bias" under the
+    same module name) and initialisation are IDENTICAL whichever path
+    runs -- checkpoints and fingerprints are oblivious to the flag. The
+    fused path replicates flax's promote_dtype semantics (params cast to
+    ``dtype`` for compute, grads flowing back through the cast) and is
+    gradient-exact vs nn.Conv (tests/test_pallas_conv.py)."""
+
+    fused: str = "off"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.pallas_conv import conv3x3_available, make_conv3x3
+
+        mode = {"true": "on", "false": "off", "1": "on", "0": "off"}.get(
+            str(self.fused).strip().lower(),
+            str(self.fused).strip().lower())
+        if mode not in ("auto", "on", "off", "interpret"):
+            raise ValueError(
+                f"fused_conv must be auto|on|off|interpret, got "
+                f"{self.fused!r}")
+        if mode == "auto":
+            # auto == OFF: the kernel measured SLOWER than XLA's native
+            # conv at the published shape in both dtypes (the honest
+            # negative result, benchmarks/RESULTS.md "Pallas conv A/B"
+            # -- ops/pallas_conv.py docstring for the full record), so
+            # nothing adopts it by default; "on"/"interpret" force it.
+            mode = "off"
+        if mode == "off" or not conv3x3_available(x.shape[1], x.shape[2]):
+            if mode == "interpret":
+                raise ValueError(
+                    "fused_conv was forced to 'interpret' but the plane "
+                    f"is smaller than the 3x3 window: {x.shape}")
+            return super().__call__(x)
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (3, 3, x.shape[-1], self.features), self.param_dtype)
+        bias = self.param("bias", self.bias_init, (self.features,),
+                          self.param_dtype)
+        dt = self.dtype or x.dtype
+        op = make_conv3x3(x.shape[1], x.shape[2], x.shape[-1],
+                          self.features, interpret=mode == "interpret")
+        return op(x.astype(dt), kernel.astype(dt), bias.astype(dt))
+
+
 class ConvXY(nn.Module):
     """3x3x1 'Conv3D' as a z-folded 2-D conv (see module docstring).
 
@@ -76,17 +123,22 @@ class ConvXY(nn.Module):
     fold across ALL blocks and heads, so a full pass pays one transpose
     of the 60-channel features instead of one pair per conv (~16
     tensor transposes per train step at the published 2-block config).
+
+    ``fused`` routes through the Pallas conv kernel (cfg.fused_conv;
+    ops/pallas_conv.py -- the round-5 trunk hot path).
     """
 
     features: int
     init_std: float
     dtype: Any = jnp.float32
+    fused: str = "off"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        conv = nn.Conv(
+        conv = _ConvImpl(
             self.features, (3, 3), padding="SAME", dtype=self.dtype,
             kernel_init=nn.initializers.normal(self.init_std),
+            fused=self.fused, name="Conv_0",
         )
         if x.ndim == 4:
             return conv(x)
@@ -130,12 +182,15 @@ class GatedResBlock(nn.Module):
                 h = nn.GroupNorm(num_groups=1)(h)
             return h
 
+        fused = getattr(cfg, "fused_conv", "off")
         h = norm_drop(net2)
         h = act(h)
-        h = ConvXY(cfg.no_units, cfg.resid_init_std, dtype=dt)(h)
+        h = ConvXY(cfg.no_units, cfg.resid_init_std, dtype=dt,
+                   fused=fused)(h)
         h = norm_drop(h)
         h = act(h)
-        h = ConvXY(cfg.no_units, cfg.resid_init_std, dtype=dt)(h)
+        h = ConvXY(cfg.no_units, cfg.resid_init_std, dtype=dt,
+                   fused=fused)(h)
 
         gating_units = cfg.no_units if cfg.channelwise_gating else 1
         gate_raw = nn.Dense(

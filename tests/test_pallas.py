@@ -147,6 +147,43 @@ def test_padding_handles_non_block_sizes(rng):
 
 
 @tpu_only
+def test_conv3x3_chip_exact(rng):
+    """CHIP-exactness for the Pallas trunk conv (ops/pallas_conv.py):
+    PRNG-free, so the real Mosaic compile must reproduce nn.Conv's
+    forward AND the closed-form VJP (dx, dw, db) to fp32 tolerance at
+    the published plane shape -- the round-5 trunk hot path."""
+    import flax.linen as nn
+
+    from qbold_vi_tpu.ops.pallas_conv import make_conv3x3
+
+    n, h, w, c = 16, 25, 25, 60
+    x = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, c, c)).astype(np.float32)
+                    * 0.05)
+    b = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+    ct = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+    conv = make_conv3x3(h, w, c, c)
+    mod = nn.Conv(c, (3, 3), padding="SAME")
+
+    def ref(x, k, b):
+        return mod.apply({"params": {"kernel": k, "bias": b}}, x)
+
+    y_p = np.asarray(jax.jit(conv)(x, k, b))
+    y_r = np.asarray(jax.jit(ref)(x, k, b))
+    np.testing.assert_allclose(y_p, y_r, rtol=2e-4, atol=2e-4)
+
+    g_p = jax.jit(jax.grad(lambda *a: jnp.sum(conv(*a) * ct),
+                           argnums=(0, 1, 2)))(x, k, b)
+    g_r = jax.jit(jax.grad(lambda *a: jnp.sum(ref(*a) * ct),
+                           argnums=(0, 1, 2)))(x, k, b)
+    for a, r, name in zip(g_p, g_r, ("dx", "dw", "db")):
+        scale = np.abs(np.asarray(r)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(r) / scale,
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+@tpu_only
 def test_decode_kernel_chip_exact(rng):
     """CHIP-exactness for the fused decode+NLL kernel: it is PRNG-free,
     so the real Mosaic compile must reproduce the jnp rows to fp32
