@@ -80,6 +80,26 @@ def main() -> None:
           f"(criterion: <= ~3x; both walls include their own remote "
           f"compiles, which vary across a day)")
 
+    # Round-5 A/B: the fused Pallas ELBO kernel now BATCHES under vmap
+    # (custom_vmap trial-fold, ops/pallas_elbo.py), so the population
+    # above already ran it in-kernel (fused_elbo auto = on-chip PRNG on
+    # TPU backends). Re-run the identical population with the kernels
+    # forced OFF -- the round-4 behaviour -- for the measured delta.
+    import dataclasses
+
+    cfg_off = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, fused_elbo="off", fused_decode_nll="off"))
+    t0 = time.time()
+    pop_off = population_full_run(cfg_off, trials)
+    wall_off = time.time() - t0
+    best_off = min(r["val_elbo"] for r in pop_off)
+    print(f"population, kernels OFF: {wall_off:7.1f} s "
+          f"(best val_elbo={best_off:.3f})", flush=True)
+    print(f"fused-in-population wall vs round-4 (kernels off): "
+          f"{wall_pop:.1f} s vs {wall_off:.1f} s "
+          f"({wall_off / wall_pop:.2f}x; same-session compiles on both "
+          f"sides)")
+
 
 if __name__ == "__main__":
     main()
