@@ -591,7 +591,8 @@ def cmd_sweep(args) -> int:
         from .sweep import run_wandb_agent
         n = run_wandb_agent(args.agent, cfg, count=args.trials or None,
                             run_fn=run_fn,
-                            parallel_trials=args.parallel_trials)
+                            parallel_trials=args.parallel_trials,
+                            mesh=mesh)
         print(json.dumps({"agent": args.agent, "trials_run": n}))
         return 0
     if args.space:

@@ -319,14 +319,19 @@ def make_conv3x3(h: int, w: int, c_in: int, c_out: int,
             x = jnp.broadcast_to(x, (axis_size,) + x.shape)
         if not ctb:
             ct = jnp.broadcast_to(ct, (axis_size,) + ct.shape)
+        if not kb:
+            # Shared weights still take the GROUPED path (broadcast k)
+            # so dw/db come back PER TRIAL: vmap semantics require each
+            # batch element's own weight gradient (vmap-of-grad); when
+            # the trial axis is instead a grad-of-vmap broadcast, the
+            # custom_vjp machinery sums the batched cotangent -- correct
+            # either way. Returning the fold-summed dw as unbatched
+            # (the tempting optimisation) silently hands every element
+            # the cross-trial SUM under vmap-of-grad (review finding,
+            # round 5).
+            k = jnp.broadcast_to(k, (axis_size,) + k.shape)
         fold = (-1,) + x.shape[2:]
         ct_f = ct.reshape((-1,) + ct.shape[2:])
-        if not kb:
-            # shared weights: fold trials into planes; dw/db sum over
-            # the whole fold, which IS the vmap-sum for a shared leaf
-            dx, dw, db = flat_bwd(x.reshape(fold), k, ct_f)
-            return ((dx.reshape((axis_size, -1) + dx.shape[1:]),
-                     dw, db), (True, False, False))
         dx, dw, db = _run_bwd(_pack(x.reshape(fold)), k, _pack(ct_f),
                               axis_size)
         return ((dx.reshape((axis_size, -1) + dx.shape[1:]), dw, db),

@@ -57,16 +57,19 @@ class _AgentPopulationBatcher:
 
     ``submit`` blocks the calling thread until its proposal's batch has
     trained and returns that trial's metrics dict. A batch flushes when
-    ``size`` proposals are pending, when a thread has waited
-    ``timeout_s`` (the service ran dry mid-batch), or when ``drain()``
-    learns all remaining agent threads have exited. Failures isolate
-    per-batch exactly like _population_batch."""
+    ``size`` proposals are pending, when EVERY still-live agent thread
+    has a proposal parked (nobody is left to fill the batch -- covers
+    count < size, count % size != 0, and service-dry stragglers without
+    ever stalling; review finding, round 5), when a thread exits
+    (``thread_done``), or -- last-resort safety -- after ``timeout_s``.
+    Failures isolate per-batch exactly like _population_batch."""
 
     def __init__(self, cfg: QBoldConfig, pop_fn: Callable, size: int,
-                 timeout_s: float = 300.0):
+                 n_threads: int, timeout_s: float = 300.0):
         import threading
         self._cfg, self._pop_fn = cfg, pop_fn
         self._size, self._timeout = size, timeout_s
+        self._live = n_threads
         self._cond = threading.Condition()
         self._pending: list[dict] = []     # {"ov", "result"}
         self._count = 0
@@ -76,7 +79,7 @@ class _AgentPopulationBatcher:
         with self._cond:
             entry = {"ov": dict(overrides), "result": None}
             self._pending.append(entry)
-            if len(self._pending) >= self._size:
+            if len(self._pending) >= min(self._size, max(self._live, 1)):
                 self._flush_locked()
             else:
                 deadline = _time.monotonic() + self._timeout
@@ -89,11 +92,13 @@ class _AgentPopulationBatcher:
                     self._cond.wait(remaining)
             return entry["result"]
 
-    def drain(self) -> None:
-        """Flush a partial batch (called when an agent thread exits so
-        stragglers in other threads don't sit out the full timeout)."""
+    def thread_done(self) -> None:
+        """An agent thread ran out of assignments: it can no longer
+        contribute to a batch, so shrink the flush threshold and flush
+        any parked stragglers immediately."""
         with self._cond:
-            if self._pending:
+            self._live -= 1
+            if self._pending and len(self._pending) >= max(self._live, 1):
                 self._flush_locked()
 
     def _flush_locked(self) -> None:
@@ -112,7 +117,7 @@ def run_wandb_agent(sweep_id: str, cfg: QBoldConfig,
                     run_fn: Optional[Callable[[QBoldConfig], dict]] = None,
                     metric: str = "val_elbo",
                     wandb_module: Any = None,
-                    parallel_trials: int = 1) -> int:
+                    parallel_trials: int = 1, mesh=None) -> int:
     """Attach to an EXISTING wandb sweep service as an agent.
 
     The reference's published tuning workflow runs under wandb's hosted
@@ -149,7 +154,8 @@ def run_wandb_agent(sweep_id: str, cfg: QBoldConfig,
     pop_fn = None
     if parallel_trials > 1:
         pop_fn = _population_fn_for(
-            None if run_fn is _default_run else run_fn, parallel_trials)
+            None if run_fn is _default_run else run_fn, parallel_trials,
+            mesh)
         if pop_fn is None:
             import warnings
             warnings.warn(
@@ -215,9 +221,10 @@ def run_wandb_agent(sweep_id: str, cfg: QBoldConfig,
 
     import threading
 
-    batcher = _AgentPopulationBatcher(cfg, pop_fn, parallel_trials)
     n_threads = parallel_trials if count is None else min(parallel_trials,
                                                           count)
+    batcher = _AgentPopulationBatcher(cfg, pop_fn, parallel_trials,
+                                      n_threads)
     # split the trial budget over the agent threads (the service stops
     # assigning runs when the sweep is done regardless)
     shares = None if count is None else [
@@ -229,9 +236,9 @@ def run_wandb_agent(sweep_id: str, cfg: QBoldConfig,
             wandb.agent(sweep_id, function=_one_trial,
                         count=None if shares is None else shares[i])
         finally:
-            # a thread that ran out of assignments flushes stragglers
-            # so other threads' proposals don't wait out the timeout
-            batcher.drain()
+            # this thread can no longer contribute proposals: shrink
+            # the flush threshold and release any parked stragglers
+            batcher.thread_done()
 
     threads = [threading.Thread(target=_agent_thread, args=(i,),
                                 name=f"qbold-sweep-agent-{i}", daemon=True)

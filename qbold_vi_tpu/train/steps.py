@@ -279,21 +279,27 @@ def make_finetune_epoch_sharded(tuner: FineTuner, cfg: QBoldConfig,
 def _subject_shard_counts(n_subjects: int, n_dev: int, b_global: int):
     """Static layout of the subject-sharded fine-tune epoch.
 
-    Subjects pad to ``s_pad = ceil(S/n)*n`` rows so the stack shards
-    evenly; device d holds ``subj[d] = S//n + (d < S%n)`` LIVE subjects
-    (jax shards the leading axis contiguously, so the first ``subj[d]``
-    rows of each local shard are real). The global batch of ``b_global``
-    crops is apportioned to devices proportionally to their live subject
-    counts by largest remainder (deterministic, ties to the lower device
+    Subjects pad to ``s_pad = chunk*n`` rows (``chunk = ceil(S/n)``) so
+    the stack shards evenly. jax shards the leading axis CONTIGUOUSLY
+    in chunk-sized blocks, so device d's local shard holds rows
+    ``[d*chunk, (d+1)*chunk)`` of the padded stack and its LIVE subject
+    count is ``subj[d] = clamp(S - d*chunk, 0, chunk)`` -- full chunks
+    up front, one partial chunk, zeros after (NOT the round-robin
+    ``S//n + (d < S%n)`` split, which would skip real subjects on
+    full-chunk devices and sample pad rows on the partial one whenever
+    S > n and S % n != 0). The global batch of ``b_global`` crops is
+    apportioned to devices proportionally to their live subject counts
+    by largest remainder (deterministic, ties to the lower device
     index), so counts sum EXACTLY to b_global and each crop's subject
     marginal is uniform over all S subjects up to the <1-crop-per-device
     apportionment rounding (exact whenever b_global*subj[d]/S is
     integral -- e.g. equal shards). Returns (s_pad, subj, crops,
     b_local) with b_local = max(crops) slot count (pad slots are
     dead-masked, the pad-and-mask mechanism of _device_crop_counts)."""
-    s_pad = -(-n_subjects // n_dev) * n_dev
-    base, rem = divmod(n_subjects, n_dev)
-    subj = [base + (d < rem) for d in range(n_dev)]
+    chunk = -(-n_subjects // n_dev)
+    s_pad = chunk * n_dev
+    subj = [min(max(n_subjects - d * chunk, 0), chunk)
+            for d in range(n_dev)]
     quota = [b_global * s / n_subjects for s in subj]
     crops = [int(q) for q in quota]
     short = b_global - sum(crops)

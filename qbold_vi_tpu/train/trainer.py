@@ -112,8 +112,13 @@ _CKPT_SCHEMA = 1
 # noise), never the shape or meaning of its pytrees -- flipping them at
 # inference/export time (`--set compute_dtype=float32`, `quad_rule=gj16`,
 # `fused_infer=off`, ...) must NOT invalidate an existing checkpoint.
-_RUNTIME_ONLY_MODEL_KEYS = ("compute_dtype", "quad_rule", "fused_infer")
+_RUNTIME_ONLY_MODEL_KEYS = ("compute_dtype", "quad_rule", "fused_infer",
+                            "fused_conv")
 _RUNTIME_ONLY_SCAN_KEYS = ("simulate_noise", "snr")
+# Runtime-only keys added AFTER the legacy-fingerprint era: the legacy
+# hash must reproduce exactly what an old build computed, and old
+# builds' config dicts had no such keys -- so these pop in BOTH modes.
+_POST_LEGACY_MODEL_KEYS = ("fused_conv",)
 
 
 def _config_fingerprint(cfg: QBoldConfig, *, legacy: bool = False) -> np.uint64:
@@ -132,6 +137,8 @@ def _config_fingerprint(cfg: QBoldConfig, *, legacy: bool = False) -> np.uint64:
 
     model = dataclasses.asdict(cfg.model)
     scan = dataclasses.asdict(cfg.scan)
+    for k in _POST_LEGACY_MODEL_KEYS:
+        model.pop(k, None)
     if not legacy:
         for k in _RUNTIME_ONLY_MODEL_KEYS:
             model.pop(k, None)

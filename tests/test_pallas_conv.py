@@ -110,6 +110,18 @@ def test_vmap_shared_and_per_trial_weights(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=2e-3, atol=1e-4, err_msg=name)
 
+    # vmap-of-GRAD with shared weights: each element must receive ITS
+    # OWN dw, not the cross-trial sum (review finding, round 5 -- the
+    # fold-shared shortcut returned the summed dw to every element)
+    gk_p = jax.jit(jax.vmap(lambda x, c: jax.grad(
+        lambda kk: jnp.sum(conv(x, kk, b0) * c))(k0)))(xs, cts)
+    gk_r = jax.jit(jax.vmap(lambda x, c: jax.grad(
+        lambda kk: jnp.sum(_ref(x, kk, b0) * c))(k0)))(xs, cts)
+    np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_r),
+                               rtol=2e-3, atol=1e-4,
+                               err_msg="per-element dw under shared-k "
+                                       "vmap-of-grad")
+
 
 def test_availability_and_forced_raises():
     assert conv3x3_available(3, 3) and conv3x3_available(25, 25)

@@ -441,6 +441,33 @@ class TestWandbAgent:
             assert run.logged[0]["val_elbo"] == pytest.approx(
                 run.config["pt_lr"] * 1000.0)
 
+    def test_agent_parallel_trials_smaller_count_no_stall(
+            self, tmp_path, monkeypatch):
+        """count < parallel_trials: every live agent thread parks a
+        proposal, so the batch must flush IMMEDIATELY via the
+        live-thread rule instead of sitting out the 300 s timeout
+        (review finding, round 5)."""
+        import time
+
+        import qbold_vi_tpu.sweep as sweep_mod
+        from qbold_vi_tpu.sweep import run_wandb_agent
+
+        cfg = QBoldConfig(train=TrainConfig(save_directory=str(tmp_path)))
+        fake = self.ThreadSafeFakeWandb([{"pt_lr": 1e-3}, {"pt_lr": 2e-3}])
+
+        def fake_pop(c, ovs, **kw):
+            return [{"val_elbo": float(o["pt_lr"])} for o in ovs]
+
+        monkeypatch.setattr(sweep_mod, "population_pretrain", fake_pop)
+        t0 = time.monotonic()
+        n = run_wandb_agent("id", cfg, count=2, wandb_module=fake,
+                            parallel_trials=4)
+        wall = time.monotonic() - t0
+        assert n == 2 and wall < 60.0, f"batch stalled {wall:.0f}s"
+        for run in fake.runs:
+            assert run.finished and run.logged[0]["val_elbo"] == \
+                pytest.approx(run.config["pt_lr"])
+
     def test_agent_parallel_trials_custom_objective_falls_back(
             self, tmp_path):
         """A custom run_fn has no population executor: the agent warns

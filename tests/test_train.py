@@ -474,12 +474,40 @@ class TestShardedEpochParity:
         assert sum(crops) == 8 and all(c == 0 for c in crops[3:])
         for s, c in zip(subj, crops):
             assert abs(c - 8 * s / 3) < 1.0
-        # many subjects, non-dividing everything
+        # many subjects, non-dividing everything: counts must follow the
+        # CONTIGUOUS chunk layout jax actually shards (full chunks up
+        # front, one partial, zeros after) -- a round-robin split would
+        # silently skip real subjects and sample pad rows (review
+        # finding, round 5)
         s_pad, subj, crops, b_local = _subject_shard_counts(13, 8, 38)
-        assert s_pad == 16 and sum(subj) == 13 and sum(crops) == 38
+        assert s_pad == 16 and subj == [2, 2, 2, 2, 2, 2, 1, 0]
+        assert sum(crops) == 38
         for s, c in zip(subj, crops):
             assert abs(c - 38 * s / 13) < 1.0
         assert b_local == max(crops)
+        s_pad, subj, crops, _ = _subject_shard_counts(100, 8, 38)
+        assert s_pad == 104 and subj == [13] * 7 + [9]
+        assert sum(crops) == 38
+
+    def test_subject_counts_match_actual_shard_layout(self, rng):
+        """The static live-subject counts must equal, per device, how
+        many REAL (non-pad) rows jax's contiguous leading-axis sharding
+        actually places on that device -- gated against the placement
+        itself, not a re-derivation."""
+        mesh = make_mesh()
+        n_dev = mesh.devices.size
+        for n_subj in (3, 8, 11, 13, 100):
+            s_pad, subj, _, _ = steps._subject_shard_counts(n_subj, n_dev,
+                                                            8)
+            marks = np.zeros((s_pad, 1, 1, 1, 1), np.float32)
+            marks[:n_subj] = 1.0
+            sharded = shard_batch(mesh, marks)
+            for shard in sharded.addressable_shards:
+                live_rows = int(np.asarray(shard.data).sum())
+                # shards are contiguous chunks; match by row range
+                lo = shard.index[0].start or 0
+                d_idx = lo // (s_pad // n_dev)
+                assert live_rows == subj[d_idx], (n_subj, d_idx)
 
     def test_subject_sharded_epoch_bit_equals_replicated_on_equal_shards(
             self, tmp_path, rng):
@@ -1071,6 +1099,44 @@ class TestCheckpointSchema:
 
         t2 = Trainer(cfg)
         assert t2.status is WeightStatus.PRE_TRAINED
+
+    def test_round4_fingerprint_without_fused_conv_still_matches(
+            self, tmp_path):
+        """Round-5 added ModelConfig.fused_conv (runtime-only): the
+        fingerprint must be identical to what a round-4 build -- whose
+        model dict had NO such key -- computed, in BOTH the current and
+        the legacy variants, or every pre-round-5 checkpoint would
+        raise CheckpointMismatchError (review finding, round 5)."""
+        import dataclasses as dc
+        import hashlib
+        import json
+
+        from qbold_vi_tpu.train.trainer import (_RUNTIME_ONLY_MODEL_KEYS,
+                                                _RUNTIME_ONLY_SCAN_KEYS,
+                                                _config_fingerprint)
+
+        cfg = tiny_cfg(tmp_path)
+
+        def round4_fp(legacy):
+            model = dc.asdict(cfg.model)
+            scan = dc.asdict(cfg.scan)
+            model.pop("fused_conv")          # the key did not exist
+            if not legacy:
+                for k in _RUNTIME_ONLY_MODEL_KEYS:
+                    model.pop(k, None)
+                for k in _RUNTIME_ONLY_SCAN_KEYS:
+                    scan.pop(k, None)
+            blob = json.dumps({"model": model, "scan": scan},
+                              sort_keys=True)
+            return int.from_bytes(
+                hashlib.sha256(blob.encode()).digest()[:8], "big")
+
+        assert int(_config_fingerprint(cfg)) == round4_fp(False)
+        assert int(_config_fingerprint(cfg, legacy=True)) == round4_fp(True)
+        # and flipping the switch never changes either fingerprint
+        cfg_on = dc.replace(cfg, model=dc.replace(cfg.model,
+                                                  fused_conv="on"))
+        assert int(_config_fingerprint(cfg_on)) == round4_fp(False)
 
     def test_tripwire_ignores_hyperprior_saturation(self, tmp_path, rng):
         """An inf inverse-gamma hyperprior metric (exp(raw) saturating
