@@ -198,13 +198,23 @@ def workload_metrics(n_steps: int = 2, with_trainer: bool = False,
         # eval replicates, and the final checkpoint is written by
         # process 0 only. All reported values are replicated -> gated
         # bit-equal across workers and vs single-process by certify().
+        # Own directory + a FRESH pretrain: resuming from the stage-4
+        # checkpoint would race on process 0's asynchronous file write
+        # -- a process that constructs this Trainer before the msgpack
+        # lands RETRAINS while the other resumes, and the diverged
+        # collective sequences crash gloo ("Received data size doesn't
+        # match expected size"; observed flakily under load). A fresh
+        # pretrain runs the identical SPMD program on every process --
+        # deterministic by construction, and itself part of what this
+        # stage certifies.
         ftcfg = dataclasses.replace(
             tcfg, train=dataclasses.replace(
                 tcfg.train, no_ft_epochs=1, ft_steps_per_epoch=2,
                 ft_batch_size=n_dev + 1, crop_size=6,
-                ft_shard_subjects="on"))
+                ft_shard_subjects="on",
+                save_directory=os.path.join(tdir, "ft_stage")))
         tr_ft = Trainer(ftcfg, mesh=mesh, logger=lambda *_: None)
-        tr_ft.pretrain()        # resumes from the stage-4 checkpoint
+        tr_ft.pretrain()
         ft_state = tr_ft.finetune(vols, study_data=vols[:2])
         out["trainer_ft_loss"] = float(
             tr_ft.last_finetune_metrics["loss"])
