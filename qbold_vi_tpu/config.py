@@ -307,6 +307,22 @@ _FLAT_KEY_MAP: dict[str, tuple[str, str]] = {
 }
 
 
+def normalize_mode(value: Any, allowed: tuple, flag: str) -> str:
+    """Canonicalise a mode-string switch shared by every fused-kernel /
+    residency flag: YAML 1.1 parses a bare ``on``/``off`` as a BOOL,
+    which the flat-override coercion stringifies to 'True'/'False', so
+    those spellings map back; anything outside ``allowed`` raises with
+    the flag name (one helper, one behaviour -- the four call sites
+    previously each carried the literal dict)."""
+    mode = str(value).strip().lower()
+    mode = {"true": "on", "false": "off", "1": "on", "0": "off"}.get(mode,
+                                                                     mode)
+    if mode not in allowed:
+        raise ValueError(
+            f"{flag} must be {'|'.join(allowed)}, got {value!r}")
+    return mode
+
+
 def _coerce(current: Any, new: Any) -> Any:
     """Coerce an override to the type of the existing default.
 

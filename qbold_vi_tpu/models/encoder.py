@@ -82,15 +82,11 @@ class _ConvImpl(nn.Conv):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ..config import normalize_mode
         from ..ops.pallas_conv import conv3x3_available, make_conv3x3
 
-        mode = {"true": "on", "false": "off", "1": "on", "0": "off"}.get(
-            str(self.fused).strip().lower(),
-            str(self.fused).strip().lower())
-        if mode not in ("auto", "on", "off", "interpret"):
-            raise ValueError(
-                f"fused_conv must be auto|on|off|interpret, got "
-                f"{self.fused!r}")
+        mode = normalize_mode(self.fused, ("auto", "on", "off",
+                                           "interpret"), "fused_conv")
         if mode == "auto":
             # auto == OFF: the kernel measured SLOWER than XLA's native
             # conv at the published shape in both dtypes (the honest
@@ -98,6 +94,22 @@ class _ConvImpl(nn.Conv):
             # -- ops/pallas_conv.py docstring for the full record), so
             # nothing adopts it by default; "on"/"interpret" force it.
             mode = "off"
+        # the kernel implements exactly nn.Conv((3,3), SAME, unit
+        # strides, bias, one feature group) -- anything else must fall
+        # to nn.Conv or the param-tree-identity invariant above breaks
+        strides = self.strides if self.strides is not None else 1
+        if isinstance(strides, int):
+            strides = (strides,) * 2
+        supported = (tuple(self.kernel_size) == (3, 3)
+                     and self.padding == "SAME" and self.use_bias
+                     and self.feature_group_count == 1
+                     and all(s == 1 for s in strides))
+        if mode != "off" and not supported:
+            raise ValueError(
+                "fused_conv supports only nn.Conv((3, 3), padding='SAME',"
+                " unit strides, bias, feature_group_count=1); got "
+                f"kernel_size={self.kernel_size} padding={self.padding!r}"
+                f" strides={self.strides} use_bias={self.use_bias}")
         if mode == "off" or not conv3x3_available(x.shape[1], x.shape[2]):
             if mode == "interpret":
                 raise ValueError(
@@ -182,7 +194,7 @@ class GatedResBlock(nn.Module):
                 h = nn.GroupNorm(num_groups=1)(h)
             return h
 
-        fused = getattr(cfg, "fused_conv", "off")
+        fused = cfg.fused_conv
         h = norm_drop(net2)
         h = act(h)
         h = ConvXY(cfg.no_units, cfg.resid_init_std, dtype=dt,

@@ -600,18 +600,15 @@ def _fused_nll_fn(tuner: FineTuner, cfg: QBoldConfig):
     None (jnp path). Resolved at trace/build time (Python), so the
     decision costs nothing inside the compiled step.
 
-    Mode strings are normalised (YAML 1.1 parses a bare ``on``/``off``
-    as a BOOL, which the flat-override coercion stringifies to
-    'True'/'False') and validated -- unknown values raise instead of
-    silently picking a path. 'on'/'interpret' are FORCE semantics: an
-    uncovered config errors loudly rather than falling back."""
-    mode = {"true": "on", "false": "off", "1": "on", "0": "off"}.get(
-        str(cfg.train.fused_decode_nll).strip().lower(),
-        str(cfg.train.fused_decode_nll).strip().lower())
-    if mode not in ("auto", "on", "off", "interpret"):
-        raise ValueError(
-            f"fused_decode_nll must be auto|on|off|interpret, got "
-            f"{cfg.train.fused_decode_nll!r}")
+    Mode strings are normalised/validated by config.normalize_mode --
+    unknown values raise instead of silently picking a path.
+    'on'/'interpret' are FORCE semantics: an uncovered config errors
+    loudly rather than falling back."""
+    from ..config import normalize_mode
+
+    mode = normalize_mode(cfg.train.fused_decode_nll,
+                          ("auto", "on", "off", "interpret"),
+                          "fused_decode_nll")
     if mode == "off":
         return None
     if mode == "auto" and jax.default_backend() not in ("tpu", "axon"):
@@ -640,14 +637,11 @@ def _fused_elbo_fn(tuner: FineTuner, cfg: QBoldConfig, s_nll: int,
 
     'on'/'host'/'interpret'/'host-interpret' are FORCE semantics: an
     uncovered configuration errors loudly rather than falling back."""
-    mode = str(cfg.train.fused_elbo).strip().lower()
-    mode = {"true": "on", "false": "off", "1": "on", "0": "off"}.get(mode,
-                                                                     mode)
-    if mode not in ("auto", "on", "off", "host", "interpret",
-                    "host-interpret"):
-        raise ValueError(
-            f"fused_elbo must be auto|on|off|host|interpret|host-interpret,"
-            f" got {cfg.train.fused_elbo!r}")
+    from ..config import normalize_mode
+
+    mode = normalize_mode(cfg.train.fused_elbo,
+                          ("auto", "on", "off", "host", "interpret",
+                           "host-interpret"), "fused_elbo")
     if mode == "off":
         return None
     if mode == "auto" and jax.default_backend() not in ("tpu", "axon"):

@@ -630,13 +630,10 @@ class Trainer:
     def _shard_subjects(self, sampler) -> bool:
         """Resolve cfg.train.ft_shard_subjects (auto|on|off) for this
         mesh + cohort. Unknown values raise (config strictness)."""
-        mode = str(self.cfg.train.ft_shard_subjects).strip().lower()
-        mode = {"true": "on", "false": "off", "1": "on", "0": "off"}.get(
-            mode, mode)
-        if mode not in ("auto", "on", "off"):
-            raise ValueError(
-                f"ft_shard_subjects must be auto|on|off, got "
-                f"{self.cfg.train.ft_shard_subjects!r}")
+        from ..config import normalize_mode
+
+        mode = normalize_mode(self.cfg.train.ft_shard_subjects,
+                              ("auto", "on", "off"), "ft_shard_subjects")
         if mode != "auto":
             return mode == "on"
         nbytes = (np.asarray(sampler.data).nbytes

@@ -489,6 +489,26 @@ class TestShardedEpochParity:
         assert s_pad == 104 and subj == [13] * 7 + [9]
         assert sum(crops) == 38
 
+    def test_subject_marginal_uniform_within_rounding(self):
+        """The documented distribution claim, checked exactly: a crop's
+        subject marginal P(s) = crops[d]/(b*subj[d]) for s on device d
+        must equal 1/S up to the <1-crop-per-device apportionment
+        rounding, for a spread of cohort/batch shapes."""
+        from qbold_vi_tpu.train.steps import _subject_shard_counts
+
+        for n_subj, n_dev, b in ((8, 8, 16), (3, 8, 8), (13, 8, 38),
+                                 (100, 8, 38), (11, 4, 7)):
+            _, subj, crops, _ = _subject_shard_counts(n_subj, n_dev, b)
+            for s_d, c_d in zip(subj, crops):
+                if s_d == 0:
+                    assert c_d == 0
+                    continue
+                p = c_d / (b * s_d)
+                # exact quota is b*s_d/S crops; rounding moves it < 1
+                bound = 1.0 / (b * s_d)
+                assert abs(p - 1.0 / n_subj) < bound + 1e-12, (
+                    n_subj, n_dev, b, s_d, c_d)
+
     def test_subject_counts_match_actual_shard_layout(self, rng):
         """The static live-subject counts must equal, per device, how
         many REAL (non-pad) rows jax's contiguous leading-axis sharding
